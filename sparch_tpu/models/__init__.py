@@ -1,0 +1,86 @@
+"""Model registry: spiking {LIF, adLIF, RLIF, RadLIF} and non-spiking
+{MLP, RNN, LiGRU, GRU} families selected by a single model-type string
+(reference dispatch at exp.py:303-334)."""
+from sparch_tpu.models.ann import (
+    ANN,
+    ANN_TYPES,
+    GRULayer,
+    LiGRULayer,
+    MLPLayer,
+    ReadoutLayerANN,
+    RNNLayer,
+)
+from sparch_tpu.models.snn import (
+    SNN,
+    SNN_NEURON_TYPES,
+    LIFLayer,
+    RadLIFLayer,
+    ReadoutLayer,
+    RLIFLayer,
+    adLIFLayer,
+)
+
+MODEL_TYPES = SNN_NEURON_TYPES + ANN_TYPES
+
+
+def build_model(
+    model_type: str,
+    input_shape,
+    layer_sizes,
+    dropout: float = 0.0,
+    normalization: str = "batchnorm",
+    use_bias: bool = False,
+    bidirectional: bool = False,
+    use_readout_layer: bool = True,
+    **kwargs,
+):
+    """Build an SNN or ANN from a model-type string (the single registry the
+    CLI dispatches through, mirroring reference exp.py:303-334)."""
+    if model_type in SNN_NEURON_TYPES:
+        return SNN(
+            input_shape=tuple(input_shape),
+            layer_sizes=tuple(layer_sizes),
+            neuron_type=model_type,
+            dropout=dropout,
+            normalization=normalization,
+            use_bias=use_bias,
+            bidirectional=bidirectional,
+            use_readout_layer=use_readout_layer,
+            **kwargs,
+        )
+    if model_type in ANN_TYPES:
+        kwargs.pop("state_init", None)
+        kwargs.pop("cell_impl", None)
+        kwargs.pop("threshold", None)
+        return ANN(
+            input_shape=tuple(input_shape),
+            layer_sizes=tuple(layer_sizes),
+            ann_type=model_type,
+            dropout=dropout,
+            normalization=normalization,
+            use_bias=use_bias,
+            bidirectional=bidirectional,
+            use_readout_layer=use_readout_layer,
+            **kwargs,
+        )
+    raise ValueError(f"Invalid model type {model_type}")
+
+
+__all__ = [
+    "ANN",
+    "SNN",
+    "MODEL_TYPES",
+    "ANN_TYPES",
+    "SNN_NEURON_TYPES",
+    "build_model",
+    "LIFLayer",
+    "adLIFLayer",
+    "RLIFLayer",
+    "RadLIFLayer",
+    "ReadoutLayer",
+    "MLPLayer",
+    "RNNLayer",
+    "LiGRULayer",
+    "GRULayer",
+    "ReadoutLayerANN",
+]

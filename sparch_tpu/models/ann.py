@@ -1,0 +1,222 @@
+"""Non-spiking ANN baselines (MLP, RNN, LiGRU, GRU).
+
+TPU-native re-implementation of the reference ANN family
+(/root/reference/sparch/models/anns.py). Same layer scaffolding as the SNN
+stack (hoisted time-batched matmuls, ``lax.scan`` recurrences, per-gate
+normalisation for LiGRU/GRU) and the ANN readout variant, which collapses
+time *first* (sum of per-step softmax) and then applies the linear layer —
+the opposite op order of the SNN readout (reference anns.py:644-665).
+
+API parity (reference anns.py:57-67):
+    ANN(input_shape, layer_sizes, ann_type, dropout, normalization,
+        use_bias, bidirectional, use_readout_layer)
+    out, _ = model.apply(variables, x, ...)   # returns (x, None) like the SNN
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from sparch_tpu.ops import cells
+from sparch_tpu.models.common import Dense, SeqNorm, bidir_concat, bidir_split
+
+__all__ = [
+    "ANN",
+    "MLPLayer",
+    "RNNLayer",
+    "LiGRULayer",
+    "GRULayer",
+    "ReadoutLayerANN",
+    "ANN_TYPES",
+]
+
+ANN_TYPES = ("MLP", "RNN", "LiGRU", "GRU")
+
+
+class _ANNLayerBase(nn.Module):
+    hidden_size: int
+    dropout: float = 0.0
+    normalization: str = "batchnorm"
+    use_bias: bool = False
+    bidirectional: bool = False
+    compute_dtype: Optional[jnp.dtype] = None
+    bn_axis_name: Optional[str] = None
+
+    def _proj(self, x, train, name):
+        """Hoisted input projection + flattened-sequence norm for one gate."""
+        Wx = Dense(self.hidden_size, use_bias=self.use_bias,
+                   dtype=self.compute_dtype, name=name)(x)
+        return SeqNorm(self.normalization, use_running_average=not train,
+                       axis_name=self.bn_axis_name, name=f"norm_{name}")(Wx)
+
+    def _post(self, y, train):
+        if self.bidirectional:
+            y = bidir_split(y)
+        return nn.Dropout(self.dropout, deterministic=not train)(y)
+
+    def _V(self, name="V"):
+        import jax
+
+        return self.param(
+            name,
+            jax.nn.initializers.orthogonal(),
+            (self.hidden_size, self.hidden_size),
+        )
+
+
+class MLPLayer(_ANNLayerBase):
+    """Non-recurrent sigmoid MLP layer (reference anns.py:149-227)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        Wx = self._proj(x, train, "W")
+        y = nn.sigmoid(Wx)
+        return nn.Dropout(self.dropout, deterministic=not train)(y)
+
+
+class RNNLayer(_ANNLayerBase):
+    """Vanilla sigmoid RNN layer with orthogonal V (reference anns.py:230-339)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.bidirectional:
+            x = bidir_concat(x)
+        Wx = self._proj(x, train, "W")
+        y0 = jnp.zeros((Wx.shape[0], Wx.shape[2]), Wx.dtype)
+        y = cells.rnn_scan(Wx, self._V(), y0)
+        return self._post(y, train)
+
+
+class LiGRULayer(_ANNLayerBase):
+    """Light GRU layer (Ravanelli et al. 2018; reference anns.py:342-462).
+
+    Separate normalisation per gate path (anns.py:400-407)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.bidirectional:
+            x = bidir_concat(x)
+        Wx = self._proj(x, train, "W")
+        Wzx = self._proj(x, train, "Wz")
+        y0 = jnp.zeros((Wx.shape[0], Wx.shape[2]), Wx.dtype)
+        y = cells.ligru_scan(Wx, Wzx, self._V("V"), self._V("Vz"), y0)
+        return self._post(y, train)
+
+
+class GRULayer(_ANNLayerBase):
+    """Full GRU layer (Cho et al. 2014; reference anns.py:465-595)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.bidirectional:
+            x = bidir_concat(x)
+        Wx = self._proj(x, train, "W")
+        Wzx = self._proj(x, train, "Wz")
+        Wrx = self._proj(x, train, "Wr")
+        y0 = jnp.zeros((Wx.shape[0], Wx.shape[2]), Wx.dtype)
+        y = cells.gru_scan(
+            Wx, Wzx, Wrx, self._V("V"), self._V("Vz"), self._V("Vr"), y0
+        )
+        return self._post(y, train)
+
+
+class ReadoutLayerANN(nn.Module):
+    """ANN readout: sum of per-step softmax, *then* linear + 2-D norm
+    (reference anns.py:598-665 — inverse op order vs the SNN readout)."""
+
+    output_size: int
+    normalization: str = "batchnorm"
+    use_bias: bool = False
+    compute_dtype: Optional[jnp.dtype] = None
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = cells.cumulative_softmax(x)
+        Wy = Dense(self.output_size, use_bias=self.use_bias,
+                   dtype=self.compute_dtype, name="W")(y)
+        # Norm applies to the 2-D (B, out) output directly (anns.py:653-654)
+        return SeqNorm(self.normalization, use_running_average=not train,
+                       axis_name=self.bn_axis_name, name="norm")(Wy)
+
+
+_LAYER_CLASSES = {
+    "MLP": MLPLayer,
+    "RNN": RNNLayer,
+    "LiGRU": LiGRULayer,
+    "GRU": GRULayer,
+}
+
+
+class ANN(nn.Module):
+    """A multi-layered non-spiking network (reference anns.py:19-146).
+
+    Returns ``(output, None)`` so callers can treat SNNs and ANNs
+    uniformly (reference anns.py:146).
+    """
+
+    input_shape: Tuple
+    layer_sizes: Sequence[int]
+    ann_type: str = "MLP"
+    dropout: float = 0.0
+    normalization: str = "batchnorm"
+    use_bias: bool = False
+    bidirectional: bool = False
+    use_readout_layer: bool = True
+    compute_dtype: Optional[jnp.dtype] = None
+    bn_axis_name: Optional[str] = None
+
+    @property
+    def is_snn(self) -> bool:
+        return False
+
+    @property
+    def num_layers(self) -> int:
+        return len(self.layer_sizes)
+
+    @property
+    def num_outputs(self) -> int:
+        return self.layer_sizes[-1]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.ann_type not in _LAYER_CLASSES:
+            raise ValueError(f"Invalid ann type {self.ann_type}")
+        if self.bidirectional and self.ann_type == "MLP":
+            raise ValueError("MLP cannot be bidirectional.")
+
+        if x.ndim == 4:
+            x = x.reshape(x.shape[0], x.shape[1], -1)
+        elif x.ndim != 3:
+            raise NotImplementedError(f"Unsupported input rank {x.ndim}")
+
+        layer_cls = _LAYER_CLASSES[self.ann_type]
+        num_hidden = (
+            self.num_layers - 1 if self.use_readout_layer else self.num_layers
+        )
+
+        for i in range(num_hidden):
+            x = layer_cls(
+                hidden_size=self.layer_sizes[i],
+                dropout=self.dropout,
+                normalization=self.normalization,
+                use_bias=self.use_bias,
+                bidirectional=self.bidirectional,
+                compute_dtype=self.compute_dtype,
+                bn_axis_name=self.bn_axis_name,
+                name=f"layer_{i}",
+            )(x, train=train)
+
+        if self.use_readout_layer:
+            x = ReadoutLayerANN(
+                output_size=self.layer_sizes[-1],
+                normalization=self.normalization,
+                use_bias=self.use_bias,
+                compute_dtype=self.compute_dtype,
+                bn_axis_name=self.bn_axis_name,
+                name="readout",
+            )(x, train=train)
+
+        return x, None

@@ -1,0 +1,304 @@
+"""Spiking neural network models (surrogate-gradient SNNs).
+
+TPU-native re-implementation of the reference SNN family
+(/root/reference/sparch/models/snns.py): multi-layer stacks of
+{LIF, adLIF, RLIF, RadLIF} neurons with a non-spiking cumulative-softmax
+readout. Each layer hoists the input projection into one time-batched
+matmul (MXU) and runs the state recurrence as a ``lax.scan``
+(see sparch_tpu.ops.cells); an optional fused Pallas step kernel can be
+selected with ``cell_impl='pallas'``.
+
+Public API parity (reference snns.py:79-90):
+    SNN(input_shape, layer_sizes, neuron_type, threshold, dropout,
+        normalization, use_bias, bidirectional, use_readout_layer)
+    out, firing_rates = model.apply(variables, x, train=..., rngs=...)
+
+Differences from the reference (deliberate, documented):
+- Hidden state init is RNG-keyed: ``state_init='uniform'`` reproduces the
+  reference's per-forward U[0,1) states (snns.py:286-287) via the 'state'
+  RNG stream; ``'zeros'`` gives deterministic eval.
+- BatchNorm statistics live in the ``batch_stats`` collection and are
+  synced across a data-parallel mesh when ``bn_axis_name`` is set.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from sparch_tpu.ops import cells
+from sparch_tpu.models.common import (
+    Dense,
+    SeqNorm,
+    bidir_concat,
+    bidir_split,
+    uniform_range_init,
+)
+
+__all__ = [
+    "SNN",
+    "LIFLayer",
+    "adLIFLayer",
+    "RLIFLayer",
+    "RadLIFLayer",
+    "ReadoutLayer",
+    "SNN_NEURON_TYPES",
+]
+
+SNN_NEURON_TYPES = ("LIF", "adLIF", "RLIF", "RadLIF")
+
+
+class _SpikingLayerBase(nn.Module):
+    """Shared scaffolding: bidir trick, hoisted matmul, norm, cell, dropout."""
+
+    hidden_size: int
+    threshold: float = 1.0
+    dropout: float = 0.0
+    normalization: str = "batchnorm"
+    use_bias: bool = False
+    bidirectional: bool = False
+    state_init: str = "uniform"
+    cell_impl: str = "scan"
+    compute_dtype: Optional[jnp.dtype] = None
+    bn_axis_name: Optional[str] = None
+
+    def _pre(self, x, train):
+        if self.bidirectional:
+            x = bidir_concat(x)
+        Wx = Dense(self.hidden_size, use_bias=self.use_bias,
+                   dtype=self.compute_dtype, name="W")(x)
+        Wx = SeqNorm(self.normalization, use_running_average=not train,
+                     axis_name=self.bn_axis_name, name="norm")(Wx)
+        return Wx
+
+    def _post(self, s, train):
+        if self.bidirectional:
+            s = bidir_split(s)
+        return nn.Dropout(self.dropout, deterministic=not train)(s)
+
+    def _state(self, Wx, n):
+        shape = (Wx.shape[0], Wx.shape[2])
+        if self.state_init == "uniform":
+            key = self.make_rng("state")
+            keys = jax.random.split(key, n)
+            return [jax.random.uniform(k, shape, Wx.dtype) for k in keys]
+        return [jnp.zeros(shape, Wx.dtype) for _ in range(n)]
+
+    def _alpha(self):
+        return self.param(
+            "alpha", uniform_range_init(*cells.ALPHA_LIM), (self.hidden_size,)
+        )
+
+    def _adaptation_params(self):
+        beta = self.param(
+            "beta", uniform_range_init(*cells.BETA_LIM), (self.hidden_size,)
+        )
+        a = self.param("a", uniform_range_init(*cells.A_LIM), (self.hidden_size,))
+        b = self.param("b", uniform_range_init(*cells.B_LIM), (self.hidden_size,))
+        return beta, a, b
+
+    def _V(self):
+        return self.param(
+            "V",
+            jax.nn.initializers.orthogonal(),
+            (self.hidden_size, self.hidden_size),
+        )
+
+
+class LIFLayer(_SpikingLayerBase):
+    """Feedforward leaky integrate-and-fire layer (reference snns.py:179-303)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        Wx = self._pre(x, train)
+        u0, s0 = self._state(Wx, 2)
+        s = cells.lif_scan(Wx, self._alpha(), self.threshold, u0, s0)
+        return self._post(s, train)
+
+
+class adLIFLayer(_SpikingLayerBase):
+    """Adaptive LIF layer with adaptation current (reference snns.py:306-445)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        Wx = self._pre(x, train)
+        u0, w0, s0 = self._state(Wx, 3)
+        beta, a, b = self._adaptation_params()
+        s = cells.adlif_scan(
+            Wx, self._alpha(), beta, a, b, self.threshold, u0, w0, s0
+        )
+        return self._post(s, train)
+
+
+class RLIFLayer(_SpikingLayerBase):
+    """Recurrent LIF layer with zero-diagonal orthogonal V
+    (reference snns.py:448-578)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        Wx = self._pre(x, train)
+        u0, s0 = self._state(Wx, 2)
+        if self.cell_impl == "pallas":
+            from sparch_tpu.ops import pallas_cells
+
+            s = pallas_cells.rlif_pallas(
+                Wx, self._alpha(), self._V(), self.threshold, u0, s0
+            )
+        else:
+            s = cells.rlif_scan(
+                Wx, self._alpha(), self._V(), self.threshold, u0, s0
+            )
+        return self._post(s, train)
+
+
+class RadLIFLayer(_SpikingLayerBase):
+    """Recurrent adaptive LIF layer — the reference's strongest spiking model
+    (reference snns.py:581-727)."""
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        Wx = self._pre(x, train)
+        u0, w0, s0 = self._state(Wx, 3)
+        beta, a, b = self._adaptation_params()
+        if self.cell_impl == "pallas":
+            from sparch_tpu.ops import pallas_cells
+
+            s = pallas_cells.radlif_pallas(
+                Wx, self._alpha(), beta, a, b, self._V(),
+                self.threshold, u0, w0, s0,
+            )
+        else:
+            s = cells.radlif_scan(
+                Wx, self._alpha(), beta, a, b, self._V(),
+                self.threshold, u0, w0, s0,
+            )
+        return self._post(s, train)
+
+
+class ReadoutLayer(nn.Module):
+    """Non-spiking, non-recurrent leaky readout producing ``(B, labels)``
+    via a cumulative softmax of the membrane potential
+    (reference snns.py:730-825).
+
+    Note: the reference constructs a dropout member here but never applies
+    it (snns.py:791 vs :793-806); we match by applying none.
+    """
+
+    hidden_size: int
+    dropout: float = 0.0
+    normalization: str = "batchnorm"
+    use_bias: bool = False
+    state_init: str = "uniform"
+    compute_dtype: Optional[jnp.dtype] = None
+    bn_axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        Wx = Dense(self.hidden_size, use_bias=self.use_bias,
+                   dtype=self.compute_dtype, name="W")(x)
+        Wx = SeqNorm(self.normalization, use_running_average=not train,
+                     axis_name=self.bn_axis_name, name="norm")(Wx)
+        shape = (Wx.shape[0], Wx.shape[2])
+        if self.state_init == "uniform":
+            u0 = jax.random.uniform(self.make_rng("state"), shape, Wx.dtype)
+        else:
+            u0 = jnp.zeros(shape, Wx.dtype)
+        alpha = self.param(
+            "alpha", uniform_range_init(*cells.ALPHA_LIM), (self.hidden_size,)
+        )
+        return cells.readout_sum(Wx, alpha, u0)
+
+
+_LAYER_CLASSES = {
+    "LIF": LIFLayer,
+    "adLIF": adLIFLayer,
+    "RLIF": RLIFLayer,
+    "RadLIF": RadLIFLayer,
+}
+
+
+class SNN(nn.Module):
+    """A multi-layered spiking neural network (reference snns.py:39-176).
+
+    Accepts ``(batch, time, feat)`` inputs; 4-D ``(batch, time, feat, chan)``
+    inputs are flattened to 3-D. Returns ``(output, firing_rates)`` where
+    ``firing_rates`` is the mean firing rate of every hidden neuron, shape
+    ``(sum of hidden widths,)`` (width 2H per bidirectional layer).
+    """
+
+    input_shape: Tuple
+    layer_sizes: Sequence[int]
+    neuron_type: str = "LIF"
+    threshold: float = 1.0
+    dropout: float = 0.0
+    normalization: str = "batchnorm"
+    use_bias: bool = False
+    bidirectional: bool = False
+    use_readout_layer: bool = True
+    state_init: str = "uniform"
+    cell_impl: str = "scan"
+    compute_dtype: Optional[jnp.dtype] = None
+    bn_axis_name: Optional[str] = None
+
+    @property
+    def is_snn(self) -> bool:
+        return True
+
+    @property
+    def num_layers(self) -> int:
+        return len(self.layer_sizes)
+
+    @property
+    def num_outputs(self) -> int:
+        return self.layer_sizes[-1]
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.neuron_type not in _LAYER_CLASSES:
+            raise ValueError(f"Invalid neuron type {self.neuron_type}")
+
+        # Flatten 4d (B,T,F,C) -> (B,T,F*C) (reference snns.py:160-164)
+        if x.ndim == 4:
+            x = x.reshape(x.shape[0], x.shape[1], -1)
+        elif x.ndim != 3:
+            raise NotImplementedError(f"Unsupported input rank {x.ndim}")
+
+        layer_cls = _LAYER_CLASSES[self.neuron_type]
+        num_hidden = (
+            self.num_layers - 1 if self.use_readout_layer else self.num_layers
+        )
+
+        all_spikes = []
+        for i in range(num_hidden):
+            x = layer_cls(
+                hidden_size=self.layer_sizes[i],
+                threshold=self.threshold,
+                dropout=self.dropout,
+                normalization=self.normalization,
+                use_bias=self.use_bias,
+                bidirectional=self.bidirectional,
+                state_init=self.state_init,
+                cell_impl=self.cell_impl,
+                compute_dtype=self.compute_dtype,
+                bn_axis_name=self.bn_axis_name,
+                name=f"layer_{i}",
+            )(x, train=train)
+            all_spikes.append(x)
+
+        if self.use_readout_layer:
+            x = ReadoutLayer(
+                hidden_size=self.layer_sizes[-1],
+                dropout=self.dropout,
+                normalization=self.normalization,
+                use_bias=self.use_bias,
+                state_init=self.state_init,
+                compute_dtype=self.compute_dtype,
+                bn_axis_name=self.bn_axis_name,
+                name="readout",
+            )(x, train=train)
+
+        # Mean firing rate of each hidden neuron (reference snns.py:174)
+        firing_rates = jnp.concatenate(all_spikes, axis=2).mean(axis=(0, 1))
+        return x, firing_rates

@@ -1,0 +1,321 @@
+"""Time-recurrent neuron cells as ``jax.lax.scan`` loops.
+
+Design (TPU-first, not a translation):
+
+- The per-timestep input projection ``W @ x_t`` is *hoisted* out of the
+  recurrence by the calling layer into one large time-batched matmul
+  (reference keeps this structure too: snns.py:261). The functions here
+  receive the pre-activations ``Wx`` with shape ``(B, T, H)`` and run only
+  the inherently-sequential state recurrence.
+- The scan carries the neuron state ``(u[, w], s)`` and is time-major
+  internally: ``Wx`` is transposed once to ``(T, B, H)`` so each scan step
+  reads a contiguous ``(B, H)`` slab.
+- Trainable neuron constants (alpha/beta/a/b) are clamped to their
+  plausible ranges *before* the scan (one clip, reused every step), exactly
+  matching the reference clamp ranges (snns.py:229,291,356-359,429-432).
+- Recurrent matrices have their diagonal masked with ``V * (1 - I)`` so no
+  gradient reaches the diagonal — equivalent to the reference's
+  ``clone().fill_diagonal_(0)`` (snns.py:566,712).
+- XLA compiles the scan to a single fused loop; the per-step work for the
+  R-variants is a ``(B,H)x(H,H)`` MXU matmul plus VPU elementwise updates.
+  A fused Pallas kernel (``sparch_tpu.ops.pallas_cells``) can replace the
+  scan on TPU via the ``impl`` switch in the layers.
+
+Reference dynamics reproduced (cf. /root/reference/sparch/models/snns.py):
+
+- LIF    (snns.py:282-303):  u = a*(u - s) + (1-a)*Wx_t ; s = H(u - thr)
+- adLIF  (snns.py:419-445):  w = b*w + a_*u + b_*s (prev-step u,s);
+                             u = a*(u - s) + (1-a)*(Wx_t - w)
+- RLIF   (snns.py:554-578):  u = a*(u - s) + (1-a)*(Wx_t + s @ V)
+- RadLIF (snns.py:696-727):  w as adLIF; u = a*(u-s) + (1-a)*(Wx_t + s@V - w)
+- Readout (snns.py:808-825): u = a*u + (1-a)*Wx_t ; out += softmax(u)
+
+ANN cells (cf. /root/reference/sparch/models/anns.py):
+
+- RNN   (anns.py:328-339):  y = sigmoid(Wx_t + y @ V)
+- LiGRU (anns.py:449-462):  z = sigmoid(Wzx_t + y @ Vz); c = relu(Wx_t + y @ V);
+                            y = z*y + (1-z)*c
+- GRU   (anns.py:581-595):  z,r sigmoid gates; c = tanh(Wx_t + (r*y) @ V);
+                            y = z*y + (1-z)*c
+"""
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from sparch_tpu.ops.surrogate import spike_boxcar
+
+__all__ = [
+    "ALPHA_LIM",
+    "BETA_LIM",
+    "A_LIM",
+    "B_LIM",
+    "init_state",
+    "zero_diag",
+    "lif_scan",
+    "adlif_scan",
+    "rlif_scan",
+    "radlif_scan",
+    "readout_sum",
+    "rnn_scan",
+    "ligru_scan",
+    "gru_scan",
+    "cumulative_softmax",
+]
+
+# Plausible ranges for the trainable neuron time constants
+# (reference snns.py:229,356-359).
+ALPHA_LIM = (math.exp(-1 / 5), math.exp(-1 / 25))
+BETA_LIM = (math.exp(-1 / 30), math.exp(-1 / 120))
+A_LIM = (-1.0, 1.0)
+B_LIM = (0.0, 2.0)
+
+
+def init_state(
+    key: Optional[jax.Array],
+    shape: tuple,
+    dtype,
+    mode: str = "uniform",
+) -> jax.Array:
+    """Initial neuron state.
+
+    ``mode='uniform'`` reproduces the reference's per-forward U[0,1) state
+    initialisation (snns.py:286-287 — applied even in eval there); pass a
+    fresh PRNG key per forward for that behaviour. ``mode='zeros'`` is the
+    deterministic option for testing and inference.
+    """
+    if mode == "zeros" or key is None:
+        return jnp.zeros(shape, dtype)
+    if mode == "uniform":
+        return jax.random.uniform(key, shape, dtype)
+    raise ValueError(f"Invalid state init mode {mode}")
+
+
+def zero_diag(V: jax.Array) -> jax.Array:
+    """Mask the diagonal of a square matrix (no gradient to the diagonal)."""
+    n = V.shape[-1]
+    return V * (1.0 - jnp.eye(n, dtype=V.dtype))
+
+
+def _clip(p: jax.Array, lim) -> jax.Array:
+    return jnp.clip(p, lim[0], lim[1])
+
+
+def _time_major(Wx: jax.Array) -> jax.Array:
+    return jnp.swapaxes(Wx, 0, 1)  # (B,T,H) -> (T,B,H)
+
+
+def _batch_major(s: jax.Array) -> jax.Array:
+    return jnp.swapaxes(s, 0, 1)  # (T,B,H) -> (B,T,H)
+
+
+# ---------------------------------------------------------------------------
+# Spiking cells
+# ---------------------------------------------------------------------------
+
+
+def lif_scan(
+    Wx: jax.Array,
+    alpha: jax.Array,
+    threshold: float,
+    u0: jax.Array,
+    s0: jax.Array,
+) -> jax.Array:
+    """Feedforward LIF recurrence. ``Wx``: (B,T,H) -> spikes (B,T,H)."""
+    alpha = _clip(alpha, ALPHA_LIM).astype(Wx.dtype)
+
+    def step(carry, wx_t):
+        u, s = carry
+        u = alpha * (u - s) + (1.0 - alpha) * wx_t
+        s = spike_boxcar(u - threshold)
+        return (u, s), s
+
+    _, spikes = jax.lax.scan(step, (u0, s0), _time_major(Wx))
+    return _batch_major(spikes)
+
+
+def adlif_scan(
+    Wx: jax.Array,
+    alpha: jax.Array,
+    beta: jax.Array,
+    a: jax.Array,
+    b: jax.Array,
+    threshold: float,
+    u0: jax.Array,
+    w0: jax.Array,
+    s0: jax.Array,
+) -> jax.Array:
+    """Adaptive LIF recurrence (adaptation current w)."""
+    dt = Wx.dtype
+    alpha = _clip(alpha, ALPHA_LIM).astype(dt)
+    beta = _clip(beta, BETA_LIM).astype(dt)
+    a = _clip(a, A_LIM).astype(dt)
+    b = _clip(b, B_LIM).astype(dt)
+
+    def step(carry, wx_t):
+        u, w, s = carry
+        # w uses the previous step's u and s (reference snns.py:438-439)
+        w = beta * w + a * u + b * s
+        u = alpha * (u - s) + (1.0 - alpha) * (wx_t - w)
+        s = spike_boxcar(u - threshold)
+        return (u, w, s), s
+
+    _, spikes = jax.lax.scan(step, (u0, w0, s0), _time_major(Wx))
+    return _batch_major(spikes)
+
+
+def rlif_scan(
+    Wx: jax.Array,
+    alpha: jax.Array,
+    V: jax.Array,
+    threshold: float,
+    u0: jax.Array,
+    s0: jax.Array,
+) -> jax.Array:
+    """Recurrent LIF: adds a per-step ``s @ V`` MXU matmul, V zero-diagonal."""
+    alpha = _clip(alpha, ALPHA_LIM).astype(Wx.dtype)
+    V = zero_diag(V).astype(Wx.dtype)
+
+    def step(carry, wx_t):
+        u, s = carry
+        rec = jnp.dot(s, V, preferred_element_type=Wx.dtype)
+        u = alpha * (u - s) + (1.0 - alpha) * (wx_t + rec)
+        s = spike_boxcar(u - threshold)
+        return (u, s), s
+
+    _, spikes = jax.lax.scan(step, (u0, s0), _time_major(Wx))
+    return _batch_major(spikes)
+
+
+def radlif_scan(
+    Wx: jax.Array,
+    alpha: jax.Array,
+    beta: jax.Array,
+    a: jax.Array,
+    b: jax.Array,
+    V: jax.Array,
+    threshold: float,
+    u0: jax.Array,
+    w0: jax.Array,
+    s0: jax.Array,
+) -> jax.Array:
+    """Recurrent adaptive LIF (flagship model)."""
+    dt = Wx.dtype
+    alpha = _clip(alpha, ALPHA_LIM).astype(dt)
+    beta = _clip(beta, BETA_LIM).astype(dt)
+    a = _clip(a, A_LIM).astype(dt)
+    b = _clip(b, B_LIM).astype(dt)
+    V = zero_diag(V).astype(dt)
+
+    def step(carry, wx_t):
+        u, w, s = carry
+        w = beta * w + a * u + b * s
+        rec = jnp.dot(s, V, preferred_element_type=dt)
+        u = alpha * (u - s) + (1.0 - alpha) * (wx_t + rec - w)
+        s = spike_boxcar(u - threshold)
+        return (u, w, s), s
+
+    _, spikes = jax.lax.scan(step, (u0, w0, s0), _time_major(Wx))
+    return _batch_major(spikes)
+
+
+def readout_sum(
+    Wx: jax.Array,
+    alpha: jax.Array,
+    u0: jax.Array,
+) -> jax.Array:
+    """Non-spiking leaky readout: cumulative softmax of the membrane.
+
+    ``Wx``: (B,T,H) -> (B,H). Reference snns.py:808-825.
+    """
+    alpha = _clip(alpha, ALPHA_LIM).astype(Wx.dtype)
+
+    def step(carry, wx_t):
+        u, out = carry
+        u = alpha * u + (1.0 - alpha) * wx_t
+        out = out + jax.nn.softmax(u, axis=-1)
+        return (u, out), None
+
+    (_, out), _ = jax.lax.scan(
+        step, (u0, jnp.zeros_like(u0)), _time_major(Wx)
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Non-spiking (ANN) cells
+# ---------------------------------------------------------------------------
+
+
+def rnn_scan(Wx: jax.Array, V: jax.Array, y0: jax.Array) -> jax.Array:
+    """Vanilla sigmoid RNN recurrence."""
+    V = V.astype(Wx.dtype)
+
+    def step(y, wx_t):
+        y = jax.nn.sigmoid(wx_t + jnp.dot(y, V, preferred_element_type=Wx.dtype))
+        return y, y
+
+    _, ys = jax.lax.scan(step, y0, _time_major(Wx))
+    return _batch_major(ys)
+
+
+def ligru_scan(
+    Wx: jax.Array,
+    Wzx: jax.Array,
+    V: jax.Array,
+    Vz: jax.Array,
+    y0: jax.Array,
+) -> jax.Array:
+    """Light GRU (Ravanelli et al. 2018) recurrence with ReLU candidate."""
+    dt = Wx.dtype
+    V = V.astype(dt)
+    Vz = Vz.astype(dt)
+
+    def step(y, xs):
+        wx_t, wzx_t = xs
+        z = jax.nn.sigmoid(wzx_t + jnp.dot(y, Vz, preferred_element_type=dt))
+        c = jax.nn.relu(wx_t + jnp.dot(y, V, preferred_element_type=dt))
+        y = z * y + (1.0 - z) * c
+        return y, y
+
+    _, ys = jax.lax.scan(step, y0, (_time_major(Wx), _time_major(Wzx)))
+    return _batch_major(ys)
+
+
+def gru_scan(
+    Wx: jax.Array,
+    Wzx: jax.Array,
+    Wrx: jax.Array,
+    V: jax.Array,
+    Vz: jax.Array,
+    Vr: jax.Array,
+    y0: jax.Array,
+) -> jax.Array:
+    """Full GRU (Cho et al. 2014) recurrence with tanh candidate."""
+    dt = Wx.dtype
+    V = V.astype(dt)
+    Vz = Vz.astype(dt)
+    Vr = Vr.astype(dt)
+
+    def step(y, xs):
+        wx_t, wzx_t, wrx_t = xs
+        z = jax.nn.sigmoid(wzx_t + jnp.dot(y, Vz, preferred_element_type=dt))
+        r = jax.nn.sigmoid(wrx_t + jnp.dot(y, Vr, preferred_element_type=dt))
+        c = jnp.tanh(wx_t + jnp.dot(r * y, V, preferred_element_type=dt))
+        y = z * y + (1.0 - z) * c
+        return y, y
+
+    _, ys = jax.lax.scan(
+        step, y0, (_time_major(Wx), _time_major(Wzx), _time_major(Wrx))
+    )
+    return _batch_major(ys)
+
+
+def cumulative_softmax(x: jax.Array) -> jax.Array:
+    """ANN readout time-collapse: sum_t softmax(x_t) — no recurrence, so it
+    runs fully parallel over time on the VPU (reference anns.py:658-665 uses
+    a Python loop; the sum is order-independent)."""
+    return jnp.sum(jax.nn.softmax(x, axis=-1), axis=1)

@@ -1,0 +1,180 @@
+"""Cell dynamics vs an independent NumPy oracle, plus gradient properties:
+clamping blocks gradients outside the plausible range, and no gradient
+reaches the recurrent diagonal."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparch_tpu.ops import cells
+
+from . import np_oracle
+
+B, T, H = 3, 12, 8
+
+
+def _rand(key, *shape, lo=-2.0, hi=2.0):
+    return jax.random.uniform(jax.random.PRNGKey(key), shape, jnp.float32, lo, hi)
+
+
+@pytest.fixture
+def data():
+    Wx = _rand(0, B, T, H, lo=-3.0, hi=3.0)
+    alpha = _rand(1, H, lo=0.7, hi=1.1)  # partially out of range -> tests clamp
+    beta = _rand(2, H, lo=0.9, hi=1.05)
+    a = _rand(3, H, lo=-1.5, hi=1.5)
+    b = _rand(4, H, lo=-0.5, hi=2.5)
+    V = _rand(5, H, H, lo=-0.8, hi=0.8)
+    u0 = _rand(6, B, H, lo=0.0, hi=1.0)
+    w0 = _rand(7, B, H, lo=0.0, hi=1.0)
+    s0 = (jnp.abs(_rand(8, B, H)) > 1.0).astype(jnp.float32)
+    return {k: np.asarray(v) for k, v in locals().items()}
+
+
+def test_lif_matches_oracle(data):
+    got = cells.lif_scan(
+        jnp.asarray(data["Wx"]), jnp.asarray(data["alpha"]), 1.0,
+        jnp.asarray(data["u0"]), jnp.asarray(data["s0"]),
+    )
+    want = np_oracle.lif(data["Wx"], data["alpha"], 1.0, data["u0"], data["s0"])
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_adlif_matches_oracle(data):
+    got = cells.adlif_scan(
+        jnp.asarray(data["Wx"]), jnp.asarray(data["alpha"]),
+        jnp.asarray(data["beta"]), jnp.asarray(data["a"]), jnp.asarray(data["b"]),
+        1.0, jnp.asarray(data["u0"]), jnp.asarray(data["w0"]),
+        jnp.asarray(data["s0"]),
+    )
+    want = np_oracle.adlif(
+        data["Wx"], data["alpha"], data["beta"], data["a"], data["b"], 1.0,
+        data["u0"], data["w0"], data["s0"],
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_rlif_matches_oracle(data):
+    got = cells.rlif_scan(
+        jnp.asarray(data["Wx"]), jnp.asarray(data["alpha"]), jnp.asarray(data["V"]),
+        1.0, jnp.asarray(data["u0"]), jnp.asarray(data["s0"]),
+    )
+    want = np_oracle.rlif(
+        data["Wx"], data["alpha"], data["V"], 1.0, data["u0"], data["s0"]
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_radlif_matches_oracle(data):
+    got = cells.radlif_scan(
+        jnp.asarray(data["Wx"]), jnp.asarray(data["alpha"]),
+        jnp.asarray(data["beta"]), jnp.asarray(data["a"]), jnp.asarray(data["b"]),
+        jnp.asarray(data["V"]), 1.0, jnp.asarray(data["u0"]),
+        jnp.asarray(data["w0"]), jnp.asarray(data["s0"]),
+    )
+    want = np_oracle.radlif(
+        data["Wx"], data["alpha"], data["beta"], data["a"], data["b"], data["V"],
+        1.0, data["u0"], data["w0"], data["s0"],
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_readout_matches_oracle(data):
+    got = cells.readout_sum(
+        jnp.asarray(data["Wx"]), jnp.asarray(data["alpha"]), jnp.asarray(data["u0"])
+    )
+    want = np_oracle.readout(data["Wx"], data["alpha"], data["u0"])
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_rnn_ligru_gru_match_oracle(data):
+    Wx = jnp.asarray(data["Wx"])
+    Wzx = _rand(10, B, T, H)
+    Wrx = _rand(11, B, T, H)
+    V, Vz, Vr = (_rand(12 + i, H, H, lo=-0.5, hi=0.5) for i in range(3))
+    y0 = jnp.zeros((B, H))
+
+    got = cells.rnn_scan(Wx, V, y0)
+    want = np_oracle.rnn(data["Wx"], np.asarray(V), np.zeros((B, H)))
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-2)
+
+    got = cells.ligru_scan(Wx, Wzx, V, Vz, y0)
+    want = np_oracle.ligru(
+        data["Wx"], np.asarray(Wzx), np.asarray(V), np.asarray(Vz), np.zeros((B, H))
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-2)
+
+    got = cells.gru_scan(Wx, Wzx, Wrx, V, Vz, Vr, y0)
+    want = np_oracle.gru(
+        data["Wx"], np.asarray(Wzx), np.asarray(Wrx),
+        np.asarray(V), np.asarray(Vz), np.asarray(Vr), np.zeros((B, H)),
+    )
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-2)
+
+
+def test_cumulative_softmax(data):
+    got = cells.cumulative_softmax(jnp.asarray(data["Wx"]))
+    want = np_oracle.cumulative_softmax(data["Wx"])
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_hand_traced_lif_two_steps():
+    """Pin a 2-step LIF trace computed by hand."""
+    alpha = jnp.array([0.9])  # inside [exp(-1/5)~.8187, exp(-1/25)~.9608]
+    Wx = jnp.array([[[10.0], [0.0]]])  # (B=1, T=2, H=1)
+    u0 = jnp.array([[0.0]])
+    s0 = jnp.array([[0.0]])
+    s = cells.lif_scan(Wx, alpha, 1.0, u0, s0)
+    # t0: u = .9*(0-0) + .1*10 = 1.0 -> u - thr = 0 -> no spike (strict >)
+    # t1: u = .9*(1.0-0) + .1*0 = 0.9 -> no spike
+    np.testing.assert_array_equal(np.asarray(s)[0, :, 0], [0.0, 0.0])
+
+    Wx2 = jnp.array([[[20.0], [0.0]]])
+    s2 = cells.lif_scan(Wx2, alpha, 1.0, u0, s0)
+    # t0: u = 2.0 -> spike; t1: u = .9*(2.0-1.0) = 0.9 -> no spike
+    np.testing.assert_array_equal(np.asarray(s2)[0, :, 0], [1.0, 0.0])
+
+
+def test_clamp_blocks_gradient_outside_range():
+    """Gradient w.r.t. alpha must be zero when alpha is outside its range
+    (flows through clip only inside the range, like torch clamp)."""
+    Wx = _rand(20, B, T, H)
+    u0 = jnp.zeros((B, H))
+    s0 = jnp.zeros((B, H))
+
+    def loss(alpha):
+        # surrogate makes this differentiable; use membrane-sum via readout
+        s = cells.lif_scan(Wx, alpha, 0.1, u0, s0)
+        return s.sum()
+
+    alpha_out = jnp.full((H,), 1.5)  # above upper clamp
+    g = jax.grad(loss)(alpha_out)
+    np.testing.assert_array_equal(np.asarray(g), np.zeros(H))
+
+    alpha_in = jnp.full((H,), 0.9)
+    g_in = jax.grad(loss)(alpha_in)
+    assert np.abs(np.asarray(g_in)).sum() >= 0.0  # finite, defined
+    assert np.isfinite(np.asarray(g_in)).all()
+
+
+def test_no_gradient_to_recurrent_diagonal():
+    Wx = _rand(21, B, T, H, lo=0.0, hi=3.0)
+    alpha = jnp.full((H,), 0.9)
+    u0 = jnp.zeros((B, H))
+    s0 = jnp.ones((B, H))
+
+    def loss(V):
+        s = cells.rlif_scan(Wx, alpha, V, 0.5, u0, s0)
+        return (s * jnp.arange(H)).sum()
+
+    V = _rand(22, H, H)
+    g = jax.grad(loss)(V)
+    np.testing.assert_array_equal(np.diag(np.asarray(g)), np.zeros(H))
+    assert np.abs(np.asarray(g)).sum() > 0  # off-diagonal grads exist
+
+
+def test_zero_diag():
+    V = jnp.ones((4, 4))
+    Z = cells.zero_diag(V)
+    np.testing.assert_array_equal(np.diag(np.asarray(Z)), np.zeros(4))
+    assert np.asarray(Z).sum() == 12.0
