@@ -1,0 +1,37 @@
+#!/usr/bin/env python
+"""Experiment runner CLI (drop-in parity with the reference run_exp.py).
+
+Run ``python run_exp.py -h`` for the full flag surface: the reference's 26
+flags plus TPU-native extensions (--seed, --state_init, --cell_impl,
+--compute_dtype, --mesh_model, --pad_multiple).
+"""
+import argparse
+import logging
+
+from sparch_tpu.parsers.model_config import add_model_options
+from sparch_tpu.parsers.training_config import add_training_options
+from sparch_tpu.train.loop import Experiment
+
+logger = logging.getLogger(__name__)
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Model training on spiking speech commands datasets."
+    )
+    parser = add_model_options(parser)
+    parser = add_training_options(parser)
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    """Runs model training/testing using the configuration specified by the
+    parser arguments."""
+    args = parse_args(argv)
+    experiment = Experiment(args)
+    experiment.forward()
+    return experiment
+
+
+if __name__ == "__main__":
+    main()

@@ -78,7 +78,7 @@ class _SpikingLayerBase(nn.Module):
             s = bidir_split(s)
         return nn.Dropout(self.dropout, deterministic=not train)(s)
 
-    def _state(self, Wx, n):
+    def _init_states(self, Wx, n):
         shape = (Wx.shape[0], Wx.shape[2])
         if self.state_init == "uniform":
             key = self.make_rng("state")
@@ -113,7 +113,7 @@ class LIFLayer(_SpikingLayerBase):
     @nn.compact
     def __call__(self, x, train: bool = False):
         Wx = self._pre(x, train)
-        u0, s0 = self._state(Wx, 2)
+        u0, s0 = self._init_states(Wx, 2)
         s = cells.lif_scan(Wx, self._alpha(), self.threshold, u0, s0)
         return self._post(s, train)
 
@@ -124,7 +124,7 @@ class adLIFLayer(_SpikingLayerBase):
     @nn.compact
     def __call__(self, x, train: bool = False):
         Wx = self._pre(x, train)
-        u0, w0, s0 = self._state(Wx, 3)
+        u0, w0, s0 = self._init_states(Wx, 3)
         beta, a, b = self._adaptation_params()
         s = cells.adlif_scan(
             Wx, self._alpha(), beta, a, b, self.threshold, u0, w0, s0
@@ -139,7 +139,7 @@ class RLIFLayer(_SpikingLayerBase):
     @nn.compact
     def __call__(self, x, train: bool = False):
         Wx = self._pre(x, train)
-        u0, s0 = self._state(Wx, 2)
+        u0, s0 = self._init_states(Wx, 2)
         if self.cell_impl == "pallas":
             from sparch_tpu.ops import pallas_cells
 
@@ -160,7 +160,7 @@ class RadLIFLayer(_SpikingLayerBase):
     @nn.compact
     def __call__(self, x, train: bool = False):
         Wx = self._pre(x, train)
-        u0, w0, s0 = self._state(Wx, 3)
+        u0, w0, s0 = self._init_states(Wx, 3)
         beta, a, b = self._adaptation_params()
         if self.cell_impl == "pallas":
             from sparch_tpu.ops import pallas_cells

@@ -1,0 +1,128 @@
+"""End-to-end CLI: train on synthetic SHD data through run_exp.py's main(),
+checking exp-folder conventions, checkpointing, resume, and test-only mode
+(reference call stacks SURVEY.md §3.1, §3.4, §3.5)."""
+import os
+
+import numpy as np
+import pytest
+
+import run_exp
+
+from .fixtures import make_shd_h5
+
+
+@pytest.fixture
+def shd_folder(tmp_path):
+    folder = str(tmp_path / "shd")
+    os.makedirs(folder)
+    make_shd_h5(f"{folder}/shd_train.h5", n=16, nb_classes=3)
+    make_shd_h5(f"{folder}/shd_test.h5", n=8, nb_classes=3, seed=1)
+    return folder
+
+
+def _base_args(shd_folder, exp_folder, extra=()):
+    return [
+        "--dataset_name", "shd",
+        "--data_folder", shd_folder,
+        "--new_exp_folder", exp_folder,
+        "--model_type", "LIF",
+        "--nb_layers", "2",
+        "--nb_hiddens", "16",
+        "--batch_size", "8",
+        "--nb_epochs", "2",
+        "--state_init", "zeros",
+        "--pdrop", "0.0",
+        *extra,
+    ]
+
+
+def test_full_training_run(shd_folder, tmp_path):
+    exp = str(tmp_path / "exp1")
+    e = run_exp.main(_base_args(shd_folder, exp))
+    assert os.path.isdir(os.path.join(exp, "log"))
+    assert os.path.isdir(os.path.join(exp, "checkpoints", "best_model"))
+    assert os.path.isfile(os.path.join(exp, "checkpoints", "meta.json"))
+    assert 0.0 <= e.test_acc <= 1.0
+
+
+def test_new_exp_folder_must_not_exist(shd_folder, tmp_path):
+    exp = str(tmp_path / "exp2")
+    os.makedirs(exp)
+    with pytest.raises(FileExistsError):
+        run_exp.main(_base_args(shd_folder, exp))
+
+
+def test_auto_generated_folder_name(shd_folder, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    args = _base_args(shd_folder, "ignored")
+    # drop --new_exp_folder to trigger the config-derived naming
+    i = args.index("--new_exp_folder")
+    del args[i : i + 2]
+    run_exp.main(args)
+    expected = "exp/test_exps/shd_LIF_2lay16_drop0_0_batchnorm_nobias_udir_noreg_lr0_01"
+    assert os.path.isdir(expected), os.listdir("exp/test_exps")
+
+
+def test_resume_from_pretrained(shd_folder, tmp_path):
+    exp = str(tmp_path / "exp3")
+    run_exp.main(_base_args(shd_folder, exp))
+    # resume: re-validates to re-derive best acc, then trains 1 more epoch
+    e = run_exp.main(
+        [
+            "--dataset_name", "shd",
+            "--data_folder", shd_folder,
+            "--model_type", "LIF",
+            "--nb_layers", "2",
+            "--nb_hiddens", "16",
+            "--batch_size", "8",
+            "--nb_epochs", "1",
+            "--state_init", "zeros",
+            "--pdrop", "0.0",
+            "--use_pretrained_model", "true",
+            "--load_exp_folder", exp,
+            "--start_epoch", "2",
+        ]
+    )
+    assert 0.0 <= e.test_acc <= 1.0
+
+
+def test_missing_checkpoint_raises(shd_folder, tmp_path):
+    empty = str(tmp_path / "nockpt")
+    os.makedirs(os.path.join(empty, "checkpoints"))
+    with pytest.raises(FileNotFoundError):
+        run_exp.main(
+            [
+                "--dataset_name", "shd",
+                "--data_folder", shd_folder,
+                "--use_pretrained_model", "true",
+                "--load_exp_folder", empty,
+            ]
+        )
+
+
+def test_only_do_testing(shd_folder, tmp_path):
+    exp = str(tmp_path / "exp4")
+    run_exp.main(_base_args(shd_folder, exp))
+    e = run_exp.main(
+        [
+            "--dataset_name", "shd",
+            "--data_folder", shd_folder,
+            "--model_type", "LIF",
+            "--nb_layers", "2",
+            "--nb_hiddens", "16",
+            "--batch_size", "8",
+            "--state_init", "zeros",
+            "--only_do_testing", "true",
+            "--use_pretrained_model", "true",
+            "--load_exp_folder", exp,
+        ]
+    )
+    assert 0.0 <= e.test_acc <= 1.0
+
+
+def test_ann_model_via_cli(shd_folder, tmp_path):
+    exp = str(tmp_path / "exp5")
+    args = _base_args(shd_folder, exp)
+    args[args.index("--model_type") + 1] = "GRU"
+    e = run_exp.main(args)
+    assert 0.0 <= e.test_acc <= 1.0
