@@ -12,6 +12,10 @@ projections + the T sequential recurrent (B,H)x(H,H) matmuls per hidden
 layer, and their gradients). 1.0 = the full training step costs no more
 than its matmuls; the BASELINE target is >= 1/1.2 = 0.833.
 
+Timing: steps are chained through their outputs and timed as a block with
+one final host fetch (``block_until_ready`` does not synchronise on the
+axon tunnel platform).
+
 Prints exactly one JSON line.
 """
 import json
@@ -21,25 +25,6 @@ import numpy as np
 
 B, T, F, H, C = 128, 100, 700, 512, 35
 WARMUP, ITERS = 3, 20
-
-
-def _median_time(fn, *args):
-    for _ in range(WARMUP):
-        out = fn(*args)
-    _block(out)
-    times = []
-    for _ in range(ITERS):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        _block(out)
-        times.append(time.perf_counter() - t0)
-    return float(np.median(times))
-
-
-def _block(tree):
-    import jax
-
-    jax.block_until_ready(tree)
 
 
 def bench_train_step():
@@ -66,11 +51,18 @@ def bench_train_step():
     x = jax.device_put(x)
     y = jax.device_put(y)
 
-    def run(s, x, y):
-        s2, m = step(s, x, y)
-        return m["loss"]
+    # warmup / compile
+    s = state
+    for _ in range(WARMUP):
+        s, m = step(s, x, y)
+    float(m["loss"])
 
-    return _median_time(run, state, x, y)
+    t0 = time.perf_counter()
+    s = state
+    for _ in range(ITERS):
+        s, m = step(s, x, y)  # chained: each step consumes the previous state
+    _ = float(m["loss"])  # one sync for the whole chain
+    return (time.perf_counter() - t0) / ITERS
 
 
 def bench_matmul_roofline():
@@ -96,7 +88,8 @@ def bench_matmul_roofline():
                 h = jnp.dot(h, V) * 0.9 + wx_t  # linear carry, same matmuls
                 return h, h
 
-            _, hs = jax.lax.scan(step, Wx[0] * 0, jnp.swapaxes(Wx, 0, 1))
+            h0 = jnp.zeros((Wx.shape[0], Wx.shape[2]), Wx.dtype)
+            _, hs = jax.lax.scan(step, h0, jnp.swapaxes(Wx, 0, 1))
             return jnp.swapaxes(hs, 0, 1)
 
         h0 = layer(jnp.dot(x, W0), V0)
@@ -106,7 +99,17 @@ def bench_matmul_roofline():
 
     grad_fn = jax.jit(jax.grad(skeleton))
     params = (W0, W1, Wr, V0, V1)
-    return _median_time(grad_fn, params, x)
+
+    g = grad_fn(params, x)
+    float(g[0][0, 0])
+    t0 = time.perf_counter()
+    xi = x
+    for _ in range(ITERS):
+        g = grad_fn(params, xi)
+        # chain: next input depends on this step's result
+        xi = xi + g[0][0, 0] * 0.0
+    _ = float(g[0][0, 0])
+    return (time.perf_counter() - t0) / ITERS
 
 
 def main():

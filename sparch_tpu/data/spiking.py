@@ -59,13 +59,17 @@ class SpikingDataset:
         return len(self.labels)
 
     def __getitem__(self, index: int):
-        times = np.digitize(self.firing_times[index], self.time_bins)
-        units = np.asarray(self.units_fired[index], dtype=np.int64)
-        # Guard the (absent in practice) case of events at/after max_time,
-        # which np.digitize maps to nb_steps (out of range).
-        times = np.minimum(times, self.nb_steps - 1)
-        x = np.zeros((self.nb_steps, self.nb_units), dtype=np.float32)
-        np.add.at(x, (times, units), 1.0)
+        from sparch_tpu.data.native import bin_events
+
+        # digitize + additive scatter (native C++ kernel with NumPy
+        # fallback); events at/after max_time clamp into the last bin.
+        x = bin_events(
+            np.asarray(self.firing_times[index], np.float64),
+            np.asarray(self.units_fired[index], np.int64),
+            self.time_bins,
+            self.nb_steps,
+            self.nb_units,
+        )
         return x, self.labels[index]
 
     def generate_batch(self, batch):

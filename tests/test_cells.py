@@ -121,12 +121,12 @@ def test_cumulative_softmax(data):
 def test_hand_traced_lif_two_steps():
     """Pin a 2-step LIF trace computed by hand."""
     alpha = jnp.array([0.9])  # inside [exp(-1/5)~.8187, exp(-1/25)~.9608]
-    Wx = jnp.array([[[10.0], [0.0]]])  # (B=1, T=2, H=1)
+    Wx = jnp.array([[[5.0], [0.0]]])  # (B=1, T=2, H=1)
     u0 = jnp.array([[0.0]])
     s0 = jnp.array([[0.0]])
     s = cells.lif_scan(Wx, alpha, 1.0, u0, s0)
-    # t0: u = .9*(0-0) + .1*10 = 1.0 -> u - thr = 0 -> no spike (strict >)
-    # t1: u = .9*(1.0-0) + .1*0 = 0.9 -> no spike
+    # t0: u = .9*(0-0) + .1*5 = 0.5 -> no spike
+    # t1: u = .9*(0.5-0) + .1*0 = 0.45 -> no spike
     np.testing.assert_array_equal(np.asarray(s)[0, :, 0], [0.0, 0.0])
 
     Wx2 = jnp.array([[[20.0], [0.0]]])
