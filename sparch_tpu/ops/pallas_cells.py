@@ -194,9 +194,15 @@ def _forward_pallas(
 # ---------------------------------------------------------------------------
 
 
-def _make_op(recurrent: bool, adaptive: bool, scan_fn):
+@functools.lru_cache(maxsize=None)
+def _make_op(recurrent: bool, adaptive: bool, threshold: float):
+    """Build (and memoize) the custom_vjp op for a fixed static threshold —
+    the kernel needs a concrete Python float, so threshold cannot be a
+    traced operand."""
+    scan_fn = _SCAN_ADAPTERS[(recurrent, adaptive)]
+
     @jax.custom_vjp
-    def op(Wx, alpha, beta, a, b, V, threshold, u0, w0, s0):
+    def op(Wx, alpha, beta, a, b, V, u0, w0, s0):
         V_masked = cells.zero_diag(V) if recurrent else V
         alpha_c = jnp.clip(alpha, *cells.ALPHA_LIM)
         if adaptive:
@@ -210,20 +216,19 @@ def _make_op(recurrent: bool, adaptive: bool, scan_fn):
             recurrent=recurrent, adaptive=adaptive,
         )
 
-    def fwd(Wx, alpha, beta, a, b, V, threshold, u0, w0, s0):
-        out = op(Wx, alpha, beta, a, b, V, threshold, u0, w0, s0)
-        return out, (Wx, alpha, beta, a, b, V, threshold, u0, w0, s0)
+    def fwd(Wx, alpha, beta, a, b, V, u0, w0, s0):
+        out = op(Wx, alpha, beta, a, b, V, u0, w0, s0)
+        return out, (Wx, alpha, beta, a, b, V, u0, w0, s0)
 
     def bwd(res, g):
-        Wx, alpha, beta, a, b, V, threshold, u0, w0, s0 = res
+        Wx, alpha, beta, a, b, V, u0, w0, s0 = res
 
         # Replay the mathematically-identical scan cell for the VJP.
         def ref_fn(Wx, alpha, beta, a, b, V, u0, w0, s0):
             return scan_fn(Wx, alpha, beta, a, b, V, threshold, u0, w0, s0)
 
         _, vjp = jax.vjp(ref_fn, Wx, alpha, beta, a, b, V, u0, w0, s0)
-        dWx, dalpha, dbeta, da, db, dV, du0, dw0, ds0 = vjp(g)
-        return (dWx, dalpha, dbeta, da, db, dV, None, du0, dw0, ds0)
+        return vjp(g)
 
     op.defvjp(fwd, bwd)
     return op
@@ -245,33 +250,39 @@ def _lif_scan_adapter(Wx, alpha, beta, a, b, V, threshold, u0, w0, s0):
     return cells.lif_scan(Wx, alpha, threshold, u0, s0)
 
 
-_radlif_op = _make_op(True, True, _radlif_scan_adapter)
-_rlif_op = _make_op(True, False, _rlif_scan_adapter)
-_adlif_op = _make_op(False, True, _adlif_scan_adapter)
-_lif_op = _make_op(False, False, _lif_scan_adapter)
+_SCAN_ADAPTERS = {
+    (True, True): _radlif_scan_adapter,
+    (True, False): _rlif_scan_adapter,
+    (False, True): _adlif_scan_adapter,
+    (False, False): _lif_scan_adapter,
+}
 
 
 def radlif_pallas(Wx, alpha, beta, a, b, V, threshold, u0, w0, s0):
     """Fused RadLIF layer recurrence (drop-in for cells.radlif_scan)."""
-    return _radlif_op(Wx, alpha, beta, a, b, V, threshold, u0, w0, s0)
+    op = _make_op(True, True, float(threshold))
+    return op(Wx, alpha, beta, a, b, V, u0, w0, s0)
 
 
 def rlif_pallas(Wx, alpha, V, threshold, u0, s0):
     """Fused RLIF layer recurrence (drop-in for cells.rlif_scan)."""
+    op = _make_op(True, False, float(threshold))
     z = jnp.zeros_like(alpha)
     zs = jnp.zeros_like(u0)
-    return _rlif_op(Wx, alpha, z, z, z, V, threshold, u0, zs, s0)
+    return op(Wx, alpha, z, z, z, V, u0, zs, s0)
 
 
 def adlif_pallas(Wx, alpha, beta, a, b, threshold, u0, w0, s0):
     """Fused adLIF layer recurrence (drop-in for cells.adlif_scan)."""
+    op = _make_op(False, True, float(threshold))
     V = jnp.zeros((Wx.shape[-1], Wx.shape[-1]), Wx.dtype)
-    return _adlif_op(Wx, alpha, beta, a, b, V, threshold, u0, w0, s0)
+    return op(Wx, alpha, beta, a, b, V, u0, w0, s0)
 
 
 def lif_pallas(Wx, alpha, threshold, u0, s0):
     """Fused LIF layer recurrence (drop-in for cells.lif_scan)."""
+    op = _make_op(False, False, float(threshold))
     z = jnp.zeros_like(alpha)
     zs = jnp.zeros_like(u0)
     V = jnp.zeros((Wx.shape[-1], Wx.shape[-1]), Wx.dtype)
-    return _lif_op(Wx, alpha, z, z, z, V, threshold, u0, zs, s0)
+    return op(Wx, alpha, z, z, z, V, u0, zs, s0)

@@ -1,0 +1,65 @@
+"""Reliable device timing through the tunneled TPU platform.
+
+Two issues make naive timing wrong here: ``block_until_ready`` does not
+synchronise on the axon platform, and every un-jitted dispatch pays
+tens of ms of tunnel latency. So: run N iterations of the target
+function inside ONE jitted ``lax.fori_loop`` (iterations chained through
+a scalar token so they serialise), fetch a scalar once, and difference
+two iteration counts to cancel the constant dispatch/fetch overhead.
+"""
+from __future__ import annotations
+
+import time
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["time_fn"]
+
+
+def _loop(fn, args, iters):
+    """One jitted program running `iters` serialised calls of fn(*args)."""
+
+    def body(i, tok):
+        # perturb the first float leaf by tok*0 to serialise iterations
+        perturbed = []
+        used = False
+        for a in args:
+            if not used and hasattr(a, "dtype") and jnp.issubdtype(
+                a.dtype, jnp.floating
+            ):
+                perturbed.append(a + tok * 0.0)
+                used = True
+            else:
+                perturbed.append(a)
+        out = fn(*perturbed)
+        leaf = jax.tree.leaves(out)[0]
+        return tok + leaf.reshape(-1)[0].astype(jnp.float32)
+
+    return jax.jit(
+        lambda args: jax.lax.fori_loop(0, iters, body, jnp.float32(0.0)),
+        static_argnums=(),
+    )(args)
+
+
+def time_fn(
+    fn: Callable,
+    *args,
+    iters: int = 10,
+    repeats: int = 3,
+) -> float:
+    """Median per-iteration seconds of ``fn(*args)`` on device."""
+
+    def run(n):
+        t0 = time.perf_counter()
+        out = _loop(fn, args, n)
+        float(out)  # host fetch = true sync
+        return time.perf_counter() - t0
+
+    # compile both loop lengths
+    run(1)
+    run(1 + iters)
+    lo = min(run(1) for _ in range(repeats))
+    hi = min(run(1 + iters) for _ in range(repeats))
+    return max((hi - lo) / iters, 1e-9)
