@@ -12,9 +12,11 @@ projections + the T sequential recurrent (B,H)x(H,H) matmuls per hidden
 layer, and their gradients). 1.0 = the full training step costs no more
 than its matmuls; the BASELINE target is >= 1/1.2 = 0.833.
 
-Timing: steps are chained through their outputs and timed as a block with
-one final host fetch (``block_until_ready`` does not synchronise on the
-axon tunnel platform).
+Timing: iterations run inside one jitted ``fori_loop`` (state threaded
+through the carry, so steps serialise), with a single host fetch; two
+iteration counts are differenced to cancel dispatch/fetch overhead
+(``block_until_ready`` does not synchronise on the axon tunnel platform
+and each un-jitted dispatch pays tunnel latency).
 
 Prints exactly one JSON line.
 """
@@ -24,10 +26,20 @@ import time
 import numpy as np
 
 B, T, F, H, C = 128, 100, 700, 512, 35
-WARMUP, ITERS = 3, 20
+ITERS = 16
+REPEATS = 3
 
 
-def bench_train_step():
+def _diff_time(run):
+    """min-of-repeats time for n=1 and n=1+ITERS, differenced."""
+    run(1)
+    run(1 + ITERS)  # compile both
+    lo = min(run(1) for _ in range(REPEATS))
+    hi = min(run(1 + ITERS) for _ in range(REPEATS))
+    return max((hi - lo) / ITERS, 1e-9)
+
+
+def bench_train_step(cell_impl="scan"):
     import jax
 
     from sparch_tpu.models import build_model
@@ -41,28 +53,35 @@ def bench_train_step():
         dropout=0.1,
         normalization="batchnorm",
         state_init="uniform",
+        cell_impl=cell_impl,
     )
     rng = np.random.default_rng(0)
     x = (rng.random((B, T, F)) < 0.02).astype(np.float32)  # spike-raster-like
     y = (np.arange(B) % C).astype(np.int64)
-    state = create_train_state(model, x, lr=1e-2, rng=jax.random.PRNGKey(0))
+    state0 = create_train_state(model, x, lr=1e-2, rng=jax.random.PRNGKey(0))
     step = make_train_step(model, donate=False)
 
     x = jax.device_put(x)
     y = jax.device_put(y)
 
-    # warmup / compile
-    s = state
-    for _ in range(WARMUP):
-        s, m = step(s, x, y)
-    float(m["loss"])
+    def loop(state, n):
+        def body(i, s):
+            s2, _ = step(s, x, y)
+            return s2
 
-    t0 = time.perf_counter()
-    s = state
-    for _ in range(ITERS):
-        s, m = step(s, x, y)  # chained: each step consumes the previous state
-    _ = float(m["loss"])  # one sync for the whole chain
-    return (time.perf_counter() - t0) / ITERS
+        return jax.lax.fori_loop(0, n, body, state)
+
+    jitted = {}
+
+    def run(n):
+        if n not in jitted:
+            jitted[n] = jax.jit(lambda s: loop(s, n))
+        t0 = time.perf_counter()
+        out = jitted[n](state0)
+        float(out.step)  # host fetch = sync
+        return time.perf_counter() - t0
+
+    return _diff_time(run)
 
 
 def bench_matmul_roofline():
@@ -97,19 +116,11 @@ def bench_matmul_roofline():
         out = jnp.dot(h1, Wr)
         return out.sum()
 
-    grad_fn = jax.jit(jax.grad(skeleton))
-    params = (W0, W1, Wr, V0, V1)
+    from sparch_tpu.utils.timing import time_fn
 
-    g = grad_fn(params, x)
-    float(g[0][0, 0])
-    t0 = time.perf_counter()
-    xi = x
-    for _ in range(ITERS):
-        g = grad_fn(params, xi)
-        # chain: next input depends on this step's result
-        xi = xi + g[0][0, 0] * 0.0
-    _ = float(g[0][0, 0])
-    return (time.perf_counter() - t0) / ITERS
+    grad_fn = jax.grad(skeleton)
+    params = (W0, W1, Wr, V0, V1)
+    return time_fn(grad_fn, params, x, iters=ITERS, repeats=REPEATS)
 
 
 def main():

@@ -7,9 +7,12 @@ whole T-loop, stream ``Wx[:, t]`` tiles in, run the recurrent ``s @ V``
 matmul on the MXU against a VMEM-resident V, and stream spikes out —
 one kernel launch per layer per forward.
 
-Grid: one program per batch tile; each program runs the full T loop for
-its (Btile, H) slab. V is replicated into every program's VMEM (fine for
-H <= ~1024: 4 MB f32).
+Grid: (batch tiles, time chunks), time fastest. Each grid cell advances
+one batch tile by TC=8 unrolled timesteps; the state lives in VMEM
+scratch across chunks and the Wx/spike blocks are double-buffered by the
+Pallas pipeline. V is replicated into every program's VMEM (fine for
+H <= ~1024: 4 MB f32); the batch tile shrinks automatically to fit the
+VMEM budget.
 
 Differentiation: the kernels are wrapped in ``jax.custom_vjp``. The
 backward pass currently replays the mathematically-identical ``lax.scan``
@@ -19,9 +22,9 @@ A fused Pallas backward (reverse T-loop with VMEM-resident residuals) is
 the planned next step.
 
 Shapes are padded to TPU tiling (H to a lane multiple of 128, B to the
-sublane multiple) outside the kernel; padded neurons never spike because
-their Wx is 0 and threshold > 0... (padding uses -inf drive to guarantee
-silence regardless of threshold).
+sublane multiple, T to the chunk multiple) outside the kernel; padded
+rows/neurons receive a -1e9 drive so they can never spike, and outputs
+are sliced back to the caller's shape.
 """
 from __future__ import annotations
 
@@ -58,7 +61,7 @@ def _pick_batch_tile(b: int) -> int:
 
 
 def _radlif_kernel(
-    wx_ref,  # (BT, T, H) VMEM
+    wx_ref,  # (BT, TC, H) VMEM — a chunk of timesteps, streamed by the grid
     alpha_ref,  # (1, H)
     beta_ref,  # (1, H)
     a_ref,  # (1, H)
@@ -67,41 +70,52 @@ def _radlif_kernel(
     u0_ref,  # (BT, H)
     w0_ref,  # (BT, H)
     s0_ref,  # (BT, H)
-    s_out_ref,  # (BT, T, H)
+    s_out_ref,  # (BT, TC, H)
+    u_scr,  # (BT, H) VMEM scratch — persists across grid steps
+    w_scr,  # (BT, H)
+    s_scr,  # (BT, H)
     *,
     threshold: float,
-    T: int,
+    tc: int,
     recurrent: bool,
     adaptive: bool,
 ):
-    alpha = alpha_ref[0, :]
-    u = u0_ref[:, :]
-    s = s0_ref[:, :]
-    if adaptive:
-        beta = beta_ref[0, :]
-        a = a_ref[0, :]
-        b = b_ref[0, :]
-        w = w0_ref[:, :]
-    else:
-        beta = a = b = None
-        w = None
+    """One (batch-tile, time-chunk) grid cell. The grid iterates time-chunks
+    fastest, so for each batch tile the chunks run sequentially with the
+    neuron state held in VMEM scratch across chunks; Pallas double-buffers
+    the streamed Wx/out blocks automatically. The tc steps inside a chunk
+    are unrolled."""
+    t = pl.program_id(1)
 
-    def step(t, carry):
-        u, w, s = carry
-        wx_t = wx_ref[:, t, :]
-        drive = wx_t
-        if recurrent:
-            rec = jnp.dot(s, v_ref[:, :], preferred_element_type=jnp.float32)
-            drive = drive + rec
+    @pl.when(t == 0)
+    def _init():
+        u_scr[:, :] = u0_ref[:, :]
+        s_scr[:, :] = s0_ref[:, :]
         if adaptive:
-            w = beta * w + a * u + b * s
+            w_scr[:, :] = w0_ref[:, :]
+
+    alpha = alpha_ref[0, :]
+    u = u_scr[:, :]
+    s = s_scr[:, :]
+    w = w_scr[:, :] if adaptive else None
+
+    for k in range(tc):  # static unroll
+        drive = wx_ref[:, k, :]
+        if recurrent:
+            drive = drive + jnp.dot(
+                s, v_ref[:, :], preferred_element_type=jnp.float32
+            )
+        if adaptive:
+            w = beta_ref[0, :] * w + a_ref[0, :] * u + b_ref[0, :] * s
             drive = drive - w
         u = alpha * (u - s) + (1.0 - alpha) * drive
         s = (u > threshold).astype(u.dtype)
-        s_out_ref[:, t, :] = s
-        return (u, w, s)
+        s_out_ref[:, k, :] = s
 
-    jax.lax.fori_loop(0, T, step, (u, w, s))
+    u_scr[:, :] = u
+    s_scr[:, :] = s
+    if adaptive:
+        w_scr[:, :] = w
 
 
 def _forward_pallas(
@@ -123,7 +137,18 @@ def _forward_pallas(
     dtype = jnp.float32
     Hp = _round_up(H, _LANE)
     Bp = _round_up(B, _SUBLANE)
+
+    # Time-chunk size and batch tile chosen to fit the VMEM budget:
+    # 2 double-buffered (bt, tc, Hp) blocks (Wx in + spikes out), V, and
+    # 3 state buffers.
+    TC = 8
+    budget = 12 * 1024 * 1024
     bt = _pick_batch_tile(Bp)
+    while bt > _SUBLANE and (
+        4 * (2 * 2 * bt * TC * Hp + Hp * Hp + 3 * bt * Hp) > budget
+    ):
+        bt //= 2
+    Tp = _round_up(T, TC)
 
     # Pad: drive of padded neurons/rows = -1e9 so they never spike.
     def pad_bh(x, fill=0.0):
@@ -135,7 +160,7 @@ def _forward_pallas(
 
     Wx_p = jnp.pad(
         Wx.astype(dtype),
-        ((0, Bp - B), (0, 0), (0, Hp - H)),
+        ((0, Bp - B), (0, Tp - T), (0, Hp - H)),
         constant_values=-1e9,
     )
     alpha_p = jnp.pad(alpha.astype(dtype), (0, Hp - H))[None, :]
@@ -153,24 +178,26 @@ def _forward_pallas(
     s0_p = pad_bh(s0)
     w0_p = pad_bh(w0) if adaptive else jnp.zeros((Bp, Hp), dtype)
 
-    grid = (Bp // bt,)
+    # Grid: (batch tiles, time chunks). Chunks iterate fastest (sequential
+    # recurrence); Wx and spikes stream through VMEM one chunk at a time.
+    grid = (Bp // bt, Tp // TC)
     kernel = functools.partial(
         _radlif_kernel,
         threshold=float(threshold),
-        T=T,
+        tc=TC,
         recurrent=recurrent,
         adaptive=adaptive,
     )
 
-    bh = lambda i: (i, 0)  # noqa: E731
-    bth = lambda i: (i, 0, 0)  # noqa: E731
-    rep2 = lambda i: (0, 0)  # noqa: E731
+    bh = lambda i, t: (i, 0)  # noqa: E731
+    bth = lambda i, t: (i, t, 0)  # noqa: E731
+    rep2 = lambda i, t: (0, 0)  # noqa: E731
 
     out = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bt, T, Hp), bth, memory_space=pltpu.VMEM),  # Wx
+            pl.BlockSpec((bt, TC, Hp), bth, memory_space=pltpu.VMEM),  # Wx
             pl.BlockSpec((1, Hp), rep2, memory_space=pltpu.VMEM),  # alpha
             pl.BlockSpec((1, Hp), rep2, memory_space=pltpu.VMEM),  # beta
             pl.BlockSpec((1, Hp), rep2, memory_space=pltpu.VMEM),  # a
@@ -180,13 +207,18 @@ def _forward_pallas(
             pl.BlockSpec((bt, Hp), bh, memory_space=pltpu.VMEM),  # w0
             pl.BlockSpec((bt, Hp), bh, memory_space=pltpu.VMEM),  # s0
         ],
-        out_specs=pl.BlockSpec((bt, T, Hp), bth, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Bp, T, Hp), dtype),
+        out_specs=pl.BlockSpec((bt, TC, Hp), bth, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Bp, Tp, Hp), dtype),
+        scratch_shapes=[
+            pltpu.VMEM((bt, Hp), jnp.float32),  # u
+            pltpu.VMEM((bt, Hp), jnp.float32),  # w
+            pltpu.VMEM((bt, Hp), jnp.float32),  # s
+        ],
         # run interpreted off-TPU so the CPU test mesh exercises the kernel
         interpret=jax.default_backend() != "tpu",
     )(Wx_p, alpha_p, beta_p, a_p, b_p, V_p, u0_p, w0_p, s0_p)
 
-    return out[:B, :, :H]
+    return out[:B, :T, :H]
 
 
 # ---------------------------------------------------------------------------

@@ -156,6 +156,13 @@ def add_training_options(parser):
         "parallelism over all chips.",
     )
     parser.add_argument(
+        "--profile_dir",
+        type=str,
+        default=None,
+        help="If set, capture a jax.profiler trace of the first training "
+        "epoch into this directory (TensorBoard/xprof format).",
+    )
+    parser.add_argument(
         "--pad_multiple",
         type=int,
         default=100,

@@ -85,6 +85,7 @@ class Experiment:
         self.mesh_model = getattr(args, "mesh_model", 1)
         self.pad_multiple = getattr(args, "pad_multiple", 100)
         self.compute_dtype = getattr(args, "compute_dtype", "float32")
+        self.profile_dir = getattr(args, "profile_dir", None)
 
         # Initialize logging and output folders
         self.init_exp_folders()
@@ -376,8 +377,12 @@ class Experiment:
 
             logging.info("\n------ Begin training ------\n")
 
+            from sparch_tpu.utils.profiling import trace
+
             for e in range(best_epoch + 1, best_epoch + self.nb_epochs + 1):
-                self.train_one_epoch(e)
+                # capture a profiler trace of the first epoch if requested
+                with trace(self.profile_dir if e == best_epoch + 1 else None):
+                    self.train_one_epoch(e)
                 best_epoch, best_acc = self.valid_one_epoch(e, best_epoch, best_acc)
 
             logging.info(f"\nBest valid acc at epoch {best_epoch}: {best_acc}\n")

@@ -46,10 +46,15 @@ def _loop(fn, args, iters):
 def time_fn(
     fn: Callable,
     *args,
-    iters: int = 10,
-    repeats: int = 3,
+    iters: int = 64,
+    repeats: int = 5,
 ) -> float:
-    """Median per-iteration seconds of ``fn(*args)`` on device."""
+    """Per-iteration seconds of ``fn(*args)`` on device.
+
+    ``iters`` must be large enough that iters * t dominates the tunnel's
+    per-call latency jitter (tens of ms); min-of-repeats on both loop
+    lengths suppresses the rest.
+    """
 
     def run(n):
         t0 = time.perf_counter()
