@@ -1,35 +1,52 @@
-"""Fused Pallas TPU kernels for the recurrent spiking cells.
+"""Fused Pallas TPU kernels for the recurrent spiking cells — forward AND
+backward.
 
-Why a kernel: the neuron recurrence is inherently sequential in T, and
-under ``lax.scan`` XLA round-trips the carry through HBM every step. The
-Pallas kernels keep the neuron state (u[, w], s) resident in VMEM for the
-whole T-loop, stream ``Wx[:, t]`` tiles in, run the recurrent ``s @ V``
-matmul on the MXU against a VMEM-resident V, and stream spikes out —
-one kernel launch per layer per forward.
+Why kernels: the neuron recurrence is inherently sequential in T, and
+under ``lax.scan`` XLA round-trips the carry through HBM every step. These
+kernels keep the neuron state (forward: u[, w], s; backward: the adjoints
+A = dL/du, B = dL/dw) resident in VMEM across the whole time loop, run the
+recurrent matmuls (``s @ V`` forward, ``((1-alpha)*A) @ V^T`` backward and
+the ``dV`` accumulation) on the MXU against VMEM-resident V, and stream
+the per-timestep tensors through double-buffered VMEM blocks.
 
-Grid: (batch tiles, time chunks), time fastest. Each grid cell advances
-one batch tile by TC=8 unrolled timesteps; the state lives in VMEM
-scratch across chunks and the Wx/spike blocks are double-buffered by the
-Pallas pipeline. V is replicated into every program's VMEM (fine for
-H <= ~1024: 4 MB f32); the batch tile shrinks automatically to fit the
-VMEM budget.
+Grid: (batch tiles, time chunks), time fastest; TC timesteps are unrolled
+inside each grid cell. The backward kernel walks time chunks in reverse.
+The batch tile auto-shrinks to fit the VMEM budget. Shapes are padded to
+TPU tiling (H to 128 lanes, B to 8 sublanes, T to the chunk multiple);
+padded forward rows/neurons get a -1e9 drive so they never spike, padded
+backward cotangents are zero so adjoints and gradient accumulators are
+untouched.
 
-Differentiation: the kernels are wrapped in ``jax.custom_vjp``. The
-backward pass currently replays the mathematically-identical ``lax.scan``
-cell (sparch_tpu.ops.cells) under ``jax.vjp`` — forward results are
-bit-compatible modulo f32 accumulation order, so gradients are correct.
-A fused Pallas backward (reverse T-loop with VMEM-resident residuals) is
-the planned next step.
+Backward math (RadLIF general form; R/ad flags degenerate it). With total
+adjoints A_t = dL/du_t, B_t = dL/dw_t and per-step output cotangent g_t,
+walking t = T..1:
 
-Shapes are padded to TPU tiling (H to a lane multiple of 128, B to the
-sublane multiple, T to the chunk multiple) outside the kernel; padded
-rows/neurons receive a -1e9 drive so they can never spike, and outputs
-are sliced back to the caller's shape.
+    C_t = g_t - alpha*A_{t+1} + ((1-alpha)*A_{t+1}) @ V^T + b*B_{t+1}
+    A_t = boxcar(u_t - thr) * C_t + alpha*A_{t+1} + a*B_{t+1}
+    B_t = -(1-alpha)*A_t + beta*B_{t+1}
+
+    dWx_t   = (1-alpha)*A_t
+    dV     += s_{t-1}^T dWx_t
+    dalpha += sum_B A_t * ((u_{t-1}-s_{t-1}) - d_t),
+              d_t = (u_t - alpha*(u_{t-1}-s_{t-1})) / (1-alpha)
+    dbeta  += sum_B B_t * w_{t-1};  da += sum_B B_t * u_{t-1};
+    db     += sum_B B_t * s_{t-1}
+    du_0 = alpha*A_1 + a*B_1;  dw_0 = beta*B_1;
+    ds_0 = -alpha*A_1 + ((1-alpha)*A_1) @ V^T + b*B_1
+
+Gradients w.r.t. the raw (unclamped) parameters are obtained by pulling
+the clamped-parameter cotangents back through ``jnp.clip``'s own VJP, and
+dV through the zero-diagonal mask — identical semantics to the scan path
+(sparch_tpu.ops.cells). The residuals saved for backward (u and w series)
+match what ``lax.scan``'s VJP would stash, so peak memory is no worse.
+
+Equivalence with the scan cells (forward bit-exactness modulo f32 order,
+gradient agreement) is pinned by tests/test_pallas.py, which runs these
+kernels in interpret mode on the CPU mesh.
 """
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -42,49 +59,60 @@ __all__ = ["rlif_pallas", "radlif_pallas", "lif_pallas", "adlif_pallas"]
 
 _LANE = 128
 _SUBLANE = 8
+_TC = 8  # timesteps per grid cell (statically unrolled)
+_VMEM_BUDGET = 12 * 1024 * 1024
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _pick_batch_tile(b: int) -> int:
+def _tile_plan(Bp: int, Hp: int, streams: int):
+    """Pick the batch tile so `streams` double-buffered (bt, TC, Hp) blocks
+    + V/VT + a few (bt, Hp) state buffers fit the VMEM budget."""
+    bt = Bp
     for cand in (128, 64, 32, 16, 8):
-        if b % cand == 0:
-            return cand
-    return b
+        if Bp % cand == 0:
+            bt = cand
+            break
+    while bt > _SUBLANE and 4 * (
+        2 * streams * bt * _TC * Hp + 2 * Hp * Hp + 6 * bt * Hp
+    ) > _VMEM_BUDGET:
+        bt //= 2
+    return bt
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
 
 
 # ---------------------------------------------------------------------------
-# Kernel bodies
+# Forward kernel
 # ---------------------------------------------------------------------------
 
 
-def _radlif_kernel(
-    wx_ref,  # (BT, TC, H) VMEM — a chunk of timesteps, streamed by the grid
-    alpha_ref,  # (1, H)
-    beta_ref,  # (1, H)
-    a_ref,  # (1, H)
-    b_ref,  # (1, H)
-    v_ref,  # (H, H)
-    u0_ref,  # (BT, H)
-    w0_ref,  # (BT, H)
-    s0_ref,  # (BT, H)
-    s_out_ref,  # (BT, TC, H)
-    u_scr,  # (BT, H) VMEM scratch — persists across grid steps
-    w_scr,  # (BT, H)
-    s_scr,  # (BT, H)
-    *,
+def _fwd_kernel(
+    *refs,
     threshold: float,
     tc: int,
     recurrent: bool,
     adaptive: bool,
+    save_residuals: bool,
 ):
-    """One (batch-tile, time-chunk) grid cell. The grid iterates time-chunks
-    fastest, so for each batch tile the chunks run sequentially with the
-    neuron state held in VMEM scratch across chunks; Pallas double-buffers
-    the streamed Wx/out blocks automatically. The tc steps inside a chunk
-    are unrolled."""
+    # inputs: Wx (bt,TC,H); alpha/beta/a/b (1,H); V (H,H); u0/w0/s0 (bt,H)
+    # outputs: s (bt,TC,H) [+ u, w residual streams when saving]
+    # scratch: u, w, s state (bt,H) — persists across time-chunk grid steps
+    (
+        wx_ref, alpha_ref, beta_ref, a_ref, b_ref, v_ref,
+        u0_ref, w0_ref, s0_ref,
+    ) = refs[:9]
+    n_out = 3 if save_residuals else 1
+    outs = refs[9 : 9 + n_out]
+    s_out_ref = outs[0]
+    u_out_ref = outs[1] if save_residuals else None
+    w_out_ref = outs[2] if save_residuals else None
+    u_scr, w_scr, s_scr = refs[9 + n_out :]
+
     t = pl.program_id(1)
 
     @pl.when(t == 0)
@@ -111,6 +139,10 @@ def _radlif_kernel(
         u = alpha * (u - s) + (1.0 - alpha) * drive
         s = (u > threshold).astype(u.dtype)
         s_out_ref[:, k, :] = s
+        if save_residuals:
+            u_out_ref[:, k, :] = u
+            if adaptive:
+                w_out_ref[:, k, :] = w
 
     u_scr[:, :] = u
     s_scr[:, :] = s
@@ -119,43 +151,22 @@ def _radlif_kernel(
 
 
 def _forward_pallas(
-    Wx: jax.Array,
-    alpha: jax.Array,
-    beta,
-    a,
-    b,
-    V,
-    threshold: float,
-    u0: jax.Array,
-    w0,
-    s0: jax.Array,
-    *,
-    recurrent: bool,
-    adaptive: bool,
-) -> jax.Array:
+    Wx, alpha, beta, a, b, V, threshold, u0, w0, s0,
+    *, recurrent: bool, adaptive: bool, save_residuals: bool,
+):
+    """Run the fused forward. Params must already be clamped/masked.
+    Returns s, or (s, u_seq, w_seq) with residuals."""
     B, T, H = Wx.shape
     dtype = jnp.float32
     Hp = _round_up(H, _LANE)
     Bp = _round_up(B, _SUBLANE)
+    streams = 4 if save_residuals else 2  # Wx in + s/u/w out
+    bt = _tile_plan(Bp, Hp, streams)
+    Tp = _round_up(T, _TC)
 
-    # Time-chunk size and batch tile chosen to fit the VMEM budget:
-    # 2 double-buffered (bt, tc, Hp) blocks (Wx in + spikes out), V, and
-    # 3 state buffers.
-    TC = 8
-    budget = 12 * 1024 * 1024
-    bt = _pick_batch_tile(Bp)
-    while bt > _SUBLANE and (
-        4 * (2 * 2 * bt * TC * Hp + Hp * Hp + 3 * bt * Hp) > budget
-    ):
-        bt //= 2
-    Tp = _round_up(T, TC)
-
-    # Pad: drive of padded neurons/rows = -1e9 so they never spike.
     def pad_bh(x, fill=0.0):
         return jnp.pad(
-            x.astype(dtype),
-            ((0, Bp - B), (0, Hp - H)),
-            constant_values=fill,
+            x.astype(dtype), ((0, Bp - B), (0, Hp - H)), constant_values=fill
         )
 
     Wx_p = jnp.pad(
@@ -163,131 +174,404 @@ def _forward_pallas(
         ((0, Bp - B), (0, Tp - T), (0, Hp - H)),
         constant_values=-1e9,
     )
-    alpha_p = jnp.pad(alpha.astype(dtype), (0, Hp - H))[None, :]
-    if adaptive:
-        beta_p = jnp.pad(beta.astype(dtype), (0, Hp - H))[None, :]
-        a_p = jnp.pad(a.astype(dtype), (0, Hp - H))[None, :]
-        b_p = jnp.pad(b.astype(dtype), (0, Hp - H))[None, :]
-    else:
-        beta_p = a_p = b_p = jnp.zeros((1, Hp), dtype)
-    if recurrent:
-        V_p = jnp.pad(V.astype(dtype), ((0, Hp - H), (0, Hp - H)))
-    else:
-        V_p = jnp.zeros((Hp, Hp), dtype)
+    pad_h = lambda p: jnp.pad(p.astype(dtype), (0, Hp - H))[None, :]  # noqa: E731
+    alpha_p = pad_h(alpha)
+    beta_p = pad_h(beta) if adaptive else jnp.zeros((1, Hp), dtype)
+    a_p = pad_h(a) if adaptive else jnp.zeros((1, Hp), dtype)
+    b_p = pad_h(b) if adaptive else jnp.zeros((1, Hp), dtype)
+    V_p = (
+        jnp.pad(V.astype(dtype), ((0, Hp - H), (0, Hp - H)))
+        if recurrent
+        else jnp.zeros((Hp, Hp), dtype)
+    )
     u0_p = pad_bh(u0, fill=-1e9)
     s0_p = pad_bh(s0)
     w0_p = pad_bh(w0) if adaptive else jnp.zeros((Bp, Hp), dtype)
 
-    # Grid: (batch tiles, time chunks). Chunks iterate fastest (sequential
-    # recurrence); Wx and spikes stream through VMEM one chunk at a time.
-    grid = (Bp // bt, Tp // TC)
+    grid = (Bp // bt, Tp // _TC)
     kernel = functools.partial(
-        _radlif_kernel,
+        _fwd_kernel,
         threshold=float(threshold),
-        tc=TC,
+        tc=_TC,
         recurrent=recurrent,
         adaptive=adaptive,
+        save_residuals=save_residuals,
     )
-
     bh = lambda i, t: (i, 0)  # noqa: E731
     bth = lambda i, t: (i, t, 0)  # noqa: E731
     rep2 = lambda i, t: (0, 0)  # noqa: E731
+    stream_spec = pl.BlockSpec((bt, _TC, Hp), bth, memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, Hp), rep2, memory_space=pltpu.VMEM)
+    mat_spec = pl.BlockSpec((Hp, Hp), rep2, memory_space=pltpu.VMEM)
+    state_spec = pl.BlockSpec((bt, Hp), bh, memory_space=pltpu.VMEM)
 
-    out = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((bt, TC, Hp), bth, memory_space=pltpu.VMEM),  # Wx
-            pl.BlockSpec((1, Hp), rep2, memory_space=pltpu.VMEM),  # alpha
-            pl.BlockSpec((1, Hp), rep2, memory_space=pltpu.VMEM),  # beta
-            pl.BlockSpec((1, Hp), rep2, memory_space=pltpu.VMEM),  # a
-            pl.BlockSpec((1, Hp), rep2, memory_space=pltpu.VMEM),  # b
-            pl.BlockSpec((Hp, Hp), rep2, memory_space=pltpu.VMEM),  # V
-            pl.BlockSpec((bt, Hp), bh, memory_space=pltpu.VMEM),  # u0
-            pl.BlockSpec((bt, Hp), bh, memory_space=pltpu.VMEM),  # w0
-            pl.BlockSpec((bt, Hp), bh, memory_space=pltpu.VMEM),  # s0
+            stream_spec,  # Wx
+            vec_spec, vec_spec, vec_spec, vec_spec,  # alpha beta a b
+            mat_spec,  # V
+            state_spec, state_spec, state_spec,  # u0 w0 s0
         ],
-        out_specs=pl.BlockSpec((bt, TC, Hp), bth, memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Bp, Tp, Hp), dtype),
+        out_specs=tuple([stream_spec] * (3 if save_residuals else 1)),
+        out_shape=tuple(
+            [jax.ShapeDtypeStruct((Bp, Tp, Hp), dtype)]
+            * (3 if save_residuals else 1)
+        ),
         scratch_shapes=[
-            pltpu.VMEM((bt, Hp), jnp.float32),  # u
-            pltpu.VMEM((bt, Hp), jnp.float32),  # w
-            pltpu.VMEM((bt, Hp), jnp.float32),  # s
+            pltpu.VMEM((bt, Hp), jnp.float32),
+            pltpu.VMEM((bt, Hp), jnp.float32),
+            pltpu.VMEM((bt, Hp), jnp.float32),
         ],
-        # run interpreted off-TPU so the CPU test mesh exercises the kernel
-        interpret=jax.default_backend() != "tpu",
+        interpret=_interpret(),
     )(Wx_p, alpha_p, beta_p, a_p, b_p, V_p, u0_p, w0_p, s0_p)
 
-    return out[:B, :T, :H]
+    if not save_residuals:
+        return outs[0][:B, :T, :H]
+    s_seq, u_seq, w_seq = outs
+    return s_seq[:B, :T, :H], u_seq[:B, :T, :H], w_seq[:B, :T, :H]
 
 
 # ---------------------------------------------------------------------------
-# custom_vjp wrappers: Pallas forward, scan-replay backward
+# Backward kernel
 # ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(
+    g_ref,  # (bt, TC, H) — output cotangent, streamed in reverse
+    u_ref,  # (bt, TC, H) — saved u_t
+    up_ref,  # (bt, TC, H) — u_{t-1}
+    sp_ref,  # (bt, TC, H) — s_{t-1}
+    wp_ref,  # (bt, TC, H) — w_{t-1}
+    alpha_ref,  # (1, H)
+    beta_ref,
+    a_ref,
+    b_ref,
+    vt_ref,  # (H, H) — V^T
+    dwx_ref,  # (bt, TC, H) out
+    dv_ref,  # (H, H) out, accumulated
+    dalpha_ref,  # (1, H) out, accumulated
+    dbeta_ref,
+    da_ref,
+    db_ref,
+    du0_ref,  # (bt, H) out
+    dw0_ref,
+    ds0_ref,
+    A_scr,  # (bt, H) persistent adjoint scratch
+    B_scr,
+    *,
+    threshold: float,
+    tc: int,
+    recurrent: bool,
+    adaptive: bool,
+):
+    kc = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+    first = kc == 0
+    last = kc == n_chunks - 1
+
+    @pl.when(first)
+    def _init_adjoints():
+        A_scr[:, :] = jnp.zeros_like(A_scr)
+        B_scr[:, :] = jnp.zeros_like(B_scr)
+
+    @pl.when(first & (pl.program_id(0) == 0))
+    def _init_accumulators():
+        dv_ref[:, :] = jnp.zeros_like(dv_ref)
+        dalpha_ref[:, :] = jnp.zeros_like(dalpha_ref)
+        dbeta_ref[:, :] = jnp.zeros_like(dbeta_ref)
+        da_ref[:, :] = jnp.zeros_like(da_ref)
+        db_ref[:, :] = jnp.zeros_like(db_ref)
+
+    alpha = alpha_ref[0, :]
+    one_m_alpha = 1.0 - alpha
+    beta = beta_ref[0, :]
+    a_c = a_ref[0, :]
+    b_c = b_ref[0, :]
+
+    A = A_scr[:, :]
+    B = B_scr[:, :]
+    dv_acc = jnp.zeros_like(dv_ref) if recurrent else None
+    dal = jnp.zeros_like(dalpha_ref)
+    dbe = jnp.zeros_like(dbeta_ref)
+    daa = jnp.zeros_like(da_ref)
+    dbb = jnp.zeros_like(db_ref)
+
+    for k in range(tc - 1, -1, -1):  # reverse static unroll
+        g_t = g_ref[:, k, :]
+        u_t = u_ref[:, k, :]
+        u_p = up_ref[:, k, :]
+        s_p = sp_ref[:, k, :]
+
+        C = g_t - alpha * A
+        if recurrent:
+            C = C + jnp.dot(
+                one_m_alpha * A, vt_ref[:, :],
+                preferred_element_type=jnp.float32,
+            )
+        if adaptive:
+            C = C + b_c * B
+        window = ((u_t - threshold > -0.5) & (u_t - threshold <= 0.5)).astype(
+            jnp.float32
+        )
+        A_new = window * C + alpha * A
+        if adaptive:
+            A_new = A_new + a_c * B
+        dwx = one_m_alpha * A_new
+        dwx_ref[:, k, :] = dwx
+
+        if recurrent:
+            # dV += s_{t-1}^T dwx  — contract over the batch tile
+            dv_acc = dv_acc + jax.lax.dot_general(
+                s_p, dwx,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        # d_t reconstruction for dalpha (1-alpha >= 0.039 after clamping)
+        d_t = (u_t - alpha * (u_p - s_p)) / one_m_alpha
+        dal = dal + jnp.sum(
+            A_new * ((u_p - s_p) - d_t), axis=0, keepdims=True
+        )
+        if adaptive:
+            w_p = wp_ref[:, k, :]
+            B_new = -one_m_alpha * A_new + beta * B
+            dbe = dbe + jnp.sum(B_new * w_p, axis=0, keepdims=True)
+            daa = daa + jnp.sum(B_new * u_p, axis=0, keepdims=True)
+            dbb = dbb + jnp.sum(B_new * s_p, axis=0, keepdims=True)
+            B = B_new
+        A = A_new
+
+    A_scr[:, :] = A
+    B_scr[:, :] = B
+    if recurrent:
+        dv_ref[:, :] += dv_acc
+    dalpha_ref[:, :] += dal
+    if adaptive:
+        dbeta_ref[:, :] += dbe
+        da_ref[:, :] += daa
+        db_ref[:, :] += dbb
+
+    @pl.when(last)
+    def _initial_state_grads():
+        A_fin = A_scr[:, :]
+        B_fin = B_scr[:, :]
+        du0 = alpha * A_fin
+        if adaptive:
+            du0 = du0 + a_c * B_fin
+        du0_ref[:, :] = du0
+        dw0_ref[:, :] = beta * B_fin
+        ds0 = -alpha * A_fin
+        if recurrent:
+            ds0 = ds0 + jnp.dot(
+                one_m_alpha * A_fin, vt_ref[:, :],
+                preferred_element_type=jnp.float32,
+            )
+        if adaptive:
+            ds0 = ds0 + b_c * B_fin
+        ds0_ref[:, :] = ds0
+
+
+def _backward_pallas(
+    g, u_seq, u_prev, s_prev, w_prev, alpha, beta, a, b, V, threshold,
+    *, recurrent: bool, adaptive: bool,
+):
+    """Fused reverse-time BPTT. Params must already be clamped/masked.
+    Returns (dWx, dV, dalpha, dbeta, da, db, du0, dw0, ds0) w.r.t. the
+    clamped parameters."""
+    B, T, H = g.shape
+    dtype = jnp.float32
+    Hp = _round_up(H, _LANE)
+    Bp = _round_up(B, _SUBLANE)
+    bt = _tile_plan(Bp, Hp, streams=6)
+    Tp = _round_up(T, _TC)
+
+    def pad_bth(x, fill=0.0):
+        return jnp.pad(
+            x.astype(dtype),
+            ((0, Bp - B), (0, Tp - T), (0, Hp - H)),
+            constant_values=fill,
+        )
+
+    g_p = pad_bth(g)  # zero cotangent on padding keeps adjoints silent
+    u_pd = pad_bth(u_seq, fill=-1e9)  # padded u -> boxcar window = 0
+    up_p = pad_bth(u_prev)
+    sp_p = pad_bth(s_prev)
+    wp_p = pad_bth(w_prev)
+
+    pad_h = lambda p: jnp.pad(p.astype(dtype), (0, Hp - H))[None, :]  # noqa: E731
+    alpha_p = pad_h(alpha)
+    beta_p = pad_h(beta) if adaptive else jnp.zeros((1, Hp), dtype)
+    a_p = pad_h(a) if adaptive else jnp.zeros((1, Hp), dtype)
+    b_p = pad_h(b) if adaptive else jnp.zeros((1, Hp), dtype)
+    VT_p = (
+        jnp.pad(V.T.astype(dtype), ((0, Hp - H), (0, Hp - H)))
+        if recurrent
+        else jnp.zeros((Hp, Hp), dtype)
+    )
+
+    n_chunks = Tp // _TC
+    grid = (Bp // bt, n_chunks)
+    kernel = functools.partial(
+        _bwd_kernel,
+        threshold=float(threshold),
+        tc=_TC,
+        recurrent=recurrent,
+        adaptive=adaptive,
+    )
+    # time chunks walked in reverse
+    rev = lambda i, t: (i, n_chunks - 1 - t, 0)  # noqa: E731
+    bh = lambda i, t: (i, 0)  # noqa: E731
+    rep2 = lambda i, t: (0, 0)  # noqa: E731
+    stream_spec = pl.BlockSpec((bt, _TC, Hp), rev, memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, Hp), rep2, memory_space=pltpu.VMEM)
+    mat_spec = pl.BlockSpec((Hp, Hp), rep2, memory_space=pltpu.VMEM)
+    state_spec = pl.BlockSpec((bt, Hp), bh, memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            stream_spec,  # g
+            stream_spec,  # u
+            stream_spec,  # u_prev
+            stream_spec,  # s_prev
+            stream_spec,  # w_prev
+            vec_spec, vec_spec, vec_spec, vec_spec,  # alpha beta a b
+            mat_spec,  # V^T
+        ],
+        out_specs=(
+            stream_spec,  # dWx
+            mat_spec,  # dV
+            vec_spec, vec_spec, vec_spec, vec_spec,  # dalpha dbeta da db
+            state_spec, state_spec, state_spec,  # du0 dw0 ds0
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bp, Tp, Hp), dtype),
+            jax.ShapeDtypeStruct((Hp, Hp), dtype),
+            jax.ShapeDtypeStruct((1, Hp), dtype),
+            jax.ShapeDtypeStruct((1, Hp), dtype),
+            jax.ShapeDtypeStruct((1, Hp), dtype),
+            jax.ShapeDtypeStruct((1, Hp), dtype),
+            jax.ShapeDtypeStruct((Bp, Hp), dtype),
+            jax.ShapeDtypeStruct((Bp, Hp), dtype),
+            jax.ShapeDtypeStruct((Bp, Hp), dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bt, Hp), jnp.float32),
+            pltpu.VMEM((bt, Hp), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(g_p, u_pd, up_p, sp_p, wp_p, alpha_p, beta_p, a_p, b_p, VT_p)
+
+    dWx, dV, dalpha, dbeta, da, db, du0, dw0, ds0 = outs
+    return (
+        dWx[:B, :T, :H],
+        dV[:H, :H],
+        dalpha[0, :H],
+        dbeta[0, :H],
+        da[0, :H],
+        db[0, :H],
+        du0[:B, :H],
+        dw0[:B, :H],
+        ds0[:B, :H],
+    )
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrappers
+# ---------------------------------------------------------------------------
+
+
+def _clip_and_mask(alpha, beta, a, b, V, recurrent, adaptive):
+    alpha_c = jnp.clip(alpha, *cells.ALPHA_LIM)
+    beta_c = jnp.clip(beta, *cells.BETA_LIM) if adaptive else beta
+    a_c = jnp.clip(a, *cells.A_LIM) if adaptive else a
+    b_c = jnp.clip(b, *cells.B_LIM) if adaptive else b
+    V_m = cells.zero_diag(V) if recurrent else V
+    return alpha_c, beta_c, a_c, b_c, V_m
 
 
 @functools.lru_cache(maxsize=None)
 def _make_op(recurrent: bool, adaptive: bool, threshold: float):
     """Build (and memoize) the custom_vjp op for a fixed static threshold —
-    the kernel needs a concrete Python float, so threshold cannot be a
+    the kernels need a concrete Python float, so threshold cannot be a
     traced operand."""
-    scan_fn = _SCAN_ADAPTERS[(recurrent, adaptive)]
 
     @jax.custom_vjp
     def op(Wx, alpha, beta, a, b, V, u0, w0, s0):
-        V_masked = cells.zero_diag(V) if recurrent else V
-        alpha_c = jnp.clip(alpha, *cells.ALPHA_LIM)
-        if adaptive:
-            beta_c = jnp.clip(beta, *cells.BETA_LIM)
-            a_c = jnp.clip(a, *cells.A_LIM)
-            b_c = jnp.clip(b, *cells.B_LIM)
-        else:
-            beta_c, a_c, b_c = beta, a, b
+        cm = _clip_and_mask(alpha, beta, a, b, V, recurrent, adaptive)
         return _forward_pallas(
-            Wx, alpha_c, beta_c, a_c, b_c, V_masked, threshold, u0, w0, s0,
-            recurrent=recurrent, adaptive=adaptive,
+            Wx, *cm[:4], cm[4], threshold, u0, w0, s0,
+            recurrent=recurrent, adaptive=adaptive, save_residuals=False,
         )
 
     def fwd(Wx, alpha, beta, a, b, V, u0, w0, s0):
-        out = op(Wx, alpha, beta, a, b, V, u0, w0, s0)
-        return out, (Wx, alpha, beta, a, b, V, u0, w0, s0)
+        cm = _clip_and_mask(alpha, beta, a, b, V, recurrent, adaptive)
+        s_seq, u_seq, w_seq = _forward_pallas(
+            Wx, *cm[:4], cm[4], threshold, u0, w0, s0,
+            recurrent=recurrent, adaptive=adaptive, save_residuals=True,
+        )
+        res = (alpha, beta, a, b, V, u_seq, w_seq, s_seq, u0, w0, s0)
+        return s_seq, res
 
     def bwd(res, g):
-        Wx, alpha, beta, a, b, V, u0, w0, s0 = res
+        alpha, beta, a, b, V, u_seq, w_seq, s_seq, u0, w0, s0 = res
 
-        # Replay the mathematically-identical scan cell for the VJP.
-        def ref_fn(Wx, alpha, beta, a, b, V, u0, w0, s0):
-            return scan_fn(Wx, alpha, beta, a, b, V, threshold, u0, w0, s0)
+        # Re-derive the clamped params with their clip VJPs so raw-param
+        # gradients match the scan path exactly.
+        alpha_c, alpha_vjp = jax.vjp(
+            lambda p: jnp.clip(p, *cells.ALPHA_LIM), alpha
+        )
+        if adaptive:
+            beta_c, beta_vjp = jax.vjp(
+                lambda p: jnp.clip(p, *cells.BETA_LIM), beta
+            )
+            a_c, a_vjp = jax.vjp(lambda p: jnp.clip(p, *cells.A_LIM), a)
+            b_c, b_vjp = jax.vjp(lambda p: jnp.clip(p, *cells.B_LIM), b)
+        else:
+            beta_c, a_c, b_c = beta, a, b
+        if recurrent:
+            V_m, v_vjp = jax.vjp(cells.zero_diag, V)
+        else:
+            V_m = V
 
-        _, vjp = jax.vjp(ref_fn, Wx, alpha, beta, a, b, V, u0, w0, s0)
-        return vjp(g)
+        # shift the state series by one step: *_prev[t] = state_{t-1}
+        shift = lambda seq, init: jnp.concatenate(  # noqa: E731
+            [init[:, None, :], seq[:, :-1, :]], axis=1
+        )
+        u_prev = shift(u_seq, u0)
+        s_prev = shift(s_seq, s0)
+        w_prev = shift(w_seq, w0) if adaptive else jnp.zeros_like(u_prev)
+
+        dWx, dV_m, dalpha_c, dbeta_c, da_c, db_c, du0, dw0, ds0 = (
+            _backward_pallas(
+                g, u_seq, u_prev, s_prev, w_prev,
+                alpha_c, beta_c, a_c, b_c, V_m, threshold,
+                recurrent=recurrent, adaptive=adaptive,
+            )
+        )
+
+        (dalpha,) = alpha_vjp(dalpha_c)
+        if adaptive:
+            (dbeta,) = beta_vjp(dbeta_c)
+            (da,) = a_vjp(da_c)
+            (db,) = b_vjp(db_c)
+        else:
+            dbeta = jnp.zeros_like(beta)
+            da = jnp.zeros_like(a)
+            db = jnp.zeros_like(b)
+        if recurrent:
+            (dV,) = v_vjp(dV_m)
+        else:
+            dV = jnp.zeros_like(V)
+        if not adaptive:
+            dw0 = jnp.zeros_like(w0)
+        return (dWx, dalpha, dbeta, da, db, dV, du0, dw0, ds0)
 
     op.defvjp(fwd, bwd)
     return op
-
-
-def _radlif_scan_adapter(Wx, alpha, beta, a, b, V, threshold, u0, w0, s0):
-    return cells.radlif_scan(Wx, alpha, beta, a, b, V, threshold, u0, w0, s0)
-
-
-def _rlif_scan_adapter(Wx, alpha, beta, a, b, V, threshold, u0, w0, s0):
-    return cells.rlif_scan(Wx, alpha, V, threshold, u0, s0)
-
-
-def _adlif_scan_adapter(Wx, alpha, beta, a, b, V, threshold, u0, w0, s0):
-    return cells.adlif_scan(Wx, alpha, beta, a, b, threshold, u0, w0, s0)
-
-
-def _lif_scan_adapter(Wx, alpha, beta, a, b, V, threshold, u0, w0, s0):
-    return cells.lif_scan(Wx, alpha, threshold, u0, s0)
-
-
-_SCAN_ADAPTERS = {
-    (True, True): _radlif_scan_adapter,
-    (True, False): _rlif_scan_adapter,
-    (False, True): _adlif_scan_adapter,
-    (False, False): _lif_scan_adapter,
-}
 
 
 def radlif_pallas(Wx, alpha, beta, a, b, V, threshold, u0, w0, s0):

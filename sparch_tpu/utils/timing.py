@@ -21,18 +21,21 @@ __all__ = ["time_fn"]
 def _loop(fn, args, iters):
     """One jitted program running `iters` serialised calls of fn(*args)."""
 
+    # choose the smallest float arg to perturb (cheapest dependency edge)
+    float_idx = [
+        i
+        for i, a in enumerate(args)
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
+    ]
+    target = min(float_idx, key=lambda i: args[i].size) if float_idx else None
+
     def body(i, tok):
-        # perturb the first float leaf by tok*0 to serialise iterations
-        perturbed = []
-        used = False
-        for a in args:
-            if not used and hasattr(a, "dtype") and jnp.issubdtype(
-                a.dtype, jnp.floating
-            ):
-                perturbed.append(a + tok * 0.0)
-                used = True
-            else:
-                perturbed.append(a)
+        # Perturb by tok * 1e-30: numerically negligible but NOT provably
+        # zero, so XLA cannot hoist the body out of the loop (tok * 0.0
+        # gets constant-folded and the whole loop collapses to one call).
+        perturbed = [
+            a + tok * 1e-30 if j == target else a for j, a in enumerate(args)
+        ]
         out = fn(*perturbed)
         leaf = jax.tree.leaves(out)[0]
         return tok + leaf.reshape(-1)[0].astype(jnp.float32)

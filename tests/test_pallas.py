@@ -124,3 +124,74 @@ def test_model_with_pallas_impl(data):
     )
     out_ref, _ = ref_model.apply(variables, x, train=False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out_ref), atol=1e-5)
+
+
+@pytest.mark.parametrize("variant", ["lif", "adlif", "rlif", "radlif"])
+def test_all_param_gradients_match_scan(data, variant):
+    """Fused Pallas backward vs scan autodiff: gradients w.r.t. every
+    operand (Wx, alpha, beta, a, b, V, u0, w0, s0) for every cell type."""
+    d = data
+    thr = 0.8
+
+    if variant == "lif":
+        def f_pl(Wx, alpha, u0, s0):
+            return pallas_cells.lif_pallas(Wx, alpha, thr, u0, s0)
+
+        def f_sc(Wx, alpha, u0, s0):
+            return cells.lif_scan(Wx, alpha, thr, u0, s0)
+
+        args = (d["Wx"], d["alpha"], d["u0"], d["s0"])
+    elif variant == "adlif":
+        def f_pl(Wx, alpha, beta, a, b, u0, w0, s0):
+            return pallas_cells.adlif_pallas(
+                Wx, alpha, beta, a, b, thr, u0, w0, s0
+            )
+
+        def f_sc(Wx, alpha, beta, a, b, u0, w0, s0):
+            return cells.adlif_scan(Wx, alpha, beta, a, b, thr, u0, w0, s0)
+
+        args = (d["Wx"], d["alpha"], d["beta"], d["a"], d["b"],
+                d["u0"], d["w0"], d["s0"])
+    elif variant == "rlif":
+        def f_pl(Wx, alpha, V, u0, s0):
+            return pallas_cells.rlif_pallas(Wx, alpha, V, thr, u0, s0)
+
+        def f_sc(Wx, alpha, V, u0, s0):
+            return cells.rlif_scan(Wx, alpha, V, thr, u0, s0)
+
+        args = (d["Wx"], d["alpha"], d["V"], d["u0"], d["s0"])
+    else:
+        def f_pl(Wx, alpha, beta, a, b, V, u0, w0, s0):
+            return pallas_cells.radlif_pallas(
+                Wx, alpha, beta, a, b, V, thr, u0, w0, s0
+            )
+
+        def f_sc(Wx, alpha, beta, a, b, V, u0, w0, s0):
+            return cells.radlif_scan(
+                Wx, alpha, beta, a, b, V, thr, u0, w0, s0
+            )
+
+        args = (d["Wx"], d["alpha"], d["beta"], d["a"], d["b"], d["V"],
+                d["u0"], d["w0"], d["s0"])
+
+    # weighted loss so cotangents vary per step/neuron
+    wgt = jnp.asarray(
+        np.linspace(0.5, 1.5, T)[None, :, None]
+        * np.linspace(1.0, 2.0, H)[None, None, :],
+        jnp.float32,
+    )
+
+    def loss(f):
+        def inner(*a):
+            return (f(*a) * wgt).sum()
+
+        return inner
+
+    n = len(args)
+    gp = jax.grad(loss(f_pl), argnums=tuple(range(n)))(*args)
+    gs = jax.grad(loss(f_sc), argnums=tuple(range(n)))(*args)
+    for i, (x, y) in enumerate(zip(gp, gs)):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), atol=2e-3, rtol=1e-4,
+            err_msg=f"{variant} grad argnum {i}",
+        )
