@@ -37,8 +37,12 @@ def _loop(fn, args, iters):
             a + tok * 1e-30 if j == target else a for j, a in enumerate(args)
         ]
         out = fn(*perturbed)
-        leaf = jax.tree.leaves(out)[0]
-        return tok + leaf.reshape(-1)[0].astype(jnp.float32)
+        # consume EVERY output element: summing only a single element lets
+        # XLA dead-code-eliminate the rest of the iteration's work
+        acc = tok
+        for leaf in jax.tree.leaves(out):
+            acc = acc + jnp.sum(leaf).astype(jnp.float32)
+        return acc
 
     return jax.jit(
         lambda args: jax.lax.fori_loop(0, iters, body, jnp.float32(0.0)),
