@@ -107,14 +107,21 @@ class Experiment:
         self.init_dataset()
         self.init_model()
 
-        # Plateau LR schedule (reference exp.py:92-98)
-        self.scheduler = ReduceLROnPlateau(
-            lr=self.lr,
-            mode="max",
-            factor=self.scheduler_factor,
-            patience=self.scheduler_patience,
-            min_lr=1e-6,
-        )
+        # Plateau LR schedule (reference exp.py:92-98); on resume the
+        # saved scheduler state is restored so the LR trajectory continues
+        # exactly (the reference restarts the schedule from scratch).
+        if self._restored_meta.get("scheduler"):
+            self.scheduler = ReduceLROnPlateau.from_state_dict(
+                self._restored_meta["scheduler"]
+            )
+        else:
+            self.scheduler = ReduceLROnPlateau(
+                lr=self.lr,
+                mode="max",
+                factor=self.scheduler_factor,
+                patience=self.scheduler_patience,
+                min_lr=1e-6,
+            )
 
         # Compiled steps
         self._train_step = make_train_step(
@@ -247,11 +254,12 @@ class Experiment:
             self.net, sample, self.lr, jax.random.PRNGKey(self.seed)
         )
 
+        self._restored_meta = {}
         if self.use_pretrained_model:
-            self.state, meta = restore_checkpoint(self.load_path, self.state)
+            self.state, self._restored_meta = restore_checkpoint(
+                self.load_path, self.state
+            )
             logging.info(f"\nLoaded model at: {self.load_path}\n")
-            if "scheduler" in meta:
-                pass  # scheduler state restored in forward() via meta
 
         self.state = shard_state(
             self.state, self.mesh, tensor_parallel=self.mesh_model > 1
