@@ -60,9 +60,20 @@ class _SpikingLayerBase(nn.Module):
     use_bias: bool = False
     bidirectional: bool = False
     state_init: str = "uniform"
-    cell_impl: str = "scan"
+    cell_impl: str = "auto"
     compute_dtype: Optional[jnp.dtype] = None
     bn_axis_name: Optional[str] = None
+
+    def _use_pallas(self) -> bool:
+        """'auto' picks the fused Pallas kernels on TPU, lax.scan elsewhere
+        (off-TPU the kernels would run interpreted — correct but slow)."""
+        if self.cell_impl == "pallas":
+            return True
+        if self.cell_impl == "auto":
+            import jax as _jax
+
+            return _jax.default_backend() == "tpu"
+        return False
 
     def _pre(self, x, train):
         if self.bidirectional:
@@ -114,7 +125,14 @@ class LIFLayer(_SpikingLayerBase):
     def __call__(self, x, train: bool = False):
         Wx = self._pre(x, train)
         u0, s0 = self._init_states(Wx, 2)
-        s = cells.lif_scan(Wx, self._alpha(), self.threshold, u0, s0)
+        if self._use_pallas():
+            from sparch_tpu.ops import pallas_cells
+
+            s = pallas_cells.lif_pallas(
+                Wx, self._alpha(), self.threshold, u0, s0
+            )
+        else:
+            s = cells.lif_scan(Wx, self._alpha(), self.threshold, u0, s0)
         return self._post(s, train)
 
 
@@ -126,9 +144,16 @@ class adLIFLayer(_SpikingLayerBase):
         Wx = self._pre(x, train)
         u0, w0, s0 = self._init_states(Wx, 3)
         beta, a, b = self._adaptation_params()
-        s = cells.adlif_scan(
-            Wx, self._alpha(), beta, a, b, self.threshold, u0, w0, s0
-        )
+        if self._use_pallas():
+            from sparch_tpu.ops import pallas_cells
+
+            s = pallas_cells.adlif_pallas(
+                Wx, self._alpha(), beta, a, b, self.threshold, u0, w0, s0
+            )
+        else:
+            s = cells.adlif_scan(
+                Wx, self._alpha(), beta, a, b, self.threshold, u0, w0, s0
+            )
         return self._post(s, train)
 
 
@@ -140,7 +165,7 @@ class RLIFLayer(_SpikingLayerBase):
     def __call__(self, x, train: bool = False):
         Wx = self._pre(x, train)
         u0, s0 = self._init_states(Wx, 2)
-        if self.cell_impl == "pallas":
+        if self._use_pallas():
             from sparch_tpu.ops import pallas_cells
 
             s = pallas_cells.rlif_pallas(
@@ -162,7 +187,7 @@ class RadLIFLayer(_SpikingLayerBase):
         Wx = self._pre(x, train)
         u0, w0, s0 = self._init_states(Wx, 3)
         beta, a, b = self._adaptation_params()
-        if self.cell_impl == "pallas":
+        if self._use_pallas():
             from sparch_tpu.ops import pallas_cells
 
             s = pallas_cells.radlif_pallas(
@@ -238,7 +263,7 @@ class SNN(nn.Module):
     bidirectional: bool = False
     use_readout_layer: bool = True
     state_init: str = "uniform"
-    cell_impl: str = "scan"
+    cell_impl: str = "auto"
     compute_dtype: Optional[jnp.dtype] = None
     bn_axis_name: Optional[str] = None
 

@@ -78,10 +78,10 @@ def add_model_options(parser):
     parser.add_argument(
         "--cell_impl",
         type=str,
-        choices=["scan", "pallas"],
-        default="scan",
-        help="Neuron recurrence implementation: XLA lax.scan or the fused "
-        "Pallas TPU kernel.",
+        choices=["auto", "scan", "pallas"],
+        default="auto",
+        help="Neuron recurrence implementation: fused Pallas TPU kernels or "
+        "XLA lax.scan. 'auto' uses Pallas on TPU, scan elsewhere.",
     )
     parser.add_argument(
         "--compute_dtype",

@@ -81,7 +81,7 @@ class Experiment:
         # TPU-native extensions (not in the reference CLI; all defaulted)
         self.seed = getattr(args, "seed", 0)
         self.state_init = getattr(args, "state_init", "uniform")
-        self.cell_impl = getattr(args, "cell_impl", "scan")
+        self.cell_impl = getattr(args, "cell_impl", "auto")
         self.mesh_model = getattr(args, "mesh_model", 1)
         self.pad_multiple = getattr(args, "pad_multiple", 100)
         self.compute_dtype = getattr(args, "compute_dtype", "float32")
