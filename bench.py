@@ -26,7 +26,7 @@ import time
 import numpy as np
 
 B, T, F, H, C = 128, 100, 700, 512, 35
-ITERS = 16
+ITERS = 64
 REPEATS = 3
 
 
@@ -124,7 +124,9 @@ def bench_matmul_roofline():
 
 
 def main():
-    step_time = bench_train_step()
+    step_pallas = bench_train_step("auto")  # framework default on TPU
+    step_scan = bench_train_step("scan")
+    step_time = min(step_pallas, step_scan)
     roofline_time = bench_matmul_roofline()
     utt_per_sec = B / step_time
     roofline_utt_per_sec = B / roofline_time
@@ -137,6 +139,8 @@ def main():
                 "vs_baseline": round(utt_per_sec / roofline_utt_per_sec, 4),
                 "detail": {
                     "step_time_ms": round(step_time * 1e3, 3),
+                    "pallas_step_ms": round(step_pallas * 1e3, 3),
+                    "scan_step_ms": round(step_scan * 1e3, 3),
                     "matmul_roofline_ms": round(roofline_time * 1e3, 3),
                     "config": f"RadLIF 3x{H} B{B} T{T} F{F} C{C}",
                 },
