@@ -66,6 +66,12 @@ def add_model_options(parser):
         help="If True, a bidirectional model that scans the sequence in both "
         "directions is used, which doubles the size of feedforward matrices. ",
     )
+    parser.add_argument(
+        "--threshold",
+        type=float,
+        default=1.0,
+        help="Fixed spiking threshold for the membrane potential.",
+    )
     # --- TPU-native extensions (defaults preserve reference behaviour) ---
     parser.add_argument(
         "--state_init",

@@ -141,7 +141,21 @@ def add_training_options(parser):
         help="Whether to use data augmentation or not. Only implemented for "
         "nonspiking HD and SC datasets.",
     )
+    parser.add_argument(
+        "--nb_steps",
+        type=int,
+        default=100,
+        help="Number of time bins for the spiking (shd/ssc) datasets.",
+    )
     # --- TPU-native extensions ---
+    parser.add_argument(
+        "--auto_resume",
+        type=strtobool,
+        default=False,
+        help="If the experiment folder already exists with a checkpoint, "
+        "resume from it instead of failing (crash recovery; the reference "
+        "requires a manual --use_pretrained_model relaunch).",
+    )
     parser.add_argument(
         "--seed",
         type=int,

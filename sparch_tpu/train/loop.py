@@ -77,6 +77,9 @@ class Experiment:
         self.reg_fmin = args.reg_fmin
         self.reg_fmax = args.reg_fmax
         self.use_augm = args.use_augm
+        self.threshold = getattr(args, "threshold", 1.0)
+        self.nb_steps = getattr(args, "nb_steps", 100)
+        self.auto_resume = getattr(args, "auto_resume", False)
 
         # TPU-native extensions (not in the reference CLI; all defaulted)
         self.seed = getattr(args, "seed", 0)
@@ -159,8 +162,16 @@ class Experiment:
             outname += "_lr" + str(self.lr)
             exp_folder = "exp/test_exps/" + outname.replace(".", "_")
 
+        self._auto_resumed = False
         if not self.use_pretrained_model and os.path.exists(exp_folder):
-            raise FileExistsError(f"Experiment folder already exists: {exp_folder}")
+            ckdir = os.path.join(exp_folder, "checkpoints")
+            if self.auto_resume and checkpoint_exists(ckdir):
+                self._auto_resumed = True
+                self.load_path = ckdir
+            else:
+                raise FileExistsError(
+                    f"Experiment folder already exists: {exp_folder}"
+                )
 
         self.log_dir = os.path.join(exp_folder, "log")
         self.checkpoint_dir = os.path.join(exp_folder, "checkpoints")
@@ -191,7 +202,7 @@ class Experiment:
                 dataset_name=self.dataset_name,
                 data_folder=self.data_folder,
                 batch_size=self.batch_size,
-                nb_steps=100,
+                nb_steps=self.nb_steps,
                 seed=self.seed,
             )
             self.train_loader = load_shd_or_ssc(split="train", shuffle=True, **kw)
@@ -239,6 +250,7 @@ class Experiment:
             self.model_type,
             input_shape,
             layer_sizes,
+            threshold=self.threshold,
             dropout=self.pdrop,
             normalization=self.normalization,
             use_bias=self.use_bias,
@@ -255,7 +267,7 @@ class Experiment:
         )
 
         self._restored_meta = {}
-        if self.use_pretrained_model:
+        if self.use_pretrained_model or self._auto_resumed:
             self.state, self._restored_meta = restore_checkpoint(
                 self.load_path, self.state
             )
@@ -377,7 +389,14 @@ class Experiment:
 
     def forward(self):
         if not self.only_do_testing:
-            if self.use_pretrained_model:
+            if self._auto_resumed:
+                best_epoch = int(self._restored_meta.get("epoch", 0))
+                best_acc = float(self._restored_meta.get("best_acc", 0.0))
+                logging.info(
+                    f"\n------ Auto-resumed from epoch {best_epoch} "
+                    f"(best valid acc {best_acc}) ------\n"
+                )
+            elif self.use_pretrained_model:
                 logging.info("\n------ Using pretrained model ------\n")
                 best_epoch, best_acc = self.valid_one_epoch(self.start_epoch, 0, 0)
             else:

@@ -126,3 +126,31 @@ def test_ann_model_via_cli(shd_folder, tmp_path):
     args[args.index("--model_type") + 1] = "GRU"
     e = run_exp.main(args)
     assert 0.0 <= e.test_acc <= 1.0
+
+
+def test_auto_resume(shd_folder, tmp_path):
+    exp = str(tmp_path / "exp6")
+    run_exp.main(_base_args(shd_folder, exp))
+    # relaunch same folder with --auto_resume: continues instead of failing
+    e = run_exp.main(
+        _base_args(shd_folder, exp, extra=["--auto_resume", "true",
+                                           "--nb_epochs", "1"])
+    )
+    assert 0.0 <= e.test_acc <= 1.0
+    # without the flag it still fails (reference semantics preserved)
+    with pytest.raises(FileExistsError):
+        run_exp.main(_base_args(shd_folder, exp))
+
+
+def test_nb_steps_and_threshold_flags(shd_folder, tmp_path):
+    exp = str(tmp_path / "exp7")
+    e = run_exp.main(
+        _base_args(
+            shd_folder, exp,
+            extra=["--nb_steps", "50", "--threshold", "0.7",
+                   "--nb_epochs", "1"],
+        )
+    )
+    assert e.net.threshold == 0.7
+    xs, _, _ = next(iter(e.train_loader))
+    assert xs.shape[1] == 50
