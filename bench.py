@@ -114,7 +114,10 @@ def bench_matmul_roofline():
         h0 = layer(jnp.dot(x, W0), V0)
         h1 = layer(jnp.dot(h0, W1), V1)
         out = jnp.dot(h1, Wr)
-        return out.sum()
+        # quadratic loss -> data-dependent cotangents; a sum loss makes the
+        # adjoints of this all-linear skeleton data-independent and XLA
+        # collapses the backward pass (implied FLOP/s beyond hardware peak)
+        return 0.5 * jnp.sum(out * out)
 
     from sparch_tpu.utils.timing import time_fn
 
