@@ -66,13 +66,17 @@ class _SpikingLayerBase(nn.Module):
 
     def _use_pallas(self) -> bool:
         """'auto' picks the fused Pallas kernels on TPU, lax.scan elsewhere
-        (off-TPU the kernels would run interpreted — correct but slow)."""
+        (off-TPU the kernels would run interpreted — correct but slow).
+        Very wide layers fall back to scan: the kernels keep V (and V^T in
+        the backward) resident in VMEM, which caps H at ~1.3k for f32."""
         if self.cell_impl == "pallas":
             return True
         if self.cell_impl == "auto":
             import jax as _jax
 
-            return _jax.default_backend() == "tpu"
+            return (
+                _jax.default_backend() == "tpu" and self.hidden_size <= 1280
+            )
         return False
 
     def _pre(self, x, train):
