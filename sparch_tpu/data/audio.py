@@ -203,6 +203,8 @@ def load_hd_or_sc(
     workers: int = 0,
     pad_multiple: int = 1,
     seed: int = 0,
+    num_shards: int = 1,
+    shard_index: int = 0,
 ) -> DataLoader:
     """Create a loader for a split of HD or SC
     (reference nonspiking_datasets.py:213-290)."""
@@ -235,4 +237,6 @@ def load_hd_or_sc(
         shuffle=shuffle,
         seed=seed,
         prefetch=2 if workers >= 0 else 0,
+        num_shards=num_shards,
+        shard_index=shard_index,
     )

@@ -37,7 +37,13 @@ class DataLoader:
         seed: int = 0,
         drop_last: bool = False,
         prefetch: int = 2,
+        num_shards: int = 1,
+        shard_index: int = 0,
     ):
+        """``num_shards``/``shard_index`` give multi-host data parallelism:
+        every host derives the SAME shuffled order from the shared seed and
+        takes a disjoint contiguous slice of each global batch, so the
+        global batch across hosts matches the single-host order exactly."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn
@@ -45,6 +51,12 @@ class DataLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.num_shards = num_shards
+        self.shard_index = shard_index
+        if batch_size % num_shards:
+            raise ValueError(
+                f"batch_size {batch_size} not divisible by {num_shards} shards"
+            )
         self._epoch = 0
 
     def __len__(self) -> int:
@@ -60,8 +72,17 @@ class DataLoader:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(order)
         end = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        per_shard = self.batch_size // self.num_shards
         for i in range(0, end, self.batch_size):
-            yield order[i : i + self.batch_size]
+            batch = order[i : i + self.batch_size]
+            if self.num_shards == 1:
+                yield batch
+                continue
+            # this host's slice of the global batch (ragged final batch:
+            # split as evenly as contiguous slicing allows)
+            lo = min(self.shard_index * per_shard, len(batch))
+            hi = min(lo + per_shard, len(batch))
+            yield batch[lo:hi]
 
     def __iter__(self):
         self._epoch += 1

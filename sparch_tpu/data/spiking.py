@@ -94,6 +94,8 @@ def load_shd_or_ssc(
     shuffle: bool = True,
     workers: int = 0,
     seed: int = 0,
+    num_shards: int = 1,
+    shard_index: int = 0,
 ) -> DataLoader:
     """Create a loader for a split of SHD or SSC
     (reference spiking_datasets.py:90-140)."""
@@ -115,4 +117,6 @@ def load_shd_or_ssc(
         shuffle=shuffle,
         seed=seed,
         prefetch=2 if workers >= 0 else 0,
+        num_shards=num_shards,
+        shard_index=shard_index,
     )

@@ -96,8 +96,11 @@ class Experiment:
         print_model_options(args)
         print_training_options(args)
 
-        # Device mesh (reference's single-device handle -> full mesh,
-        # SURVEY.md §5.8)
+        # Multi-host initialization (no-op single host), then the device
+        # mesh (reference's single-device handle -> full mesh, SURVEY §5.8)
+        from sparch_tpu.parallel.multihost import maybe_initialize
+
+        self.is_multihost = maybe_initialize()
         self.mesh = make_mesh(model=self.mesh_model)
         n_dev = self.mesh.devices.size
         logging.info(
@@ -204,6 +207,7 @@ class Experiment:
                 batch_size=self.batch_size,
                 nb_steps=self.nb_steps,
                 seed=self.seed,
+                **self._shard_kw(),
             )
             self.train_loader = load_shd_or_ssc(split="train", shuffle=True, **kw)
             self.valid_loader = load_shd_or_ssc(split="valid", shuffle=False, **kw)
@@ -225,6 +229,7 @@ class Experiment:
                 use_augm=self.use_augm,
                 pad_multiple=self.pad_multiple,
                 seed=self.seed,
+                **self._shard_kw(),
             )
             self.train_loader = load_hd_or_sc(split="train", shuffle=True, **kw)
             self.valid_loader = load_hd_or_sc(split="valid", shuffle=False, **kw)
@@ -288,10 +293,22 @@ class Experiment:
     # Device placement
     # ------------------------------------------------------------------
 
+    def _shard_kw(self):
+        """Per-host dataset sharding kwargs (multi-host data parallelism)."""
+        if not self.is_multihost:
+            return {}
+        return dict(
+            num_shards=jax.process_count(), shard_index=jax.process_index()
+        )
+
     def _put_batch(self, x, y):
         """Shard on 'data' when divisible; a ragged final batch runs
         replicated (one extra compile, exact reference semantics — no
         padding perturbs BN stats or the loss)."""
+        if self.is_multihost:
+            from sparch_tpu.parallel.multihost import global_batch
+
+            return global_batch(self.mesh, x, y)
         n_data = self.mesh.devices.shape[0]
         if x.shape[0] % n_data == 0:
             sharding = batch_sharding(self.mesh)

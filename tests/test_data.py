@@ -172,3 +172,21 @@ def test_dataloader_propagates_worker_errors():
     loader = DataLoader(Bad(), 2, lambda b: b, prefetch=2)
     with pytest.raises(RuntimeError, match="boom"):
         list(loader)
+
+
+def test_loader_shards_partition_global_batches(shd_folder):
+    from sparch_tpu.data.spiking import SpikingDataset
+
+    ds = SpikingDataset("shd", shd_folder, "train")
+    full = DataLoader(ds, 4, ds.generate_batch, shuffle=True, seed=7)
+    shards = [
+        DataLoader(ds, 4, ds.generate_batch, shuffle=True, seed=7,
+                   num_shards=2, shard_index=i)
+        for i in range(2)
+    ]
+    for (xf, _, yf), (x0, _, y0), (x1, _, y1) in zip(full, *shards):
+        # the two host slices concatenate to the global batch, in order
+        np.testing.assert_array_equal(
+            np.concatenate([y0, y1]), yf
+        )
+        np.testing.assert_array_equal(np.concatenate([x0, x1]), xf)
