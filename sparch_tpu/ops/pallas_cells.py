@@ -11,11 +11,13 @@ the per-timestep tensors through double-buffered VMEM blocks.
 
 Grid: (batch tiles, time chunks), time fastest; TC timesteps are unrolled
 inside each grid cell. The backward kernel walks time chunks in reverse.
-The batch tile auto-shrinks to fit the VMEM budget. Shapes are padded to
-TPU tiling (H to 128 lanes, B to 8 sublanes, T to the chunk multiple);
-padded forward rows/neurons get a -1e9 drive so they never spike, padded
-backward cotangents are zero so adjoints and gradient accumulators are
-untouched.
+The batch tile auto-shrinks to fit the VMEM budget. B and H are padded to
+TPU tiling (8 sublanes / 128 lanes; padded rows/neurons get a -1e9 drive
+so they never spike, padded cotangents are zero). T is NOT padded — that
+would cost two full HBM copies of every (B,T,H) stream per call (~20% of
+the train step): the tail time chunk instead reads out-of-bounds memory,
+which the forward tolerates (tail state is never consumed) and the
+backward sanitises per-step so garbage cannot poison the adjoints.
 
 Backward math (RadLIF general form; R/ad flags degenerate it). With total
 adjoints A_t = dL/du_t, B_t = dL/dw_t and per-step output cotangent g_t,
@@ -162,7 +164,11 @@ def _forward_pallas(
     Bp = _round_up(B, _SUBLANE)
     streams = 4 if save_residuals else 2  # Wx in + s/u/w out
     bt = _tile_plan(Bp, Hp, streams)
-    Tp = _round_up(T, _TC)
+    # T is NOT padded: the tail time chunk reads out-of-bounds garbage
+    # (harmless — tail state is never consumed) and its out-of-range
+    # writes are discarded by Pallas. Padding T would cost two full
+    # HBM copies of every (B,T,H) stream per call.
+    n_chunks = (T + _TC - 1) // _TC
 
     def pad_bh(x, fill=0.0):
         return jnp.pad(
@@ -171,7 +177,7 @@ def _forward_pallas(
 
     Wx_p = jnp.pad(
         Wx.astype(dtype),
-        ((0, Bp - B), (0, Tp - T), (0, Hp - H)),
+        ((0, Bp - B), (0, 0), (0, Hp - H)),
         constant_values=-1e9,
     )
     pad_h = lambda p: jnp.pad(p.astype(dtype), (0, Hp - H))[None, :]  # noqa: E731
@@ -188,7 +194,7 @@ def _forward_pallas(
     s0_p = pad_bh(s0)
     w0_p = pad_bh(w0) if adaptive else jnp.zeros((Bp, Hp), dtype)
 
-    grid = (Bp // bt, Tp // _TC)
+    grid = (Bp // bt, n_chunks)
     kernel = functools.partial(
         _fwd_kernel,
         threshold=float(threshold),
@@ -216,7 +222,7 @@ def _forward_pallas(
         ],
         out_specs=tuple([stream_spec] * (3 if save_residuals else 1)),
         out_shape=tuple(
-            [jax.ShapeDtypeStruct((Bp, Tp, Hp), dtype)]
+            [jax.ShapeDtypeStruct((Bp, T, Hp), dtype)]
             * (3 if save_residuals else 1)
         ),
         scratch_shapes=[
@@ -228,9 +234,9 @@ def _forward_pallas(
     )(Wx_p, alpha_p, beta_p, a_p, b_p, V_p, u0_p, w0_p, s0_p)
 
     if not save_residuals:
-        return outs[0][:B, :T, :H]
+        return outs[0][:B, :, :H]
     s_seq, u_seq, w_seq = outs
-    return s_seq[:B, :T, :H], u_seq[:B, :T, :H], w_seq[:B, :T, :H]
+    return s_seq[:B, :, :H], u_seq[:B, :, :H], w_seq[:B, :, :H]
 
 
 # ---------------------------------------------------------------------------
@@ -263,6 +269,7 @@ def _bwd_kernel(
     *,
     threshold: float,
     tc: int,
+    T: int,
     recurrent: bool,
     adaptive: bool,
 ):
@@ -270,6 +277,13 @@ def _bwd_kernel(
     n_chunks = pl.num_programs(1)
     first = kc == 0
     last = kc == n_chunks - 1
+    # T is unpadded: only the FIRST reverse chunk (kc == 0, the forward
+    # tail) can be partial. Steps with k >= tail_len are valid in every
+    # other chunk; in the tail chunk their out-of-bounds loads are
+    # sanitised to zero so garbage (possibly NaN) memory cannot poison
+    # the adjoints or accumulators.
+    n_chunks_static = (T + tc - 1) // tc
+    tail_len = T - (n_chunks_static - 1) * tc
 
     @pl.when(first)
     def _init_adjoints():
@@ -303,6 +317,12 @@ def _bwd_kernel(
         u_t = u_ref[:, k, :]
         u_p = up_ref[:, k, :]
         s_p = sp_ref[:, k, :]
+        if k >= tail_len:
+            live = kc != 0
+            g_t = jnp.where(live, g_t, 0.0)
+            u_t = jnp.where(live, u_t, threshold + 10.0)  # window -> 0
+            u_p = jnp.where(live, u_p, 0.0)
+            s_p = jnp.where(live, s_p, 0.0)
 
         C = g_t - alpha * A
         if recurrent:
@@ -336,6 +356,8 @@ def _bwd_kernel(
         )
         if adaptive:
             w_p = wp_ref[:, k, :]
+            if k >= tail_len:
+                w_p = jnp.where(kc != 0, w_p, 0.0)
             B_new = -one_m_alpha * A_new + beta * B
             dbe = dbe + jnp.sum(B_new * w_p, axis=0, keepdims=True)
             daa = daa + jnp.sum(B_new * u_p, axis=0, keepdims=True)
@@ -385,17 +407,17 @@ def _backward_pallas(
     Hp = _round_up(H, _LANE)
     Bp = _round_up(B, _SUBLANE)
     bt = _tile_plan(Bp, Hp, streams=6)
-    Tp = _round_up(T, _TC)
+    n_chunks = (T + _TC - 1) // _TC
 
     def pad_bth(x, fill=0.0):
         return jnp.pad(
             x.astype(dtype),
-            ((0, Bp - B), (0, Tp - T), (0, Hp - H)),
+            ((0, Bp - B), (0, 0), (0, Hp - H)),
             constant_values=fill,
         )
 
-    g_p = pad_bth(g)  # zero cotangent on padding keeps adjoints silent
-    u_pd = pad_bth(u_seq, fill=-1e9)  # padded u -> boxcar window = 0
+    g_p = pad_bth(g)  # zero cotangent on padded rows keeps adjoints silent
+    u_pd = pad_bth(u_seq, fill=-1e9)  # padded-H u -> boxcar window = 0
     up_p = pad_bth(u_prev)
     sp_p = pad_bth(s_prev)
     wp_p = pad_bth(w_prev)
@@ -411,12 +433,12 @@ def _backward_pallas(
         else jnp.zeros((Hp, Hp), dtype)
     )
 
-    n_chunks = Tp // _TC
     grid = (Bp // bt, n_chunks)
     kernel = functools.partial(
         _bwd_kernel,
         threshold=float(threshold),
         tc=_TC,
+        T=T,
         recurrent=recurrent,
         adaptive=adaptive,
     )
@@ -448,7 +470,7 @@ def _backward_pallas(
             state_spec, state_spec, state_spec,  # du0 dw0 ds0
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((Bp, Tp, Hp), dtype),
+            jax.ShapeDtypeStruct((Bp, T, Hp), dtype),
             jax.ShapeDtypeStruct((Hp, Hp), dtype),
             jax.ShapeDtypeStruct((1, Hp), dtype),
             jax.ShapeDtypeStruct((1, Hp), dtype),
@@ -467,7 +489,7 @@ def _backward_pallas(
 
     dWx, dV, dalpha, dbeta, da, db, du0, dw0, ds0 = outs
     return (
-        dWx[:B, :T, :H],
+        dWx[:B, :, :H],
         dV[:H, :H],
         dalpha[0, :H],
         dbeta[0, :H],
