@@ -247,9 +247,11 @@ def _forward_pallas(
 def _bwd_kernel(
     g_ref,  # (bt, TC, H) — output cotangent, streamed in reverse
     u_ref,  # (bt, TC, H) — saved u_t
-    up_ref,  # (bt, TC, H) — u_{t-1}
-    sp_ref,  # (bt, TC, H) — s_{t-1}
-    wp_ref,  # (bt, TC, H) — w_{t-1}
+    s_ref,  # (bt, TC, H) — saved s_t (the forward output)
+    w_ref,  # (bt, TC, H) — saved w_t
+    ub_ref,  # (bt, H) — u at this chunk's left boundary (t = start-1)
+    sb_ref,  # (bt, H)
+    wb_ref,  # (bt, H)
     alpha_ref,  # (1, H)
     beta_ref,
     a_ref,
@@ -315,8 +317,11 @@ def _bwd_kernel(
     for k in range(tc - 1, -1, -1):  # reverse static unroll
         g_t = g_ref[:, k, :]
         u_t = u_ref[:, k, :]
-        u_p = up_ref[:, k, :]
-        s_p = sp_ref[:, k, :]
+        # previous-step state: in-block for k > 0, chunk boundary for k == 0
+        # (boundary arrays carry state at t = chunk_start - 1, incl. u0/s0/w0
+        # for the first chunk) — avoids streaming full shifted copies.
+        u_p = u_ref[:, k - 1, :] if k > 0 else ub_ref[:, :]
+        s_p = s_ref[:, k - 1, :] if k > 0 else sb_ref[:, :]
         if k >= tail_len:
             live = kc != 0
             g_t = jnp.where(live, g_t, 0.0)
@@ -355,7 +360,7 @@ def _bwd_kernel(
             A_new * ((u_p - s_p) - d_t), axis=0, keepdims=True
         )
         if adaptive:
-            w_p = wp_ref[:, k, :]
+            w_p = w_ref[:, k - 1, :] if k > 0 else wb_ref[:, :]
             if k >= tail_len:
                 w_p = jnp.where(kc != 0, w_p, 0.0)
             B_new = -one_m_alpha * A_new + beta * B
@@ -396,7 +401,7 @@ def _bwd_kernel(
 
 
 def _backward_pallas(
-    g, u_seq, u_prev, s_prev, w_prev, alpha, beta, a, b, V, threshold,
+    g, u_seq, s_seq, w_seq, u0, s0, w0, alpha, beta, a, b, V, threshold,
     *, recurrent: bool, adaptive: bool,
 ):
     """Fused reverse-time BPTT. Params must already be clamped/masked.
@@ -418,9 +423,26 @@ def _backward_pallas(
 
     g_p = pad_bth(g)  # zero cotangent on padded rows keeps adjoints silent
     u_pd = pad_bth(u_seq, fill=-1e9)  # padded-H u -> boxcar window = 0
-    up_p = pad_bth(u_prev)
-    sp_p = pad_bth(s_prev)
-    wp_p = pad_bth(w_prev)
+    s_pd = pad_bth(s_seq)
+    w_pd = pad_bth(w_seq) if adaptive else jnp.zeros_like(u_pd)
+
+    def boundary(seq_p, init):
+        """(Bp, n_chunks*Hp): state at t = c*TC - 1 for each chunk c
+        (the init state for c = 0). A strided gather — tiny vs streaming
+        full shifted copies of the state series."""
+        init_p = jnp.pad(
+            init.astype(dtype), ((0, Bp - B), (0, Hp - H))
+        )[:, None, :]
+        if n_chunks > 1:
+            heads = seq_p[:, _TC - 1 : (n_chunks - 1) * _TC : _TC, :]
+            bnd = jnp.concatenate([init_p, heads], axis=1)
+        else:
+            bnd = init_p
+        return bnd.reshape(Bp, n_chunks * Hp)
+
+    ub = boundary(u_pd, u0)
+    sb = boundary(s_pd, s0)
+    wb = boundary(w_pd, w0) if adaptive else jnp.zeros_like(ub)
 
     pad_h = lambda p: jnp.pad(p.astype(dtype), (0, Hp - H))[None, :]  # noqa: E731
     alpha_p = pad_h(alpha)
@@ -445,11 +467,13 @@ def _backward_pallas(
     # time chunks walked in reverse
     rev = lambda i, t: (i, n_chunks - 1 - t, 0)  # noqa: E731
     bh = lambda i, t: (i, 0)  # noqa: E731
+    rev_bnd = lambda i, t: (i, n_chunks - 1 - t)  # noqa: E731
     rep2 = lambda i, t: (0, 0)  # noqa: E731
     stream_spec = pl.BlockSpec((bt, _TC, Hp), rev, memory_space=pltpu.VMEM)
     vec_spec = pl.BlockSpec((1, Hp), rep2, memory_space=pltpu.VMEM)
     mat_spec = pl.BlockSpec((Hp, Hp), rep2, memory_space=pltpu.VMEM)
     state_spec = pl.BlockSpec((bt, Hp), bh, memory_space=pltpu.VMEM)
+    bnd_spec = pl.BlockSpec((bt, Hp), rev_bnd, memory_space=pltpu.VMEM)
 
     outs = pl.pallas_call(
         kernel,
@@ -457,9 +481,11 @@ def _backward_pallas(
         in_specs=[
             stream_spec,  # g
             stream_spec,  # u
-            stream_spec,  # u_prev
-            stream_spec,  # s_prev
-            stream_spec,  # w_prev
+            stream_spec,  # s
+            stream_spec,  # w
+            bnd_spec,  # u boundary
+            bnd_spec,  # s boundary
+            bnd_spec,  # w boundary
             vec_spec, vec_spec, vec_spec, vec_spec,  # alpha beta a b
             mat_spec,  # V^T
         ],
@@ -485,7 +511,7 @@ def _backward_pallas(
             pltpu.VMEM((bt, Hp), jnp.float32),
         ],
         interpret=_interpret(),
-    )(g_p, u_pd, up_p, sp_p, wp_p, alpha_p, beta_p, a_p, b_p, VT_p)
+    )(g_p, u_pd, s_pd, w_pd, ub, sb, wb, alpha_p, beta_p, a_p, b_p, VT_p)
 
     dWx, dV, dalpha, dbeta, da, db, du0, dw0, ds0 = outs
     return (
@@ -559,17 +585,9 @@ def _make_op(recurrent: bool, adaptive: bool, threshold: float):
         else:
             V_m = V
 
-        # shift the state series by one step: *_prev[t] = state_{t-1}
-        shift = lambda seq, init: jnp.concatenate(  # noqa: E731
-            [init[:, None, :], seq[:, :-1, :]], axis=1
-        )
-        u_prev = shift(u_seq, u0)
-        s_prev = shift(s_seq, s0)
-        w_prev = shift(w_seq, w0) if adaptive else jnp.zeros_like(u_prev)
-
         dWx, dV_m, dalpha_c, dbeta_c, da_c, db_c, du0, dw0, ds0 = (
             _backward_pallas(
-                g, u_seq, u_prev, s_prev, w_prev,
+                g, u_seq, s_seq, w_seq, u0, s0, w0,
                 alpha_c, beta_c, a_c, b_c, V_m, threshold,
                 recurrent=recurrent, adaptive=adaptive,
             )
