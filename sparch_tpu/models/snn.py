@@ -64,6 +64,12 @@ class _SpikingLayerBase(nn.Module):
     compute_dtype: Optional[jnp.dtype] = None
     bn_axis_name: Optional[str] = None
 
+    def _mxu_bf16(self) -> bool:
+        """bf16 MXU multiplies inside the fused kernels when the model's
+        compute dtype is bf16 (spikes are exact in bf16; ~1e-3 rel error
+        on the recurrent drive / adjoint matmuls)."""
+        return self.compute_dtype == jnp.bfloat16
+
     def _use_pallas(self) -> bool:
         """'auto' picks the fused Pallas kernels on TPU, lax.scan elsewhere
         (off-TPU the kernels would run interpreted — correct but slow).
@@ -173,7 +179,8 @@ class RLIFLayer(_SpikingLayerBase):
             from sparch_tpu.ops import pallas_cells
 
             s = pallas_cells.rlif_pallas(
-                Wx, self._alpha(), self._V(), self.threshold, u0, s0
+                Wx, self._alpha(), self._V(), self.threshold, u0, s0,
+                mxu_bf16=self._mxu_bf16(),
             )
         else:
             s = cells.rlif_scan(
@@ -196,7 +203,7 @@ class RadLIFLayer(_SpikingLayerBase):
 
             s = pallas_cells.radlif_pallas(
                 Wx, self._alpha(), beta, a, b, self._V(),
-                self.threshold, u0, w0, s0,
+                self.threshold, u0, w0, s0, mxu_bf16=self._mxu_bf16(),
             )
         else:
             s = cells.radlif_scan(

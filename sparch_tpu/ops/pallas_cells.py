@@ -100,6 +100,7 @@ def _fwd_kernel(
     recurrent: bool,
     adaptive: bool,
     save_residuals: bool,
+    mxu_bf16: bool,
 ):
     # inputs: Wx (bt,TC,H); alpha/beta/a/b (1,H); V (H,H); u0/w0/s0 (bt,H)
     # outputs: s (bt,TC,H) [+ u, w residual streams when saving]
@@ -129,11 +130,21 @@ def _fwd_kernel(
     s = s_scr[:, :]
     w = w_scr[:, :] if adaptive else None
 
+    v_mat = None
+    if recurrent:
+        v_mat = v_ref[:, :]
+        if mxu_bf16:
+            v_mat = v_mat.astype(jnp.bfloat16)
+
     for k in range(tc):  # static unroll
         drive = wx_ref[:, k, :]
         if recurrent:
+            # spikes are 0/1 — exactly representable in bf16; with a bf16 V
+            # the MXU runs at full (single-pass) rate instead of the 3-pass
+            # f32 mode, at ~1e-3 relative error on the recurrent drive
+            s_in = s.astype(jnp.bfloat16) if mxu_bf16 else s
             drive = drive + jnp.dot(
-                s, v_ref[:, :], preferred_element_type=jnp.float32
+                s_in, v_mat, preferred_element_type=jnp.float32
             )
         if adaptive:
             w = beta_ref[0, :] * w + a_ref[0, :] * u + b_ref[0, :] * s
@@ -155,6 +166,7 @@ def _fwd_kernel(
 def _forward_pallas(
     Wx, alpha, beta, a, b, V, threshold, u0, w0, s0,
     *, recurrent: bool, adaptive: bool, save_residuals: bool,
+    mxu_bf16: bool = False,
 ):
     """Run the fused forward. Params must already be clamped/masked.
     Returns s, or (s, u_seq, w_seq) with residuals."""
@@ -202,6 +214,7 @@ def _forward_pallas(
         recurrent=recurrent,
         adaptive=adaptive,
         save_residuals=save_residuals,
+        mxu_bf16=mxu_bf16,
     )
     bh = lambda i, t: (i, 0)  # noqa: E731
     bth = lambda i, t: (i, t, 0)  # noqa: E731
@@ -274,6 +287,7 @@ def _bwd_kernel(
     T: int,
     recurrent: bool,
     adaptive: bool,
+    mxu_bf16: bool,
 ):
     kc = pl.program_id(1)
     n_chunks = pl.num_programs(1)
@@ -331,10 +345,12 @@ def _bwd_kernel(
 
         C = g_t - alpha * A
         if recurrent:
-            C = C + jnp.dot(
-                one_m_alpha * A, vt_ref[:, :],
-                preferred_element_type=jnp.float32,
-            )
+            A_in = one_m_alpha * A
+            vt = vt_ref[:, :]
+            if mxu_bf16:
+                A_in = A_in.astype(jnp.bfloat16)
+                vt = vt.astype(jnp.bfloat16)
+            C = C + jnp.dot(A_in, vt, preferred_element_type=jnp.float32)
         if adaptive:
             C = C + b_c * B
         window = ((u_t - threshold > -0.5) & (u_t - threshold <= 0.5)).astype(
@@ -348,8 +364,12 @@ def _bwd_kernel(
 
         if recurrent:
             # dV += s_{t-1}^T dwx  — contract over the batch tile
+            sp_in, dwx_in = s_p, dwx
+            if mxu_bf16:
+                sp_in = sp_in.astype(jnp.bfloat16)
+                dwx_in = dwx_in.astype(jnp.bfloat16)
             dv_acc = dv_acc + jax.lax.dot_general(
-                s_p, dwx,
+                sp_in, dwx_in,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
@@ -402,7 +422,7 @@ def _bwd_kernel(
 
 def _backward_pallas(
     g, u_seq, s_seq, w_seq, u0, s0, w0, alpha, beta, a, b, V, threshold,
-    *, recurrent: bool, adaptive: bool,
+    *, recurrent: bool, adaptive: bool, mxu_bf16: bool = False,
 ):
     """Fused reverse-time BPTT. Params must already be clamped/masked.
     Returns (dWx, dV, dalpha, dbeta, da, db, du0, dw0, ds0) w.r.t. the
@@ -463,6 +483,7 @@ def _backward_pallas(
         T=T,
         recurrent=recurrent,
         adaptive=adaptive,
+        mxu_bf16=mxu_bf16,
     )
     # time chunks walked in reverse
     rev = lambda i, t: (i, n_chunks - 1 - t, 0)  # noqa: E731
@@ -542,7 +563,8 @@ def _clip_and_mask(alpha, beta, a, b, V, recurrent, adaptive):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_op(recurrent: bool, adaptive: bool, threshold: float):
+def _make_op(recurrent: bool, adaptive: bool, threshold: float,
+             mxu_bf16: bool = False):
     """Build (and memoize) the custom_vjp op for a fixed static threshold —
     the kernels need a concrete Python float, so threshold cannot be a
     traced operand."""
@@ -553,6 +575,7 @@ def _make_op(recurrent: bool, adaptive: bool, threshold: float):
         return _forward_pallas(
             Wx, *cm[:4], cm[4], threshold, u0, w0, s0,
             recurrent=recurrent, adaptive=adaptive, save_residuals=False,
+            mxu_bf16=mxu_bf16,
         )
 
     def fwd(Wx, alpha, beta, a, b, V, u0, w0, s0):
@@ -560,6 +583,7 @@ def _make_op(recurrent: bool, adaptive: bool, threshold: float):
         s_seq, u_seq, w_seq = _forward_pallas(
             Wx, *cm[:4], cm[4], threshold, u0, w0, s0,
             recurrent=recurrent, adaptive=adaptive, save_residuals=True,
+            mxu_bf16=mxu_bf16,
         )
         res = (alpha, beta, a, b, V, u_seq, w_seq, s_seq, u0, w0, s0)
         return s_seq, res
@@ -589,7 +613,7 @@ def _make_op(recurrent: bool, adaptive: bool, threshold: float):
             _backward_pallas(
                 g, u_seq, s_seq, w_seq, u0, s0, w0,
                 alpha_c, beta_c, a_c, b_c, V_m, threshold,
-                recurrent=recurrent, adaptive=adaptive,
+                recurrent=recurrent, adaptive=adaptive, mxu_bf16=mxu_bf16,
             )
         )
 
@@ -614,15 +638,16 @@ def _make_op(recurrent: bool, adaptive: bool, threshold: float):
     return op
 
 
-def radlif_pallas(Wx, alpha, beta, a, b, V, threshold, u0, w0, s0):
+def radlif_pallas(Wx, alpha, beta, a, b, V, threshold, u0, w0, s0,
+                  mxu_bf16: bool = False):
     """Fused RadLIF layer recurrence (drop-in for cells.radlif_scan)."""
-    op = _make_op(True, True, float(threshold))
+    op = _make_op(True, True, float(threshold), mxu_bf16)
     return op(Wx, alpha, beta, a, b, V, u0, w0, s0)
 
 
-def rlif_pallas(Wx, alpha, V, threshold, u0, s0):
+def rlif_pallas(Wx, alpha, V, threshold, u0, s0, mxu_bf16: bool = False):
     """Fused RLIF layer recurrence (drop-in for cells.rlif_scan)."""
-    op = _make_op(True, False, float(threshold))
+    op = _make_op(True, False, float(threshold), mxu_bf16)
     z = jnp.zeros_like(alpha)
     zs = jnp.zeros_like(u0)
     return op(Wx, alpha, z, z, z, V, u0, zs, s0)

@@ -195,3 +195,34 @@ def test_all_param_gradients_match_scan(data, variant):
             np.asarray(x), np.asarray(y), atol=2e-3, rtol=1e-4,
             err_msg=f"{variant} grad argnum {i}",
         )
+
+
+def test_mxu_bf16_mode_close_to_f32(data):
+    d = data
+    f32 = pallas_cells.radlif_pallas(
+        d["Wx"], d["alpha"], d["beta"], d["a"], d["b"], d["V"], 1.0,
+        d["u0"], d["w0"], d["s0"],
+    )
+    bf16 = pallas_cells.radlif_pallas(
+        d["Wx"], d["alpha"], d["beta"], d["a"], d["b"], d["V"], 1.0,
+        d["u0"], d["w0"], d["s0"], mxu_bf16=True,
+    )
+    # spikes are binary; bf16 recurrent drive may flip near-threshold
+    # neurons, but the overwhelming majority must agree
+    agree = float(jnp.mean(f32 == bf16))
+    assert agree > 0.99, agree
+
+    def loss(fn):
+        def inner(V):
+            s = fn(d["Wx"], d["alpha"], d["beta"], d["a"], d["b"], V, 1.0,
+                   d["u0"], d["w0"], d["s0"])
+            return (s * jnp.arange(H)).sum()
+        return inner
+
+    import functools
+    g32 = jax.grad(loss(pallas_cells.radlif_pallas))(d["V"])
+    g16 = jax.grad(loss(functools.partial(
+        pallas_cells.radlif_pallas, mxu_bf16=True)))(d["V"])
+    denom = float(jnp.abs(g32).max())
+    rel = float(jnp.abs(g32 - g16).max()) / max(denom, 1e-9)
+    assert rel < 0.1, rel
