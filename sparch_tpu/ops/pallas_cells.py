@@ -103,17 +103,23 @@ def _fwd_kernel(
     mxu_bf16: bool,
 ):
     # inputs: Wx (bt,TC,H); alpha/beta/a/b (1,H); V (H,H); u0/w0/s0 (bt,H)
-    # outputs: s (bt,TC,H) [+ u, w residual streams when saving]
+    # outputs: s (bt,TC,H) [+ u/w residual streams and u/s/w chunk-boundary
+    # states when saving — the boundaries feed the backward kernel, written
+    # here so no host-side strided gather (and its layout-change copy of
+    # the 26 MB residuals) is needed]
     # scratch: u, w, s state (bt,H) — persists across time-chunk grid steps
     (
         wx_ref, alpha_ref, beta_ref, a_ref, b_ref, v_ref,
         u0_ref, w0_ref, s0_ref,
     ) = refs[:9]
-    n_out = 3 if save_residuals else 1
+    n_out = 6 if save_residuals else 1
     outs = refs[9 : 9 + n_out]
     s_out_ref = outs[0]
     u_out_ref = outs[1] if save_residuals else None
     w_out_ref = outs[2] if save_residuals else None
+    ub_out_ref = outs[3] if save_residuals else None
+    sb_out_ref = outs[4] if save_residuals else None
+    wb_out_ref = outs[5] if save_residuals else None
     u_scr, w_scr, s_scr = refs[9 + n_out :]
 
     t = pl.program_id(1)
@@ -129,6 +135,13 @@ def _fwd_kernel(
     u = u_scr[:, :]
     s = s_scr[:, :]
     w = w_scr[:, :] if adaptive else None
+
+    if save_residuals:
+        # state at this chunk's left boundary (t = chunk_start - 1)
+        ub_out_ref[:, :] = u
+        sb_out_ref[:, :] = s
+        if adaptive:
+            wb_out_ref[:, :] = w
 
     v_mat = None
     if recurrent:
@@ -218,11 +231,23 @@ def _forward_pallas(
     )
     bh = lambda i, t: (i, 0)  # noqa: E731
     bth = lambda i, t: (i, t, 0)  # noqa: E731
+    bnd_map = lambda i, t: (i, t)  # noqa: E731
     rep2 = lambda i, t: (0, 0)  # noqa: E731
     stream_spec = pl.BlockSpec((bt, _TC, Hp), bth, memory_space=pltpu.VMEM)
     vec_spec = pl.BlockSpec((1, Hp), rep2, memory_space=pltpu.VMEM)
     mat_spec = pl.BlockSpec((Hp, Hp), rep2, memory_space=pltpu.VMEM)
     state_spec = pl.BlockSpec((bt, Hp), bh, memory_space=pltpu.VMEM)
+    bnd_spec = pl.BlockSpec((bt, Hp), bnd_map, memory_space=pltpu.VMEM)
+
+    if save_residuals:
+        out_specs = (stream_spec,) * 3 + (bnd_spec,) * 3
+        out_shape = tuple(
+            [jax.ShapeDtypeStruct((Bp, T, Hp), dtype)] * 3
+            + [jax.ShapeDtypeStruct((Bp, n_chunks * Hp), dtype)] * 3
+        )
+    else:
+        out_specs = (stream_spec,)
+        out_shape = (jax.ShapeDtypeStruct((Bp, T, Hp), dtype),)
 
     outs = pl.pallas_call(
         kernel,
@@ -233,11 +258,8 @@ def _forward_pallas(
             mat_spec,  # V
             state_spec, state_spec, state_spec,  # u0 w0 s0
         ],
-        out_specs=tuple([stream_spec] * (3 if save_residuals else 1)),
-        out_shape=tuple(
-            [jax.ShapeDtypeStruct((Bp, T, Hp), dtype)]
-            * (3 if save_residuals else 1)
-        ),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((bt, Hp), jnp.float32),
             pltpu.VMEM((bt, Hp), jnp.float32),
@@ -248,8 +270,10 @@ def _forward_pallas(
 
     if not save_residuals:
         return outs[0][:B, :, :H]
-    s_seq, u_seq, w_seq = outs
-    return s_seq[:B, :, :H], u_seq[:B, :, :H], w_seq[:B, :, :H]
+    s_seq, u_seq, w_seq, ub, sb, wb = outs
+    # residuals stay in padded (Bp, ., Hp) form — the backward kernel
+    # consumes them directly, avoiding slice/pad round-trips
+    return s_seq[:B, :, :H], (u_seq, w_seq, s_seq, ub, sb, wb)
 
 
 # ---------------------------------------------------------------------------
@@ -269,7 +293,8 @@ def _bwd_kernel(
     beta_ref,
     a_ref,
     b_ref,
-    vt_ref,  # (H, H) — V^T
+    v_ref,  # (H, H) — V (contracted as A @ V^T in-kernel; materialising
+    # V^T on the host costs a layout-change copy)
     dwx_ref,  # (bt, TC, H) out
     dv_ref,  # (H, H) out, accumulated
     dalpha_ref,  # (1, H) out, accumulated
@@ -346,11 +371,16 @@ def _bwd_kernel(
         C = g_t - alpha * A
         if recurrent:
             A_in = one_m_alpha * A
-            vt = vt_ref[:, :]
+            v = v_ref[:, :]
             if mxu_bf16:
                 A_in = A_in.astype(jnp.bfloat16)
-                vt = vt.astype(jnp.bfloat16)
-            C = C + jnp.dot(A_in, vt, preferred_element_type=jnp.float32)
+                v = v.astype(jnp.bfloat16)
+            # A @ V^T via contraction over V's second axis
+            C = C + jax.lax.dot_general(
+                A_in, v,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         if adaptive:
             C = C + b_c * B
         window = ((u_t - threshold > -0.5) & (u_t - threshold <= 0.5)).astype(
@@ -411,8 +441,9 @@ def _bwd_kernel(
         dw0_ref[:, :] = beta * B_fin
         ds0 = -alpha * A_fin
         if recurrent:
-            ds0 = ds0 + jnp.dot(
-                one_m_alpha * A_fin, vt_ref[:, :],
+            ds0 = ds0 + jax.lax.dot_general(
+                one_m_alpha * A_fin, v_ref[:, :],
+                dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
         if adaptive:
@@ -421,56 +452,32 @@ def _bwd_kernel(
 
 
 def _backward_pallas(
-    g, u_seq, s_seq, w_seq, u0, s0, w0, alpha, beta, a, b, V, threshold,
+    g, residuals, alpha, beta, a, b, V, threshold,
     *, recurrent: bool, adaptive: bool, mxu_bf16: bool = False,
 ):
-    """Fused reverse-time BPTT. Params must already be clamped/masked.
-    Returns (dWx, dV, dalpha, dbeta, da, db, du0, dw0, ds0) w.r.t. the
-    clamped parameters."""
+    """Fused reverse-time BPTT. Params must already be clamped/masked;
+    ``residuals`` are the forward kernel's padded outputs
+    (u_pd, w_pd, s_pd, ub, sb, wb). Returns (dWx, dV, dalpha, dbeta, da,
+    db, du0, dw0, ds0) w.r.t. the clamped parameters."""
+    u_pd, w_pd, s_pd, ub, sb, wb = residuals
     B, T, H = g.shape
     dtype = jnp.float32
-    Hp = _round_up(H, _LANE)
-    Bp = _round_up(B, _SUBLANE)
+    Bp, _, Hp = u_pd.shape
     bt = _tile_plan(Bp, Hp, streams=6)
     n_chunks = (T + _TC - 1) // _TC
 
-    def pad_bth(x, fill=0.0):
-        return jnp.pad(
-            x.astype(dtype),
-            ((0, Bp - B), (0, 0), (0, Hp - H)),
-            constant_values=fill,
-        )
-
-    g_p = pad_bth(g)  # zero cotangent on padded rows keeps adjoints silent
-    u_pd = pad_bth(u_seq, fill=-1e9)  # padded-H u -> boxcar window = 0
-    s_pd = pad_bth(s_seq)
-    w_pd = pad_bth(w_seq) if adaptive else jnp.zeros_like(u_pd)
-
-    def boundary(seq_p, init):
-        """(Bp, n_chunks*Hp): state at t = c*TC - 1 for each chunk c
-        (the init state for c = 0). A strided gather — tiny vs streaming
-        full shifted copies of the state series."""
-        init_p = jnp.pad(
-            init.astype(dtype), ((0, Bp - B), (0, Hp - H))
-        )[:, None, :]
-        if n_chunks > 1:
-            heads = seq_p[:, _TC - 1 : (n_chunks - 1) * _TC : _TC, :]
-            bnd = jnp.concatenate([init_p, heads], axis=1)
-        else:
-            bnd = init_p
-        return bnd.reshape(Bp, n_chunks * Hp)
-
-    ub = boundary(u_pd, u0)
-    sb = boundary(s_pd, s0)
-    wb = boundary(w_pd, w0) if adaptive else jnp.zeros_like(ub)
+    # zero cotangent on padded rows/cols keeps adjoints silent
+    g_p = jnp.pad(
+        g.astype(dtype), ((0, Bp - B), (0, 0), (0, Hp - H))
+    )
 
     pad_h = lambda p: jnp.pad(p.astype(dtype), (0, Hp - H))[None, :]  # noqa: E731
     alpha_p = pad_h(alpha)
     beta_p = pad_h(beta) if adaptive else jnp.zeros((1, Hp), dtype)
     a_p = pad_h(a) if adaptive else jnp.zeros((1, Hp), dtype)
     b_p = pad_h(b) if adaptive else jnp.zeros((1, Hp), dtype)
-    VT_p = (
-        jnp.pad(V.T.astype(dtype), ((0, Hp - H), (0, Hp - H)))
+    V_p = (
+        jnp.pad(V.astype(dtype), ((0, Hp - H), (0, Hp - H)))
         if recurrent
         else jnp.zeros((Hp, Hp), dtype)
     )
@@ -508,7 +515,7 @@ def _backward_pallas(
             bnd_spec,  # s boundary
             bnd_spec,  # w boundary
             vec_spec, vec_spec, vec_spec, vec_spec,  # alpha beta a b
-            mat_spec,  # V^T
+            mat_spec,  # V
         ],
         out_specs=(
             stream_spec,  # dWx
@@ -532,7 +539,7 @@ def _backward_pallas(
             pltpu.VMEM((bt, Hp), jnp.float32),
         ],
         interpret=_interpret(),
-    )(g_p, u_pd, s_pd, w_pd, ub, sb, wb, alpha_p, beta_p, a_p, b_p, VT_p)
+    )(g_p, u_pd, s_pd, w_pd, ub, sb, wb, alpha_p, beta_p, a_p, b_p, V_p)
 
     dWx, dV, dalpha, dbeta, da, db, du0, dw0, ds0 = outs
     return (
@@ -580,16 +587,16 @@ def _make_op(recurrent: bool, adaptive: bool, threshold: float,
 
     def fwd(Wx, alpha, beta, a, b, V, u0, w0, s0):
         cm = _clip_and_mask(alpha, beta, a, b, V, recurrent, adaptive)
-        s_seq, u_seq, w_seq = _forward_pallas(
+        s_out, residuals = _forward_pallas(
             Wx, *cm[:4], cm[4], threshold, u0, w0, s0,
             recurrent=recurrent, adaptive=adaptive, save_residuals=True,
             mxu_bf16=mxu_bf16,
         )
-        res = (alpha, beta, a, b, V, u_seq, w_seq, s_seq, u0, w0, s0)
-        return s_seq, res
+        res = (alpha, beta, a, b, V, residuals, u0, w0, s0)
+        return s_out, res
 
     def bwd(res, g):
-        alpha, beta, a, b, V, u_seq, w_seq, s_seq, u0, w0, s0 = res
+        alpha, beta, a, b, V, residuals, u0, w0, s0 = res
 
         # Re-derive the clamped params with their clip VJPs so raw-param
         # gradients match the scan path exactly.
@@ -611,7 +618,7 @@ def _make_op(recurrent: bool, adaptive: bool, threshold: float,
 
         dWx, dV_m, dalpha_c, dbeta_c, da_c, db_c, du0, dw0, ds0 = (
             _backward_pallas(
-                g, u_seq, s_seq, w_seq, u0, s0, w0,
+                g, residuals,
                 alpha_c, beta_c, a_c, b_c, V_m, threshold,
                 recurrent=recurrent, adaptive=adaptive, mxu_bf16=mxu_bf16,
             )
