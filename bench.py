@@ -42,6 +42,8 @@ def _diff_time(run):
 def bench_train_step(cell_impl="scan"):
     import jax
 
+    jax.config.update("jax_default_prng_impl", "rbg")
+
     from sparch_tpu.models import build_model
     from sparch_tpu.train.state import create_train_state
     from sparch_tpu.train.steps import make_train_step

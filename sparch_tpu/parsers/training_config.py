@@ -157,6 +157,17 @@ def add_training_options(parser):
         "requires a manual --use_pretrained_model relaunch).",
     )
     parser.add_argument(
+        "--prng_impl",
+        type=str,
+        choices=["rbg", "threefry2x32"],
+        default="rbg",
+        help="JAX PRNG implementation. 'rbg' uses the TPU hardware RNG "
+        "path (~0.4 ms/step faster for dropout mask generation); "
+        "'threefry2x32' is JAX's default counter-based generator. Both "
+        "are deterministic per key; streams differ. Checkpoints store "
+        "the key, so keep the same impl across save/resume.",
+    )
+    parser.add_argument(
         "--seed",
         type=int,
         default=0,

@@ -89,6 +89,8 @@ class Experiment:
         self.pad_multiple = getattr(args, "pad_multiple", 100)
         self.compute_dtype = getattr(args, "compute_dtype", "float32")
         self.profile_dir = getattr(args, "profile_dir", None)
+        self.prng_impl = getattr(args, "prng_impl", "rbg")
+        jax.config.update("jax_default_prng_impl", self.prng_impl)
 
         # Initialize logging and output folders
         self.init_exp_folders()
