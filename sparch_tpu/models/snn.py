@@ -227,6 +227,7 @@ class ReadoutLayer(nn.Module):
     normalization: str = "batchnorm"
     use_bias: bool = False
     state_init: str = "uniform"
+    cell_impl: str = "auto"
     compute_dtype: Optional[jnp.dtype] = None
     bn_axis_name: Optional[str] = None
 
@@ -244,6 +245,13 @@ class ReadoutLayer(nn.Module):
         alpha = self.param(
             "alpha", uniform_range_init(*cells.ALPHA_LIM), (self.hidden_size,)
         )
+        use_pallas = self.cell_impl == "pallas" or (
+            self.cell_impl == "auto" and jax.default_backend() == "tpu"
+        )
+        if use_pallas:
+            from sparch_tpu.ops import pallas_cells
+
+            return pallas_cells.readout_pallas(Wx, alpha, u0)
         return cells.readout_sum(Wx, alpha, u0)
 
 
@@ -330,6 +338,7 @@ class SNN(nn.Module):
                 normalization=self.normalization,
                 use_bias=self.use_bias,
                 state_init=self.state_init,
+                cell_impl=self.cell_impl,
                 compute_dtype=self.compute_dtype,
                 bn_axis_name=self.bn_axis_name,
                 name="readout",

@@ -57,7 +57,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from sparch_tpu.ops import cells
 
-__all__ = ["rlif_pallas", "radlif_pallas", "lif_pallas", "adlif_pallas"]
+__all__ = [
+    "rlif_pallas",
+    "radlif_pallas",
+    "lif_pallas",
+    "adlif_pallas",
+    "readout_pallas",
+]
 
 _LANE = 128
 _SUBLANE = 8
@@ -674,3 +680,243 @@ def lif_pallas(Wx, alpha, threshold, u0, s0):
     zs = jnp.zeros_like(u0)
     V = jnp.zeros((Wx.shape[-1], Wx.shape[-1]), Wx.dtype)
     return op(Wx, alpha, z, z, z, V, u0, zs, s0)
+
+
+# ---------------------------------------------------------------------------
+# Fused readout kernel: u_t = a*u + (1-a)*Wx_t ; out += softmax(u_t)
+# (reference snns.py:808-825). Pure VPU work, but as lax.scan it costs two
+# sequential while-loops (fwd + BPTT) per step; fused it is one kernel each
+# way with u / the adjoint G resident in VMEM.
+#
+# Backward math: out = sum_t softmax(u_t), gout constant over t:
+#   G_t = p_t * (gout - <p_t, gout>) + alpha * G_{t+1}
+#   dWx_t = (1-alpha) * G_t
+#   dalpha += sum_B G_t * (u_{t-1} - Wx_t),
+#             Wx_t = (u_t - alpha*u_{t-1}) / (1-alpha)
+#   du_0 = alpha * G_1
+# p_t is recomputed from the saved u_t series (cheaper than storing it).
+# ---------------------------------------------------------------------------
+
+
+def _softmax_lastdim(u):
+    m = jnp.max(u, axis=-1, keepdims=True)
+    e = jnp.exp(u - m)
+    return e / jnp.sum(e, axis=-1, keepdims=True)
+
+
+def _readout_fwd_kernel(*refs, tc, T, save_residuals):
+    (wx_ref, alpha_ref, u0_ref) = refs[:3]
+    n_out = 3 if save_residuals else 1
+    outs = refs[3 : 3 + n_out]
+    out_ref = outs[0]  # (bt, H) accumulator — block resident across chunks
+    u_out_ref = outs[1] if save_residuals else None
+    ub_out_ref = outs[2] if save_residuals else None
+    (u_scr,) = refs[3 + n_out :]
+
+    kc = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+    n_chunks_static = (T + tc - 1) // tc
+    tail_len = T - (n_chunks_static - 1) * tc
+
+    @pl.when(kc == 0)
+    def _init():
+        u_scr[:, :] = u0_ref[:, :]
+        out_ref[:, :] = jnp.zeros_like(out_ref)
+
+    alpha = alpha_ref[0, :]
+    u = u_scr[:, :]
+    if save_residuals:
+        ub_out_ref[:, :] = u
+    acc = out_ref[:, :]
+
+    for k in range(tc):
+        u = alpha * u + (1.0 - alpha) * wx_ref[:, k, :]
+        if save_residuals:
+            u_out_ref[:, k, :] = u
+        p = _softmax_lastdim(u)
+        if k >= tail_len:
+            # forward tail: out-of-bounds steps must not accumulate
+            p = jnp.where(kc != n_chunks - 1, p, 0.0)
+        acc = acc + p
+
+    u_scr[:, :] = u
+    out_ref[:, :] = acc
+
+
+def _readout_bwd_kernel(
+    u_ref, ub_ref, gout_ref, alpha_ref,
+    dwx_ref, dalpha_ref, du0_ref,
+    G_scr,
+    *, tc, T,
+):
+    kc = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+    first = kc == 0
+    last = kc == n_chunks - 1
+    n_chunks_static = (T + tc - 1) // tc
+    tail_len = T - (n_chunks_static - 1) * tc
+
+    @pl.when(first)
+    def _init():
+        G_scr[:, :] = jnp.zeros_like(G_scr)
+
+    @pl.when(first & (pl.program_id(0) == 0))
+    def _init_acc():
+        dalpha_ref[:, :] = jnp.zeros_like(dalpha_ref)
+
+    alpha = alpha_ref[0, :]
+    one_m_alpha = 1.0 - alpha
+    gout = gout_ref[:, :]
+    G = G_scr[:, :]
+    dal = jnp.zeros_like(dalpha_ref)
+
+    for k in range(tc - 1, -1, -1):
+        u_t = u_ref[:, k, :]
+        u_p = u_ref[:, k - 1, :] if k > 0 else ub_ref[:, :]
+        g_eff = gout
+        if k >= tail_len:
+            live = kc != 0
+            g_eff = jnp.where(live, g_eff, 0.0)
+            u_t = jnp.where(live, u_t, 0.0)
+            u_p = jnp.where(live, u_p, 0.0)
+        p = _softmax_lastdim(u_t)
+        jac = p * (g_eff - jnp.sum(p * g_eff, axis=-1, keepdims=True))
+        G = jac + alpha * G
+        dwx_ref[:, k, :] = one_m_alpha * G
+        wx_t = (u_t - alpha * u_p) / one_m_alpha
+        dal = dal + jnp.sum(G * (u_p - wx_t), axis=0, keepdims=True)
+
+    G_scr[:, :] = G
+    dalpha_ref[:, :] += dal
+
+    @pl.when(last)
+    def _du0():
+        du0_ref[:, :] = alpha * G_scr[:, :]
+
+
+def _readout_forward(Wx, alpha, u0, *, save_residuals):
+    B, T, H = Wx.shape
+    dtype = jnp.float32
+    Hp = _round_up(H, _LANE)
+    Bp = _round_up(B, _SUBLANE)
+    bt = _tile_plan(Bp, Hp, streams=2)
+    n_chunks = (T + _TC - 1) // _TC
+
+    Wx_p = jnp.pad(
+        Wx.astype(dtype), ((0, Bp - B), (0, 0), (0, Hp - H)),
+        constant_values=-1e9,  # padded class lanes never win the softmax
+    )
+    alpha_p = jnp.pad(alpha.astype(dtype), (0, Hp - H))[None, :]
+    u0_p = jnp.pad(
+        u0.astype(dtype), ((0, Bp - B), (0, Hp - H)), constant_values=-1e9
+    )
+
+    grid = (Bp // bt, n_chunks)
+    kernel = functools.partial(
+        _readout_fwd_kernel, tc=_TC, T=T, save_residuals=save_residuals
+    )
+    bh = lambda i, t: (i, 0)  # noqa: E731
+    bth = lambda i, t: (i, t, 0)  # noqa: E731
+    bnd_map = lambda i, t: (i, t)  # noqa: E731
+    rep2 = lambda i, t: (0, 0)  # noqa: E731
+    stream_spec = pl.BlockSpec((bt, _TC, Hp), bth, memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, Hp), rep2, memory_space=pltpu.VMEM)
+    state_spec = pl.BlockSpec((bt, Hp), bh, memory_space=pltpu.VMEM)
+    bnd_spec = pl.BlockSpec((bt, Hp), bnd_map, memory_space=pltpu.VMEM)
+
+    if save_residuals:
+        out_specs = (state_spec, stream_spec, bnd_spec)
+        out_shape = (
+            jax.ShapeDtypeStruct((Bp, Hp), dtype),
+            jax.ShapeDtypeStruct((Bp, T, Hp), dtype),
+            jax.ShapeDtypeStruct((Bp, n_chunks * Hp), dtype),
+        )
+    else:
+        out_specs = (state_spec,)
+        out_shape = (jax.ShapeDtypeStruct((Bp, Hp), dtype),)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[stream_spec, vec_spec, state_spec],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((bt, Hp), jnp.float32)],
+        interpret=_interpret(),
+    )(Wx_p, alpha_p, u0_p)
+
+    if not save_residuals:
+        return outs[0][:B, :H]
+    out, u_seq, ub = outs
+    return out[:B, :H], (u_seq, ub)
+
+
+def _readout_backward(g, residuals, alpha, T):
+    u_seq, ub = residuals
+    Bp, _, Hp = u_seq.shape
+    B, H = g.shape
+    dtype = jnp.float32
+    bt = _tile_plan(Bp, Hp, streams=2)
+    n_chunks = (T + _TC - 1) // _TC
+
+    g_p = jnp.pad(g.astype(dtype), ((0, Bp - B), (0, Hp - H)))
+    alpha_p = jnp.pad(alpha.astype(dtype), (0, Hp - H))[None, :]
+
+    grid = (Bp // bt, n_chunks)
+    kernel = functools.partial(_readout_bwd_kernel, tc=_TC, T=T)
+    rev = lambda i, t: (i, n_chunks - 1 - t, 0)  # noqa: E731
+    rev_bnd = lambda i, t: (i, n_chunks - 1 - t)  # noqa: E731
+    bh = lambda i, t: (i, 0)  # noqa: E731
+    rep2 = lambda i, t: (0, 0)  # noqa: E731
+    stream_spec = pl.BlockSpec((bt, _TC, Hp), rev, memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, Hp), rep2, memory_space=pltpu.VMEM)
+    state_spec = pl.BlockSpec((bt, Hp), bh, memory_space=pltpu.VMEM)
+    bnd_spec = pl.BlockSpec((bt, Hp), rev_bnd, memory_space=pltpu.VMEM)
+
+    dWx, dalpha, du0 = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[stream_spec, bnd_spec, state_spec, vec_spec],
+        out_specs=(stream_spec, vec_spec, state_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bp, T, Hp), jnp.float32),
+            jax.ShapeDtypeStruct((1, Hp), jnp.float32),
+            jax.ShapeDtypeStruct((Bp, Hp), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((bt, Hp), jnp.float32)],
+        interpret=_interpret(),
+    )(u_seq, ub, g_p, alpha_p)
+
+    return dWx[:B, :, :H], dalpha[0, :H], du0[:B, :H]
+
+
+@functools.lru_cache(maxsize=None)
+def _make_readout_op():
+    @jax.custom_vjp
+    def op(Wx, alpha, u0):
+        alpha_c = jnp.clip(alpha, *cells.ALPHA_LIM)
+        return _readout_forward(Wx, alpha_c, u0, save_residuals=False)
+
+    def fwd(Wx, alpha, u0):
+        alpha_c = jnp.clip(alpha, *cells.ALPHA_LIM)
+        out, residuals = _readout_forward(
+            Wx, alpha_c, u0, save_residuals=True
+        )
+        return out, (alpha, residuals, Wx.shape[1])
+
+    def bwd(res, g):
+        alpha, residuals, T = res
+        alpha_c, alpha_vjp = jax.vjp(
+            lambda p: jnp.clip(p, *cells.ALPHA_LIM), alpha
+        )
+        dWx, dalpha_c, du0 = _readout_backward(g, residuals, alpha_c, T)
+        (dalpha,) = alpha_vjp(dalpha_c)
+        return (dWx, dalpha, du0)
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def readout_pallas(Wx, alpha, u0):
+    """Fused cumulative-softmax readout (drop-in for cells.readout_sum)."""
+    return _make_readout_op()(Wx, alpha, u0)

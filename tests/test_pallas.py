@@ -226,3 +226,29 @@ def test_mxu_bf16_mode_close_to_f32(data):
     denom = float(jnp.abs(g32).max())
     rel = float(jnp.abs(g32 - g16).max()) / max(denom, 1e-9)
     assert rel < 0.1, rel
+
+
+def test_readout_pallas_matches_scan(data):
+    d = data
+    Wx = d["Wx"]
+    alpha = d["alpha"]
+    u0 = d["u0"]
+    got = pallas_cells.readout_pallas(Wx, alpha, u0)
+    want = cells.readout_sum(Wx, alpha, u0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    # gradients (weighted loss over classes)
+    wgt = jnp.asarray(np.linspace(0.5, 2.0, H)[None, :], jnp.float32)
+
+    def loss(fn):
+        return lambda Wx, alpha, u0: (fn(Wx, alpha, u0) * wgt).sum()
+
+    gp = jax.grad(loss(pallas_cells.readout_pallas), argnums=(0, 1, 2))(
+        Wx, alpha, u0
+    )
+    gs = jax.grad(loss(cells.readout_sum), argnums=(0, 1, 2))(Wx, alpha, u0)
+    for i, (x, y) in enumerate(zip(gp, gs)):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), atol=1e-4,
+            err_msg=f"readout grad argnum {i}",
+        )
