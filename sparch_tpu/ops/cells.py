@@ -230,6 +230,12 @@ def readout_sum(
     """Non-spiking leaky readout: cumulative softmax of the membrane.
 
     ``Wx``: (B,T,H) -> (B,H). Reference snns.py:808-825.
+
+    Note: this recurrence is linear (softmax is never fed back), so a
+    parallel ``associative_scan`` formulation is possible — but measured
+    slower on v5e (its log-depth concat/slice lowering plus autodiff
+    transpose cost ~2 ms vs ~0.5 ms for the scan), so the sequential scan
+    stays.
     """
     alpha = _clip(alpha, ALPHA_LIM).astype(Wx.dtype)
 
