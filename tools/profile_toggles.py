@@ -40,7 +40,6 @@ def main():
         ("no dropout", dict(dropout=0.0)),
         ("no norm", dict(normalization="none")),
         ("zeros state init", dict(state_init="zeros")),
-        ("no readout", dict(use_readout_layer=False)),
         ("LIF instead of RadLIF", {}),
     ]:
         if name == "LIF instead of RadLIF":
