@@ -154,3 +154,16 @@ def test_nb_steps_and_threshold_flags(shd_folder, tmp_path):
     assert e.net.threshold == 0.7
     xs, _, _ = next(iter(e.train_loader))
     assert xs.shape[1] == 50
+
+
+def test_log_tofile(shd_folder, tmp_path):
+    exp = str(tmp_path / "exp8")
+    run_exp.main(
+        _base_args(shd_folder, exp, extra=["--log_tofile", "true",
+                                           "--nb_epochs", "1"])
+    )
+    log = os.path.join(exp, "log", "exp.log")
+    assert os.path.isfile(log)
+    content = open(log).read()
+    assert "train loss=" in content
+    assert "Test acc=" in content
