@@ -231,24 +231,21 @@ def readout_sum(
 
     ``Wx``: (B,T,H) -> (B,H). Reference snns.py:808-825.
 
-    Note: this recurrence is linear (softmax is never fed back), so a
-    parallel ``associative_scan`` formulation is possible — but measured
-    slower on v5e (its log-depth concat/slice lowering plus autodiff
-    transpose cost ~2 ms vs ~0.5 ms for the scan), so the sequential scan
-    stays.
+    The recurrence is linear (softmax is never fed back), so only the
+    one-multiply-add membrane update stays inside the sequential scan; the
+    softmax and the time sum run fully parallel over the stacked
+    trajectory. (A log-depth ``associative_scan`` formulation was measured
+    slower on v5e — its concat/slice lowering plus autodiff transpose cost
+    ~2 ms vs ~0.5 ms total for the scan.)
     """
     alpha = _clip(alpha, ALPHA_LIM).astype(Wx.dtype)
 
-    def step(carry, wx_t):
-        u, out = carry
+    def step(u, wx_t):
         u = alpha * u + (1.0 - alpha) * wx_t
-        out = out + jax.nn.softmax(u, axis=-1)
-        return (u, out), None
+        return u, u
 
-    (_, out), _ = jax.lax.scan(
-        step, (u0, jnp.zeros_like(u0)), _time_major(Wx)
-    )
-    return out
+    _, us = jax.lax.scan(step, u0, _time_major(Wx))  # (T,B,H)
+    return jnp.sum(jax.nn.softmax(us, axis=-1), axis=0)
 
 
 # ---------------------------------------------------------------------------
