@@ -17,7 +17,8 @@ logger = logging.getLogger(__name__)
 
 def parse_args(argv=None):
     parser = argparse.ArgumentParser(
-        description="Model training on spiking speech commands datasets."
+        description="Train or evaluate spiking/non-spiking speech-command "
+        "models (SHD/SSC/HD/SC) on TPU."
     )
     parser = add_model_options(parser)
     parser = add_training_options(parser)
@@ -25,8 +26,7 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
-    """Runs model training/testing using the configuration specified by the
-    parser arguments."""
+    """Build an Experiment from the CLI flags and drive it to completion."""
     args = parse_args(argv)
     experiment = Experiment(args)
     experiment.forward()

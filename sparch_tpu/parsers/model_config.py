@@ -10,6 +10,16 @@ logger = logging.getLogger(__name__)
 
 __all__ = ["add_model_options", "print_model_options", "strtobool"]
 
+_MODEL_OPTION_KEYS = [
+    "model_type",
+    "nb_layers",
+    "nb_hiddens",
+    "pdrop",
+    "normalization",
+    "use_bias",
+    "bidirectional",
+]
+
 
 def strtobool(val) -> bool:
     v = str(val).lower()
@@ -26,45 +36,47 @@ def add_model_options(parser):
         type=str,
         choices=["LIF", "adLIF", "RLIF", "RadLIF", "MLP", "RNN", "LiGRU", "GRU"],
         default="LIF",
-        help="Type of ANN or SNN model.",
+        help="Network architecture: one of the spiking neuron variants "
+        "(LIF/adLIF/RLIF/RadLIF) or a non-spiking baseline "
+        "(MLP/RNN/LiGRU/GRU).",
     )
     parser.add_argument(
         "--nb_layers",
         type=int,
         default=3,
-        help="Number of layers (including readout layer).",
+        help="Total layer count; the final layer is the readout.",
     )
     parser.add_argument(
         "--nb_hiddens",
         type=int,
         default=128,
-        help="Number of neurons in all hidden layers.",
+        help="Width (neuron count) of every hidden layer.",
     )
     parser.add_argument(
         "--pdrop",
         type=float,
         default=0.1,
-        help="Dropout rate, must be between 0 and 1.",
+        help="Dropout probability on hidden-layer outputs, in [0, 1].",
     )
     parser.add_argument(
         "--normalization",
         type=str,
         default="batchnorm",
-        help="Type of normalization, Every string different from batchnorm "
-        "and layernorm will result in no normalization.",
+        help="Feature normalization applied after the input projection: "
+        "'batchnorm' or 'layernorm'; anything else disables it.",
     )
     parser.add_argument(
         "--use_bias",
         type=strtobool,
         default=False,
-        help="Whether to include trainable bias with feedforward weights.",
+        help="Add a learnable bias term to the feedforward projections.",
     )
     parser.add_argument(
         "--bidirectional",
         type=strtobool,
         default=False,
-        help="If True, a bidirectional model that scans the sequence in both "
-        "directions is used, which doubles the size of feedforward matrices. ",
+        help="Run each layer over the sequence in both directions and "
+        "concatenate the two passes, doubling the layer's output width.",
     )
     parser.add_argument(
         "--threshold",
@@ -100,16 +112,8 @@ def add_model_options(parser):
 
 
 def print_model_options(args):
-    logging.info(
-        """
-        Model Config
-        ------------
-        Model Type: {model_type}
-        Number of layers: {nb_layers}
-        Number of hidden neurons: {nb_hiddens}
-        Dropout rate: {pdrop}
-        Normalization: {normalization}
-        Use bias: {use_bias}
-        Bidirectional: {bidirectional}
-    """.format(**vars(args))
-    )
+    """Log the resolved model options, one key=value line each."""
+    opts = vars(args)
+    lines = ["", "model options:"]
+    lines += [f"  {k}={opts[k]}" for k in _MODEL_OPTION_KEYS if k in opts]
+    logging.info("\n".join(lines))

@@ -12,134 +12,161 @@ logger = logging.getLogger(__name__)
 
 __all__ = ["add_training_options", "print_training_options"]
 
+_TRAINING_OPTION_KEYS = [
+    "use_pretrained_model",
+    "only_do_testing",
+    "load_exp_folder",
+    "new_exp_folder",
+    "dataset_name",
+    "data_folder",
+    "log_tofile",
+    "save_best",
+    "batch_size",
+    "nb_epochs",
+    "start_epoch",
+    "lr",
+    "scheduler_patience",
+    "scheduler_factor",
+    "use_regularizers",
+    "reg_factor",
+    "reg_fmin",
+    "reg_fmax",
+    "use_augm",
+]
+
 
 def add_training_options(parser):
     parser.add_argument(
         "--use_pretrained_model",
         type=strtobool,
         default=False,
-        help="Whether to load a pretrained model or to create a new one.",
+        help="Start from a previously saved checkpoint instead of "
+        "initialising fresh parameters.",
     )
     parser.add_argument(
         "--only_do_testing",
         type=strtobool,
         default=False,
-        help="If True, will skip training and only perform testing of the "
-        "loaded model.",
+        help="Skip all training and just evaluate the loaded model on the "
+        "test split.",
     )
     parser.add_argument(
         "--load_exp_folder",
         type=str,
         default=None,
-        help="Path to experiment folder with a pretrained model to load. Note "
-        "that the same path will be used to store the current experiment.",
+        help="Existing experiment directory whose checkpoint should be "
+        "loaded; the run's new outputs are written to this same directory.",
     )
     parser.add_argument(
         "--new_exp_folder",
         type=str,
         default=None,
-        help="Path to output folder to store experiment.",
+        help="Directory to create for this experiment's logs and "
+        "checkpoints (a config-derived name is generated when omitted).",
     )
     parser.add_argument(
         "--dataset_name",
         type=str,
         choices=["shd", "ssc", "hd", "sc"],
         default="shd",
-        help="Dataset name (shd, ssc, hd or sc).",
+        help="Benchmark to run: spiking events (shd, ssc) or raw audio "
+        "(hd, sc).",
     )
     parser.add_argument(
         "--data_folder",
         type=str,
         default="data/shd_dataset/",
-        help="Path to dataset folder.",
+        help="Directory holding the dataset files.",
     )
     parser.add_argument(
         "--log_tofile",
         type=strtobool,
         default=False,
-        help="Whether to print experiment log in an dedicated file or "
-        "directly inside the terminal.",
+        help="Write the run log to <exp>/log/exp.log instead of the "
+        "terminal.",
     )
     parser.add_argument(
         "--save_best",
         type=strtobool,
         default=True,
-        help="If True, the model from the epoch with the highest validation "
-        "accuracy is saved, if False, no model is saved.",
+        help="Keep a checkpoint of the epoch with the best validation "
+        "accuracy; disable to train without writing any checkpoint.",
     )
     parser.add_argument(
         "--batch_size",
         type=int,
         default=128,
-        help="Number of input examples inside a single batch.",
+        help="Examples per gradient step.",
     )
     parser.add_argument(
         "--nb_epochs",
         type=int,
         default=5,
-        help="Number of training epochs (i.e. passes through the dataset).",
+        help="How many passes over the training set to run.",
     )
     parser.add_argument(
         "--start_epoch",
         type=int,
         default=0,
-        help="Epoch number to start training at. Will be 0 if no pretrained "
-        "model is given. First epoch will be start_epoch+1.",
+        help="Epoch-counter offset when resuming a checkpoint; keep 0 for "
+        "fresh runs. Training covers epochs start_epoch+1 .. "
+        "start_epoch+nb_epochs.",
     )
     parser.add_argument(
         "--lr",
         type=float,
         default=1e-2,
-        help="Initial learning rate for training. The default value of 0.01 "
-        "is good for SHD and SC, but 0.001 seemed to work better for HD and SC.",
+        help="Adam step size at the start of training. 1e-2 suits the "
+        "spiking datasets; 1e-3 tends to work better on raw audio.",
     )
     parser.add_argument(
         "--scheduler_patience",
         type=int,
         default=1,
-        help="Number of epochs without progress before the learning rate "
-        "gets decreased.",
+        help="Epochs the plateau scheduler tolerates without a validation "
+        "improvement before cutting the learning rate.",
     )
     parser.add_argument(
         "--scheduler_factor",
         type=float,
         default=0.7,
-        help="Factor between 0 and 1 by which the learning rate gets "
-        "decreased when the scheduler patience is reached.",
+        help="Multiplier in (0, 1) applied to the learning rate each time "
+        "the plateau patience runs out.",
     )
     parser.add_argument(
         "--use_regularizers",
         type=strtobool,
         default=False,
-        help="Whether to use regularizers in order to constrain the "
-        "firing rates of spiking neurons within a given range.",
+        help="Add the firing-rate hinge penalty to the loss, pushing "
+        "per-neuron spike rates into the [reg_fmin, reg_fmax] band.",
     )
     parser.add_argument(
         "--reg_factor",
         type=float,
         default=0.5,
-        help="Factor that scales the loss value from the regularizers.",
+        help="Weight of the firing-rate penalty relative to the "
+        "cross-entropy term.",
     )
     parser.add_argument(
         "--reg_fmin",
         type=float,
         default=0.01,
-        help="Lowest firing frequency value of spiking neurons for which "
-        "there is no regularization loss.",
+        help="Rate floor: neurons firing below this contribute to the "
+        "penalty.",
     )
     parser.add_argument(
         "--reg_fmax",
         type=float,
         default=0.5,
-        help="Highest firing frequency value of spiking neurons for which "
-        "there is no regularization loss.",
+        help="Rate ceiling: neurons firing above this contribute to the "
+        "penalty.",
     )
     parser.add_argument(
         "--use_augm",
         type=strtobool,
         default=False,
-        help="Whether to use data augmentation or not. Only implemented for "
-        "nonspiking HD and SC datasets.",
+        help="Apply the waveform augmentation chain during training "
+        "(hd/sc only; has no effect on the spiking datasets).",
     )
     parser.add_argument(
         "--nb_steps",
@@ -198,28 +225,8 @@ def add_training_options(parser):
 
 
 def print_training_options(args):
-    logging.info(
-        """
-        Training Config
-        ---------------
-        Use pretrained model: {use_pretrained_model}
-        Only do testing: {only_do_testing}
-        Load experiment folder: {load_exp_folder}
-        New experiment folder: {new_exp_folder}
-        Dataset name: {dataset_name}
-        Data folder: {data_folder}
-        Log to file: {log_tofile}
-        Save best model: {save_best}
-        Batch size: {batch_size}
-        Number of epochs: {nb_epochs}
-        Start epoch: {start_epoch}
-        Initial learning rate: {lr}
-        Scheduler patience: {scheduler_patience}
-        Scheduler factor: {scheduler_factor}
-        Use regularizers: {use_regularizers}
-        Regularization factor: {reg_factor}
-        Regularization min firing rate: {reg_fmin}
-        Reguarization max firing rate: {reg_fmax}
-        Use data augmentation: {use_augm}
-    """.format(**vars(args))
-    )
+    """Log the resolved training options, one key=value line each."""
+    opts = vars(args)
+    lines = ["", "training options:"]
+    lines += [f"  {k}={opts[k]}" for k in _TRAINING_OPTION_KEYS if k in opts]
+    logging.info("\n".join(lines))
