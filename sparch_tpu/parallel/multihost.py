@@ -23,17 +23,30 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["maybe_initialize", "global_batch", "is_multihost"]
 
+_initialized = False
+
 
 def maybe_initialize() -> bool:
     """Initialize jax.distributed when launcher env vars are present.
-    Returns True if multi-process mode is active."""
-    if jax.process_count() > 1:
-        return True
+    Returns True if multi-process mode is active.
+
+    The decision is made from the environment alone and
+    ``jax.distributed.initialize()`` runs *before* anything queries the
+    backend: ``jax.process_count()`` (or any dispatch) initializes the
+    runtime, and initializing the distributed client after that point
+    either raises or silently leaves the job single-process.
+    """
+    global _initialized
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
         "COORDINATOR_ADDRESS"
     )
-    if coord:
-        jax.distributed.initialize()
+    if coord and not _initialized:
+        try:
+            jax.distributed.initialize()
+        except RuntimeError:
+            # already initialized by the launcher
+            pass
+        _initialized = True
     return jax.process_count() > 1
 
 

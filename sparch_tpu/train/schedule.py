@@ -7,10 +7,11 @@ factor=0.7, patience=1, min_lr=1e-6 — exp.py:92-98, step at exp.py:453).
 The new LR is injected into the optimizer via
 ``optax.inject_hyperparams`` (see sparch_tpu.train.state).
 
-Semantics match torch's ReduceLROnPlateau defaults: relative threshold
-1e-4, `mode='max'` comparison ``metric > best * (1 + threshold)`` (for
-positive best), LR reduced when the number of bad epochs exceeds
-``patience``, floored at ``min_lr``.
+Semantics match torch's ReduceLROnPlateau defaults exactly: relative
+threshold 1e-4, `mode='max'` comparison ``metric > best * (1 + threshold)``
+and `mode='min'` comparison ``metric < best * (1 - threshold)`` —
+regardless of the sign of ``best``, as in torch — LR reduced when the
+number of bad epochs exceeds ``patience``, floored at ``min_lr``.
 """
 from __future__ import annotations
 
@@ -36,12 +37,8 @@ class ReduceLROnPlateau:
 
     def _is_better(self, metric: float) -> bool:
         if self.mode == "max":
-            if self.best >= 0:
-                return metric > self.best * (1.0 + self.threshold)
-            return metric > self.best * (1.0 - self.threshold)
-        if self.best >= 0:
-            return metric < self.best * (1.0 - self.threshold)
-        return metric < self.best * (1.0 + self.threshold)
+            return metric > self.best * (1.0 + self.threshold)
+        return metric < self.best * (1.0 - self.threshold)
 
     def step(self, metric: float) -> float:
         """Update with this epoch's metric; returns the (possibly reduced) LR."""

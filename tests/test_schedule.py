@@ -39,6 +39,31 @@ def test_matches_torch_reduce_on_plateau(seed):
     np.testing.assert_allclose(ours, ref, rtol=1e-12)
 
 
+@pytest.mark.parametrize("mode", ["max", "min"])
+@pytest.mark.parametrize("seed", [3, 4, 5])
+def test_matches_torch_on_signed_metrics(mode, seed):
+    """Negative/zero/positive metric traces (e.g. losses, signed scores):
+    torch applies the same relative-threshold formula regardless of the
+    sign of best, and so do we."""
+    rng = np.random.default_rng(seed)
+    metrics = np.round(rng.uniform(-1.0, 1.0, 40), 2)
+    metrics[5] = 0.0
+    metrics[12:16] = metrics[11]  # plateau
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=1e-2)
+    tsched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, mode=mode, factor=0.7, patience=1, min_lr=1e-6
+    )
+    ours = ReduceLROnPlateau(
+        lr=1e-2, mode=mode, factor=0.7, patience=1, min_lr=1e-6
+    )
+    for m in metrics:
+        tsched.step(m)
+        np.testing.assert_allclose(
+            ours.step(m), opt.param_groups[0]["lr"], rtol=1e-12
+        )
+
+
 def test_reduces_after_patience_exceeded():
     sched = ReduceLROnPlateau(lr=1.0, factor=0.5, patience=1)
     assert sched.step(0.5) == 1.0  # new best

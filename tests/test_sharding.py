@@ -128,3 +128,42 @@ def test_ragged_final_batch_replicated():
     m = eval_step(state, replicate(x, mesh), replicate(y, mesh),
                   jax.random.PRNGKey(0))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_maybe_initialize_initializes_before_backend_queries(monkeypatch):
+    """On a pod, jax.distributed.initialize() must run before anything
+    queries the runtime (jax.process_count() initializes the backend);
+    the decision must come from env vars alone."""
+    import sparch_tpu.parallel.multihost as mh
+
+    calls = []
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "localhost:1234")
+    monkeypatch.setattr(mh, "_initialized", False)
+    monkeypatch.setattr(
+        mh.jax.distributed, "initialize", lambda: calls.append("initialize")
+    )
+    monkeypatch.setattr(
+        mh.jax, "process_count", lambda: calls.append("process_count") or 1
+    )
+    assert mh.maybe_initialize() is False  # fake process_count stays 1
+    assert calls[0] == "initialize", calls
+    assert calls == ["initialize", "process_count"]
+
+    # second call must not re-initialize
+    calls.clear()
+    mh.maybe_initialize()
+    assert calls == ["process_count"]
+
+
+def test_maybe_initialize_noop_without_coordinator(monkeypatch):
+    import sparch_tpu.parallel.multihost as mh
+
+    calls = []
+    monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.delenv("COORDINATOR_ADDRESS", raising=False)
+    monkeypatch.setattr(mh, "_initialized", False)
+    monkeypatch.setattr(
+        mh.jax.distributed, "initialize", lambda: calls.append("initialize")
+    )
+    assert mh.maybe_initialize() is False
+    assert "initialize" not in calls
