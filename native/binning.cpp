@@ -17,8 +17,11 @@ extern "C" {
 
 // Bin one utterance's events into a dense (nb_steps, nb_units) raster.
 // `edges` are the nb_edges ascending bin edges (np.linspace result);
-// index semantics match np.digitize(t, edges) == upper_bound(edges, t),
-// clamped to nb_steps-1. `out` must be zero-initialised by the caller.
+// index semantics match np.digitize(t, edges) == upper_bound(edges, t).
+// Events digitizing past the last bin are dropped — the reference's
+// sparse-to-dense conversion silently discards those out-of-range
+// indices (spiking_datasets.py:66-78). `out` must be zero-initialised
+// by the caller.
 void bin_events(const double* times,
                 const int64_t* units,
                 int64_t n_events,
@@ -31,7 +34,7 @@ void bin_events(const double* times,
   for (int64_t i = 0; i < n_events; ++i) {
     int64_t bin =
         static_cast<int64_t>(std::upper_bound(edges, edges_end, times[i]) - edges);
-    if (bin >= nb_steps) bin = nb_steps - 1;
+    if (bin >= nb_steps) continue;
     int64_t unit = units[i];
     if (unit < 0 || unit >= nb_units) continue;
     out[bin * nb_units + unit] += 1.0f;

@@ -75,9 +75,13 @@ def _bin_events_np(
     times: np.ndarray, units: np.ndarray, edges: np.ndarray,
     nb_steps: int, nb_units: int,
 ) -> np.ndarray:
-    idx = np.minimum(np.digitize(times, edges), nb_steps - 1)
+    # Events at/after the last edge digitize to nb_steps and are DROPPED —
+    # matching the reference, where torch's sparse-to-dense silently
+    # discards the out-of-range indices (spiking_datasets.py:66-78).
+    idx = np.digitize(times, edges)
+    keep = (idx < nb_steps) & (units >= 0) & (units < nb_units)
     out = np.zeros((nb_steps, nb_units), np.float32)
-    np.add.at(out, (idx, units), 1.0)
+    np.add.at(out, (idx[keep], units[keep]), 1.0)
     return out
 
 

@@ -62,7 +62,8 @@ class SpikingDataset:
         from sparch_tpu.data.native import bin_events
 
         # digitize + additive scatter (native C++ kernel with NumPy
-        # fallback); events at/after max_time clamp into the last bin.
+        # fallback); events at/after max_time are dropped, matching the
+        # reference's silent sparse-to-dense discard of out-of-range bins.
         x = bin_events(
             np.asarray(self.firing_times[index], np.float64),
             np.asarray(self.units_fired[index], np.int64),
