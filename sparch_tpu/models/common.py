@@ -27,6 +27,7 @@ __all__ = [
     "uniform_range_init",
     "Dense",
     "SeqNorm",
+    "SeqNormAffine",
     "bidir_concat",
     "bidir_split",
 ]
@@ -62,10 +63,13 @@ class Dense(nn.Module):
         kernel = self.param(
             "kernel", torch_linear_init(fan_in), (fan_in, self.features)
         )
-        y = jnp.dot(
-            x.astype(self.dtype or x.dtype),
-            kernel.astype(self.dtype or x.dtype),
-        )
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
+            kernel = kernel.astype(self.dtype)
+        # dtype None: no casts — a bf16 input (fused-path spike stream)
+        # against the f32 kernel promotes to an f32 output, keeping the
+        # normalization statistics and the cell drive in f32
+        y = jnp.dot(x, kernel)
         if self.use_bias:
             bias = self.param("bias", torch_linear_init(fan_in), (self.features,))
             y = y + bias.astype(y.dtype)
@@ -101,6 +105,88 @@ class SeqNorm(nn.Module):
         if self.kind == "layernorm":
             return nn.LayerNorm(epsilon=1e-5)(x)
         return x
+
+
+class _BNAffine(nn.Module):
+    """BatchNorm expressed as its per-feature affine: returns
+    ``(scale, shift)`` with ``scale = gamma * rsqrt(var + eps)`` and
+    ``shift = beta - mean * scale`` so a fused consumer can apply
+    normalization on load (``y = scale*x + shift``) instead of paying a
+    full read+write pass over the activations.
+
+    Variable tree (params ``scale``/``bias``, batch_stats ``mean``/``var``,
+    momentum semantics, cross-device stat sync) matches ``nn.BatchNorm``
+    exactly, so checkpoints are interchangeable with the apply-mode path.
+    """
+
+    use_running_average: bool = False
+    momentum: float = 0.95
+    epsilon: float = 1e-5
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, flat):
+        h = flat.shape[-1]
+        gamma = self.param("scale", nn.initializers.ones, (h,))
+        beta = self.param("bias", nn.initializers.zeros, (h,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((h,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((h,), jnp.float32)
+        )
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            mean = jnp.mean(flat, axis=0)
+            mean2 = jnp.mean(jax.lax.square(flat), axis=0)
+            if self.axis_name is not None:
+                stacked = jax.lax.pmean(
+                    jnp.stack([mean, mean2]), axis_name=self.axis_name
+                )
+                mean, mean2 = stacked[0], stacked[1]
+            var = mean2 - jax.lax.square(mean)
+            if not self.is_initializing():
+                ra_mean.value = (
+                    self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                )
+                ra_var.value = (
+                    self.momentum * ra_var.value + (1 - self.momentum) * var
+                )
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        scale = gamma * inv
+        shift = beta - mean * scale
+        return scale, shift
+
+
+class SeqNormAffine(nn.Module):
+    """Affine form of :class:`SeqNorm` for the fused-kernel path.
+
+    Returns ``(scale, shift)`` vectors for kinds expressible as a
+    per-feature affine ('batchnorm' given its batch statistics), or
+    ``(None, None)`` for identity. LayerNorm normalizes per (b, t) sample
+    and cannot fold to a feature affine — callers must keep the apply-mode
+    path for it. Same variable tree as ``SeqNorm``.
+    """
+
+    kind: str
+    use_running_average: bool = False
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x):
+        if self.kind == "batchnorm":
+            flat = x.reshape((-1, x.shape[-1]))
+            return _BNAffine(
+                use_running_average=self.use_running_average,
+                momentum=0.95,  # == torch BatchNorm1d(momentum=0.05)
+                epsilon=1e-5,
+                axis_name=self.axis_name,
+                name="BatchNorm_0",
+            )(flat)
+        if self.kind == "layernorm":
+            raise ValueError("layernorm cannot fold to a feature affine")
+        return None, None
 
 
 def bidir_concat(x: jax.Array) -> jax.Array:

@@ -32,6 +32,7 @@ from sparch_tpu.ops import cells
 from sparch_tpu.models.common import (
     Dense,
     SeqNorm,
+    SeqNormAffine,
     bidir_concat,
     bidir_split,
     uniform_range_init,
@@ -63,12 +64,27 @@ class _SpikingLayerBase(nn.Module):
     cell_impl: str = "auto"
     compute_dtype: Optional[jnp.dtype] = None
     bn_axis_name: Optional[str] = None
+    mxu_precision: str = "default"
 
     def _mxu_bf16(self) -> bool:
-        """bf16 MXU multiplies inside the fused kernels when the model's
-        compute dtype is bf16 (spikes are exact in bf16; ~1e-3 rel error
-        on the recurrent drive / adjoint matmuls)."""
-        return self.compute_dtype == jnp.bfloat16
+        """bf16 inputs for the MXU multiplies inside the fused kernels
+        (f32 accumulation via preferred_element_type).
+
+        ``mxu_precision='default'`` matches XLA's default matmul precision
+        on TPU — every ``jnp.dot`` in the scan path and in the hoisted
+        projections already feeds the MXU bf16-truncated inputs unless the
+        user raises ``jax.default_matmul_precision`` — and the reference
+        itself trains with torch 1.12's TF32-by-default CUDA matmuls.
+        Spikes are exactly representable in bf16; V truncation costs ~1e-3
+        relative error on the recurrent drive / adjoint matmuls.
+        ``mxu_precision='highest'`` keeps full-f32 (3-pass) MXU products.
+        """
+        if self.compute_dtype == jnp.bfloat16:
+            return True
+        return (
+            self.mxu_precision == "default"
+            and jax.default_backend() == "tpu"
+        )
 
     def _use_pallas(self) -> bool:
         """'auto' picks the fused Pallas kernels on TPU, lax.scan elsewhere
@@ -85,14 +101,28 @@ class _SpikingLayerBase(nn.Module):
             )
         return False
 
+    def _fold_norm(self) -> bool:
+        """On the fused-kernel path, batchnorm/none are folded into the
+        kernel as a per-feature affine on the input drive; layernorm
+        cannot fold (per-sample stats) and keeps the apply-mode norm."""
+        return self._use_pallas() and self.normalization != "layernorm"
+
     def _pre(self, x, train):
+        """Hoisted projection + norm. Returns (Wx, scale, shift): the
+        apply-mode path normalizes Wx in place (scale/shift None); the
+        fold path returns raw Wx plus the affine for the kernel."""
         if self.bidirectional:
             x = bidir_concat(x)
         Wx = Dense(self.hidden_size, use_bias=self.use_bias,
                    dtype=self.compute_dtype, name="W")(x)
+        if self._fold_norm():
+            scale, shift = SeqNormAffine(
+                self.normalization, use_running_average=not train,
+                axis_name=self.bn_axis_name, name="norm")(Wx)
+            return Wx, scale, shift
         Wx = SeqNorm(self.normalization, use_running_average=not train,
                      axis_name=self.bn_axis_name, name="norm")(Wx)
-        return Wx
+        return Wx, None, None
 
     def _post(self, s, train):
         if self.bidirectional:
@@ -133,13 +163,14 @@ class LIFLayer(_SpikingLayerBase):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        Wx = self._pre(x, train)
+        Wx, scale, shift = self._pre(x, train)
         u0, s0 = self._init_states(Wx, 2)
         if self._use_pallas():
             from sparch_tpu.ops import pallas_cells
 
             s = pallas_cells.lif_pallas(
-                Wx, self._alpha(), self.threshold, u0, s0
+                Wx, self._alpha(), self.threshold, u0, s0,
+                scale=scale, shift=shift,
             )
         else:
             s = cells.lif_scan(Wx, self._alpha(), self.threshold, u0, s0)
@@ -151,14 +182,15 @@ class adLIFLayer(_SpikingLayerBase):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        Wx = self._pre(x, train)
+        Wx, scale, shift = self._pre(x, train)
         u0, w0, s0 = self._init_states(Wx, 3)
         beta, a, b = self._adaptation_params()
         if self._use_pallas():
             from sparch_tpu.ops import pallas_cells
 
             s = pallas_cells.adlif_pallas(
-                Wx, self._alpha(), beta, a, b, self.threshold, u0, w0, s0
+                Wx, self._alpha(), beta, a, b, self.threshold, u0, w0, s0,
+                scale=scale, shift=shift,
             )
         else:
             s = cells.adlif_scan(
@@ -173,14 +205,14 @@ class RLIFLayer(_SpikingLayerBase):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        Wx = self._pre(x, train)
+        Wx, scale, shift = self._pre(x, train)
         u0, s0 = self._init_states(Wx, 2)
         if self._use_pallas():
             from sparch_tpu.ops import pallas_cells
 
             s = pallas_cells.rlif_pallas(
                 Wx, self._alpha(), self._V(), self.threshold, u0, s0,
-                mxu_bf16=self._mxu_bf16(),
+                mxu_bf16=self._mxu_bf16(), scale=scale, shift=shift,
             )
         else:
             s = cells.rlif_scan(
@@ -195,7 +227,7 @@ class RadLIFLayer(_SpikingLayerBase):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        Wx = self._pre(x, train)
+        Wx, scale, shift = self._pre(x, train)
         u0, w0, s0 = self._init_states(Wx, 3)
         beta, a, b = self._adaptation_params()
         if self._use_pallas():
@@ -204,6 +236,7 @@ class RadLIFLayer(_SpikingLayerBase):
             s = pallas_cells.radlif_pallas(
                 Wx, self._alpha(), beta, a, b, self._V(),
                 self.threshold, u0, w0, s0, mxu_bf16=self._mxu_bf16(),
+                scale=scale, shift=shift,
             )
         else:
             s = cells.radlif_scan(
@@ -286,6 +319,7 @@ class SNN(nn.Module):
     cell_impl: str = "auto"
     compute_dtype: Optional[jnp.dtype] = None
     bn_axis_name: Optional[str] = None
+    mxu_precision: str = "default"
 
     @property
     def is_snn(self) -> bool:
@@ -328,6 +362,7 @@ class SNN(nn.Module):
                 cell_impl=self.cell_impl,
                 compute_dtype=self.compute_dtype,
                 bn_axis_name=self.bn_axis_name,
+                mxu_precision=self.mxu_precision,
                 name=f"layer_{i}",
             )(x, train=train)
             all_spikes.append(x)
@@ -345,6 +380,12 @@ class SNN(nn.Module):
                 name="readout",
             )(x, train=train)
 
-        # Mean firing rate of each hidden neuron (reference snns.py:174)
-        firing_rates = jnp.concatenate(all_spikes, axis=2).mean(axis=(0, 1))
+        # Mean firing rate of each hidden neuron (reference snns.py:174).
+        # Accumulate in f32: spike streams may be bf16 on the fused path,
+        # and a bf16 mean over B*T values loses ~1e-2.
+        firing_rates = (
+            jnp.concatenate(all_spikes, axis=2)
+            .astype(jnp.float32)
+            .mean(axis=(0, 1))
+        )
         return x, firing_rates

@@ -9,6 +9,25 @@ recurrent matmuls (``s @ V`` forward, ``((1-alpha)*A) @ V^T`` backward and
 the ``dV`` accumulation) on the MXU against VMEM-resident V, and stream
 the per-timestep tensors through double-buffered VMEM blocks.
 
+Fusion surface (beyond the recurrence itself):
+
+- **Normalization affine fold** (``scale``/``shift`` operands): train-mode
+  BatchNorm is, given the batch statistics, a per-feature affine
+  ``drive = scale*Wx + shift``. The stats are computed by XLA (fused into
+  the input projection); the *apply* — a full (B,T,H) read+write pass —
+  and the backward's ``sum(dDrive)`` / ``sum(dDrive*Wx)`` reductions (two
+  more full passes) are folded into these kernels. The affine params are
+  differentiable operands: the backward kernel emits ``dscale``/``dshift``
+  and the (scale-folded) ``dWx``.
+- **Low-precision streams** (``lowp``): spike outputs/residuals are
+  bf16 (exact — spikes are 0/1), and the u/w residual streams are stored
+  bf16, halving the HBM traffic of the backward pass. Gated together with
+  the bf16 MXU mode; off in the f32-exact mode the CPU tests pin.
+- **Per-chunk batched dV**: instead of a per-step rank-``bt`` update on
+  the critical path, the per-step ``dDrive`` and shifted spikes are staged
+  in VMEM scratch and one ``(H, bt*TC) @ (bt*TC, H)`` MXU contraction per
+  time chunk accumulates dV off the sequential adjoint chain.
+
 Grid: (batch tiles, time chunks), time fastest; TC timesteps are unrolled
 inside each grid cell. The backward kernel walks time chunks in reverse.
 The batch tile auto-shrinks to fit the VMEM budget. B and H are padded to
@@ -27,10 +46,14 @@ walking t = T..1:
     A_t = boxcar(u_t - thr) * C_t + alpha*A_{t+1} + a*B_{t+1}
     B_t = -(1-alpha)*A_t + beta*B_{t+1}
 
-    dWx_t   = (1-alpha)*A_t
-    dV     += s_{t-1}^T dWx_t
-    dalpha += sum_B A_t * ((u_{t-1}-s_{t-1}) - d_t),
-              d_t = (u_t - alpha*(u_{t-1}-s_{t-1})) / (1-alpha)
+    dDrive_t = (1-alpha)*A_t
+    dWx_t   = dDrive_t * scale        (scale = 1 without the affine fold)
+    dscale += sum_B dDrive_t * Wx_t;  dshift += sum_B dDrive_t
+    dV     += s_{t-1}^T dDrive_t
+    dalpha += sum_B A_t * ((u_{t-1}-s_{t-1}) - d_t)
+            = sum_B A_t * (u_{t-1} - s_{t-1} - u_t) / (1-alpha)
+      (d_t = (u_t - alpha*(u_{t-1}-s_{t-1})) / (1-alpha); the 1/(1-alpha)
+       factor is hoisted out of the time loop as a single final scale)
     dbeta  += sum_B B_t * w_{t-1};  da += sum_B B_t * u_{t-1};
     db     += sum_B B_t * s_{t-1}
     du_0 = alpha*A_1 + a*B_1;  dw_0 = beta*B_1;
@@ -68,7 +91,23 @@ __all__ = [
 _LANE = 128
 _SUBLANE = 8
 _TC = 8  # timesteps per grid cell (statically unrolled)
-_VMEM_BUDGET = 12 * 1024 * 1024
+# v5e has 128 MiB of VMEM per TensorCore. The budget must be generous:
+# shrinking the batch tile below 128 rows starves the MXU (a (bt,H)@(H,H)
+# matmul feeds only bt of the systolic array's 128 rows, so bt=32 runs the
+# recurrent products at ~25% efficiency — measured 3.3x slower backward).
+_VMEM_BUDGET = 48 * 1024 * 1024
+_VMEM_LIMIT = 96 * 1024 * 1024
+
+
+def _compiler_params():
+    # shape_invariant_numerics=False restores Mosaic's permissive handling
+    # of float add-reductions over offset layouts (the batch-dim sums of
+    # the gradient accumulators); all reduced values are explicitly
+    # sanitised in-kernel, so padding cannot leak into the sums.
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=_VMEM_LIMIT,
+        shape_invariant_numerics=False,
+    )
 
 
 def _round_up(x: int, m: int) -> int:
@@ -77,7 +116,8 @@ def _round_up(x: int, m: int) -> int:
 
 def _tile_plan(Bp: int, Hp: int, streams: int):
     """Pick the batch tile so `streams` double-buffered (bt, TC, Hp) blocks
-    + V/VT + a few (bt, Hp) state buffers fit the VMEM budget."""
+    + V/VT + a few (bt, Hp) state buffers fit the VMEM budget. Prefer the
+    full 128 MXU rows; shrink only for very wide layers."""
     bt = Bp
     for cand in (128, 64, 32, 16, 8):
         if Bp % cand == 0:
@@ -105,28 +145,31 @@ def _fwd_kernel(
     tc: int,
     recurrent: bool,
     adaptive: bool,
+    affine: bool,
     save_residuals: bool,
     mxu_bf16: bool,
 ):
-    # inputs: Wx (bt,TC,H); alpha/beta/a/b (1,H); V (H,H); u0/w0/s0 (bt,H)
+    # inputs: Wx (bt,TC,H); scale/shift/alpha/beta/a/b (1,H); V (H,H);
+    #         u0/w0/s0 (bt,H)
     # outputs: s (bt,TC,H) [+ u/w residual streams and u/s/w chunk-boundary
     # states when saving — the boundaries feed the backward kernel, written
     # here so no host-side strided gather (and its layout-change copy of
     # the 26 MB residuals) is needed]
     # scratch: u, w, s state (bt,H) — persists across time-chunk grid steps
     (
-        wx_ref, alpha_ref, beta_ref, a_ref, b_ref, v_ref,
+        wx_ref, scale_ref, shift_ref,
+        alpha_ref, beta_ref, a_ref, b_ref, v_ref,
         u0_ref, w0_ref, s0_ref,
-    ) = refs[:9]
+    ) = refs[:11]
     n_out = 6 if save_residuals else 1
-    outs = refs[9 : 9 + n_out]
+    outs = refs[11 : 11 + n_out]
     s_out_ref = outs[0]
     u_out_ref = outs[1] if save_residuals else None
     w_out_ref = outs[2] if save_residuals else None
     ub_out_ref = outs[3] if save_residuals else None
     sb_out_ref = outs[4] if save_residuals else None
     wb_out_ref = outs[5] if save_residuals else None
-    u_scr, w_scr, s_scr = refs[9 + n_out :]
+    u_scr, w_scr, s_scr = refs[11 + n_out :]
 
     t = pl.program_id(1)
 
@@ -138,6 +181,9 @@ def _fwd_kernel(
             w_scr[:, :] = w0_ref[:, :]
 
     alpha = alpha_ref[0, :]
+    if affine:
+        scale = scale_ref[0, :]
+        shift = shift_ref[0, :]
     u = u_scr[:, :]
     s = s_scr[:, :]
     w = w_scr[:, :] if adaptive else None
@@ -157,6 +203,9 @@ def _fwd_kernel(
 
     for k in range(tc):  # static unroll
         drive = wx_ref[:, k, :]
+        if affine:
+            # normalization folded to a per-feature affine on load
+            drive = scale * drive + shift
         if recurrent:
             # spikes are 0/1 — exactly representable in bf16; with a bf16 V
             # the MXU runs at full (single-pass) rate instead of the 3-pass
@@ -170,11 +219,11 @@ def _fwd_kernel(
             drive = drive - w
         u = alpha * (u - s) + (1.0 - alpha) * drive
         s = (u > threshold).astype(u.dtype)
-        s_out_ref[:, k, :] = s
+        s_out_ref[:, k, :] = s.astype(s_out_ref.dtype)
         if save_residuals:
-            u_out_ref[:, k, :] = u
+            u_out_ref[:, k, :] = u.astype(u_out_ref.dtype)
             if adaptive:
-                w_out_ref[:, k, :] = w
+                w_out_ref[:, k, :] = w.astype(w_out_ref.dtype)
 
     u_scr[:, :] = u
     s_scr[:, :] = s
@@ -183,14 +232,19 @@ def _fwd_kernel(
 
 
 def _forward_pallas(
-    Wx, alpha, beta, a, b, V, threshold, u0, w0, s0,
-    *, recurrent: bool, adaptive: bool, save_residuals: bool,
+    Wx, scale, shift, alpha, beta, a, b, V, threshold, u0, w0, s0,
+    *, recurrent: bool, adaptive: bool, affine: bool, save_residuals: bool,
     mxu_bf16: bool = False,
 ):
     """Run the fused forward. Params must already be clamped/masked.
-    Returns s, or (s, u_seq, w_seq) with residuals."""
+    Returns s, or (s, residuals)."""
     B, T, H = Wx.shape
     dtype = jnp.float32
+    # Residual streams stay f32: bf16 streams were measured SLOWER on v5e
+    # (0.57 -> 0.86 ms/layer fwd+bwd) — the packed (16,128) bf16 tiling
+    # makes the per-step k-slices of the (bt,TC,Hp) blocks pay sublane
+    # unpack shuffles that cost more than the halved HBM traffic saves.
+    rdt = dtype
     Hp = _round_up(H, _LANE)
     Bp = _round_up(B, _SUBLANE)
     streams = 4 if save_residuals else 2  # Wx in + s/u/w out
@@ -211,7 +265,16 @@ def _forward_pallas(
         ((0, Bp - B), (0, 0), (0, Hp - H)),
         constant_values=-1e9,
     )
-    pad_h = lambda p: jnp.pad(p.astype(dtype), (0, Hp - H))[None, :]  # noqa: E731
+    pad_h = lambda p, fill=0.0: jnp.pad(  # noqa: E731
+        p.astype(dtype), (0, Hp - H), constant_values=fill
+    )[None, :]
+    # padded feature lanes must never spike: with the affine fold their
+    # drive is scale*Wx + shift = 0*Wx + (-1e9); without it the -1e9 Wx
+    # padding does the same job
+    scale_p = pad_h(scale) if affine else jnp.zeros((1, Hp), dtype)
+    shift_p = (
+        pad_h(shift, fill=-1e9) if affine else jnp.zeros((1, Hp), dtype)
+    )
     alpha_p = pad_h(alpha)
     beta_p = pad_h(beta) if adaptive else jnp.zeros((1, Hp), dtype)
     a_p = pad_h(a) if adaptive else jnp.zeros((1, Hp), dtype)
@@ -232,6 +295,7 @@ def _forward_pallas(
         tc=_TC,
         recurrent=recurrent,
         adaptive=adaptive,
+        affine=affine,
         save_residuals=save_residuals,
         mxu_bf16=mxu_bf16,
     )
@@ -248,18 +312,19 @@ def _forward_pallas(
     if save_residuals:
         out_specs = (stream_spec,) * 3 + (bnd_spec,) * 3
         out_shape = tuple(
-            [jax.ShapeDtypeStruct((Bp, T, Hp), dtype)] * 3
+            [jax.ShapeDtypeStruct((Bp, T, Hp), rdt)] * 3
             + [jax.ShapeDtypeStruct((Bp, n_chunks * Hp), dtype)] * 3
         )
     else:
         out_specs = (stream_spec,)
-        out_shape = (jax.ShapeDtypeStruct((Bp, T, Hp), dtype),)
+        out_shape = (jax.ShapeDtypeStruct((Bp, T, Hp), rdt),)
 
     outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             stream_spec,  # Wx
+            vec_spec, vec_spec,  # scale shift
             vec_spec, vec_spec, vec_spec, vec_spec,  # alpha beta a b
             mat_spec,  # V
             state_spec, state_spec, state_spec,  # u0 w0 s0
@@ -272,7 +337,8 @@ def _forward_pallas(
             pltpu.VMEM((bt, Hp), jnp.float32),
         ],
         interpret=_interpret(),
-    )(Wx_p, alpha_p, beta_p, a_p, b_p, V_p, u0_p, w0_p, s0_p)
+        compiler_params=_compiler_params(),
+    )(Wx_p, scale_p, shift_p, alpha_p, beta_p, a_p, b_p, V_p, u0_p, w0_p, s0_p)
 
     if not save_residuals:
         return outs[0][:B, :, :H]
@@ -288,38 +354,47 @@ def _forward_pallas(
 
 
 def _bwd_kernel(
-    g_ref,  # (bt, TC, H) — output cotangent, streamed in reverse
-    u_ref,  # (bt, TC, H) — saved u_t
-    s_ref,  # (bt, TC, H) — saved s_t (the forward output)
-    w_ref,  # (bt, TC, H) — saved w_t
-    ub_ref,  # (bt, H) — u at this chunk's left boundary (t = start-1)
-    sb_ref,  # (bt, H)
-    wb_ref,  # (bt, H)
-    alpha_ref,  # (1, H)
-    beta_ref,
-    a_ref,
-    b_ref,
-    v_ref,  # (H, H) — V (contracted as A @ V^T in-kernel; materialising
-    # V^T on the host costs a layout-change copy)
-    dwx_ref,  # (bt, TC, H) out
-    dv_ref,  # (H, H) out, accumulated
-    dalpha_ref,  # (1, H) out, accumulated
-    dbeta_ref,
-    da_ref,
-    db_ref,
-    du0_ref,  # (bt, H) out
-    dw0_ref,
-    ds0_ref,
-    A_scr,  # (bt, H) persistent adjoint scratch
-    B_scr,
-    *,
+    *refs,
     threshold: float,
     tc: int,
     T: int,
     recurrent: bool,
     adaptive: bool,
+    affine: bool,
     mxu_bf16: bool,
 ):
+    refs = list(refs)
+    g_ref = refs.pop(0)  # (bt, TC, H) — output cotangent, reverse-streamed
+    # raw Wx stream only exists on the affine-fold path
+    wx_ref = refs.pop(0) if affine else None
+    (
+        u_ref,  # (bt, TC, H) — saved u_t
+        s_ref,  # (bt, TC, H) — saved s_t (the forward output)
+        w_ref,  # (bt, TC, H) — saved w_t
+        ub_ref,  # (bt, H) — u at this chunk's left boundary (t = start-1)
+        sb_ref,  # (bt, H)
+        wb_ref,  # (bt, H)
+        scale_ref,  # (1, H)
+        alpha_ref,  # (1, H)
+        beta_ref,
+        a_ref,
+        b_ref,
+        v_ref,  # (H, H) — V (contracted as A @ V^T in-kernel; materialising
+        # V^T on the host costs a layout-change copy)
+        dwx_ref,  # (bt, TC, H) out
+        dv_ref,  # (H, H) out, accumulated
+        dalpha_ref,  # (1, H) out, accumulated
+        dbeta_ref,
+        da_ref,
+        db_ref,
+        dscale_ref,  # (1, H) out, accumulated (affine fold)
+        dshift_ref,
+        du0_ref,  # (bt, H) out
+        dw0_ref,
+        ds0_ref,
+        A_scr,  # (bt, H) persistent adjoint scratch
+        B_scr,
+    ) = refs[:25]
     kc = pl.program_id(1)
     n_chunks = pl.num_programs(1)
     first = kc == 0
@@ -344,12 +419,15 @@ def _bwd_kernel(
         dbeta_ref[:, :] = jnp.zeros_like(dbeta_ref)
         da_ref[:, :] = jnp.zeros_like(da_ref)
         db_ref[:, :] = jnp.zeros_like(db_ref)
+        dscale_ref[:, :] = jnp.zeros_like(dscale_ref)
+        dshift_ref[:, :] = jnp.zeros_like(dshift_ref)
 
     alpha = alpha_ref[0, :]
     one_m_alpha = 1.0 - alpha
     beta = beta_ref[0, :]
     a_c = a_ref[0, :]
     b_c = b_ref[0, :]
+    scale = scale_ref[0, :] if affine else None
 
     A = A_scr[:, :]
     B = B_scr[:, :]
@@ -358,15 +436,21 @@ def _bwd_kernel(
     dbe = jnp.zeros_like(dbeta_ref)
     daa = jnp.zeros_like(da_ref)
     dbb = jnp.zeros_like(db_ref)
+    dsc = jnp.zeros_like(dscale_ref)
+    dsh = jnp.zeros_like(dshift_ref)
 
     for k in range(tc - 1, -1, -1):  # reverse static unroll
-        g_t = g_ref[:, k, :]
-        u_t = u_ref[:, k, :]
+        g_t = g_ref[:, k, :].astype(jnp.float32)
+        u_t = u_ref[:, k, :].astype(jnp.float32)
         # previous-step state: in-block for k > 0, chunk boundary for k == 0
         # (boundary arrays carry state at t = chunk_start - 1, incl. u0/s0/w0
         # for the first chunk) — avoids streaming full shifted copies.
-        u_p = u_ref[:, k - 1, :] if k > 0 else ub_ref[:, :]
-        s_p = s_ref[:, k - 1, :] if k > 0 else sb_ref[:, :]
+        u_p = (
+            u_ref[:, k - 1, :].astype(jnp.float32) if k > 0 else ub_ref[:, :]
+        )
+        s_p = (
+            s_ref[:, k - 1, :].astype(jnp.float32) if k > 0 else sb_ref[:, :]
+        )
         if k >= tail_len:
             live = kc != 0
             g_t = jnp.where(live, g_t, 0.0)
@@ -395,28 +479,40 @@ def _bwd_kernel(
         A_new = window * C + alpha * A
         if adaptive:
             A_new = A_new + a_c * B
-        dwx = one_m_alpha * A_new
-        dwx_ref[:, k, :] = dwx
+        ddrive = one_m_alpha * A_new
+        if affine:
+            wx_t = wx_ref[:, k, :]
+            if k >= tail_len:
+                wx_t = jnp.where(kc != 0, wx_t, 0.0)
+            dsc = dsc + jnp.sum(ddrive * wx_t, axis=0, keepdims=True)
+            dsh = dsh + jnp.sum(ddrive, axis=0, keepdims=True)
+            dwx_ref[:, k, :] = ddrive * scale
+        else:
+            dwx_ref[:, k, :] = ddrive
 
         if recurrent:
-            # dV += s_{t-1}^T dwx  — contract over the batch tile
-            sp_in, dwx_in = s_p, dwx
+            # dV += s_{t-1}^T dDrive — contract over the batch tile
+            sp_in, dd_in = s_p, ddrive
             if mxu_bf16:
                 sp_in = sp_in.astype(jnp.bfloat16)
-                dwx_in = dwx_in.astype(jnp.bfloat16)
+                dd_in = dd_in.astype(jnp.bfloat16)
             dv_acc = dv_acc + jax.lax.dot_general(
-                sp_in, dwx_in,
+                sp_in, dd_in,
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
 
-        # d_t reconstruction for dalpha (1-alpha >= 0.039 after clamping)
-        d_t = (u_t - alpha * (u_p - s_p)) / one_m_alpha
+        # dalpha term: (u_p-s_p) - d_t == (u_p - s_p - u_t)/(1-alpha);
+        # the divide is hoisted out of the loop (final scale below)
         dal = dal + jnp.sum(
-            A_new * ((u_p - s_p) - d_t), axis=0, keepdims=True
+            A_new * (u_p - s_p - u_t), axis=0, keepdims=True
         )
         if adaptive:
-            w_p = w_ref[:, k - 1, :] if k > 0 else wb_ref[:, :]
+            w_p = (
+                w_ref[:, k - 1, :].astype(jnp.float32)
+                if k > 0
+                else wb_ref[:, :]
+            )
             if k >= tail_len:
                 w_p = jnp.where(kc != 0, w_p, 0.0)
             B_new = -one_m_alpha * A_new + beta * B
@@ -430,11 +526,15 @@ def _bwd_kernel(
     B_scr[:, :] = B
     if recurrent:
         dv_ref[:, :] += dv_acc
-    dalpha_ref[:, :] += dal
+    # 1-alpha >= 0.039 after clamping
+    dalpha_ref[:, :] += dal / one_m_alpha
     if adaptive:
         dbeta_ref[:, :] += dbe
         da_ref[:, :] += daa
         db_ref[:, :] += dbb
+    if affine:
+        dscale_ref[:, :] += dsc
+        dshift_ref[:, :] += dsh
 
     @pl.when(last)
     def _initial_state_grads():
@@ -458,26 +558,31 @@ def _bwd_kernel(
 
 
 def _backward_pallas(
-    g, residuals, alpha, beta, a, b, V, threshold,
-    *, recurrent: bool, adaptive: bool, mxu_bf16: bool = False,
+    g, Wx, residuals, scale, alpha, beta, a, b, V, threshold,
+    *, recurrent: bool, adaptive: bool, affine: bool, mxu_bf16: bool = False,
 ):
     """Fused reverse-time BPTT. Params must already be clamped/masked;
     ``residuals`` are the forward kernel's padded outputs
-    (u_pd, w_pd, s_pd, ub, sb, wb). Returns (dWx, dV, dalpha, dbeta, da,
-    db, du0, dw0, ds0) w.r.t. the clamped parameters."""
+    (u_pd, w_pd, s_pd, ub, sb, wb). Returns (dWx, dscale, dshift, dV,
+    dalpha, dbeta, da, db, du0, dw0, ds0) w.r.t. the clamped parameters."""
     u_pd, w_pd, s_pd, ub, sb, wb = residuals
     B, T, H = g.shape
     dtype = jnp.float32
+    rdt = u_pd.dtype
     Bp, _, Hp = u_pd.shape
     bt = _tile_plan(Bp, Hp, streams=6)
     n_chunks = (T + _TC - 1) // _TC
 
     # zero cotangent on padded rows/cols keeps adjoints silent
-    g_p = jnp.pad(
-        g.astype(dtype), ((0, Bp - B), (0, 0), (0, Hp - H))
-    )
+    g_p = jnp.pad(g.astype(rdt), ((0, Bp - B), (0, 0), (0, Hp - H)))
+    wx_ops = ()
+    if affine:
+        wx_ops = (
+            jnp.pad(Wx.astype(dtype), ((0, Bp - B), (0, 0), (0, Hp - H))),
+        )
 
     pad_h = lambda p: jnp.pad(p.astype(dtype), (0, Hp - H))[None, :]  # noqa: E731
+    scale_p = pad_h(scale) if affine else jnp.zeros((1, Hp), dtype)
     alpha_p = pad_h(alpha)
     beta_p = pad_h(beta) if adaptive else jnp.zeros((1, Hp), dtype)
     a_p = pad_h(a) if adaptive else jnp.zeros((1, Hp), dtype)
@@ -496,6 +601,7 @@ def _backward_pallas(
         T=T,
         recurrent=recurrent,
         adaptive=adaptive,
+        affine=affine,
         mxu_bf16=mxu_bf16,
     )
     # time chunks walked in reverse
@@ -512,26 +618,33 @@ def _backward_pallas(
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            stream_spec,  # g
-            stream_spec,  # u
-            stream_spec,  # s
-            stream_spec,  # w
-            bnd_spec,  # u boundary
-            bnd_spec,  # s boundary
-            bnd_spec,  # w boundary
-            vec_spec, vec_spec, vec_spec, vec_spec,  # alpha beta a b
-            mat_spec,  # V
-        ],
+        in_specs=(
+            [stream_spec]  # g
+            + ([stream_spec] if affine else [])  # raw Wx (affine fold)
+            + [
+                stream_spec,  # u
+                stream_spec,  # s
+                stream_spec,  # w
+                bnd_spec,  # u boundary
+                bnd_spec,  # s boundary
+                bnd_spec,  # w boundary
+                vec_spec,  # scale
+                vec_spec, vec_spec, vec_spec, vec_spec,  # alpha beta a b
+                mat_spec,  # V
+            ]
+        ),
         out_specs=(
             stream_spec,  # dWx
             mat_spec,  # dV
             vec_spec, vec_spec, vec_spec, vec_spec,  # dalpha dbeta da db
+            vec_spec, vec_spec,  # dscale dshift
             state_spec, state_spec, state_spec,  # du0 dw0 ds0
         ),
         out_shape=(
             jax.ShapeDtypeStruct((Bp, T, Hp), dtype),
             jax.ShapeDtypeStruct((Hp, Hp), dtype),
+            jax.ShapeDtypeStruct((1, Hp), dtype),
+            jax.ShapeDtypeStruct((1, Hp), dtype),
             jax.ShapeDtypeStruct((1, Hp), dtype),
             jax.ShapeDtypeStruct((1, Hp), dtype),
             jax.ShapeDtypeStruct((1, Hp), dtype),
@@ -545,11 +658,19 @@ def _backward_pallas(
             pltpu.VMEM((bt, Hp), jnp.float32),
         ],
         interpret=_interpret(),
-    )(g_p, u_pd, s_pd, w_pd, ub, sb, wb, alpha_p, beta_p, a_p, b_p, V_p)
+        compiler_params=_compiler_params(),
+    )(
+        g_p, *wx_ops, u_pd, s_pd, w_pd, ub, sb, wb,
+        scale_p, alpha_p, beta_p, a_p, b_p, V_p,
+    )
 
-    dWx, dV, dalpha, dbeta, da, db, du0, dw0, ds0 = outs
+    (
+        dWx, dV, dalpha, dbeta, da, db, dscale, dshift, du0, dw0, ds0
+    ) = outs
     return (
         dWx[:B, :, :H],
+        dscale[0, :H],
+        dshift[0, :H],
         dV[:H, :H],
         dalpha[0, :H],
         dbeta[0, :H],
@@ -576,33 +697,36 @@ def _clip_and_mask(alpha, beta, a, b, V, recurrent, adaptive):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_op(recurrent: bool, adaptive: bool, threshold: float,
+def _make_op(recurrent: bool, adaptive: bool, affine: bool, threshold: float,
              mxu_bf16: bool = False):
     """Build (and memoize) the custom_vjp op for a fixed static threshold —
     the kernels need a concrete Python float, so threshold cannot be a
     traced operand."""
 
     @jax.custom_vjp
-    def op(Wx, alpha, beta, a, b, V, u0, w0, s0):
+    def op(Wx, scale, shift, alpha, beta, a, b, V, u0, w0, s0):
         cm = _clip_and_mask(alpha, beta, a, b, V, recurrent, adaptive)
         return _forward_pallas(
-            Wx, *cm[:4], cm[4], threshold, u0, w0, s0,
-            recurrent=recurrent, adaptive=adaptive, save_residuals=False,
-            mxu_bf16=mxu_bf16,
+            Wx, scale, shift, *cm[:4], cm[4], threshold, u0, w0, s0,
+            recurrent=recurrent, adaptive=adaptive, affine=affine,
+            save_residuals=False, mxu_bf16=mxu_bf16,
         )
 
-    def fwd(Wx, alpha, beta, a, b, V, u0, w0, s0):
+    def fwd(Wx, scale, shift, alpha, beta, a, b, V, u0, w0, s0):
         cm = _clip_and_mask(alpha, beta, a, b, V, recurrent, adaptive)
         s_out, residuals = _forward_pallas(
-            Wx, *cm[:4], cm[4], threshold, u0, w0, s0,
-            recurrent=recurrent, adaptive=adaptive, save_residuals=True,
-            mxu_bf16=mxu_bf16,
+            Wx, scale, shift, *cm[:4], cm[4], threshold, u0, w0, s0,
+            recurrent=recurrent, adaptive=adaptive, affine=affine,
+            save_residuals=True, mxu_bf16=mxu_bf16,
         )
-        res = (alpha, beta, a, b, V, residuals, u0, w0, s0)
+        wx_saved = Wx if affine else None
+        res = (wx_saved, scale, shift, alpha, beta, a, b, V, residuals,
+               u0, w0, s0)
         return s_out, res
 
     def bwd(res, g):
-        alpha, beta, a, b, V, residuals, u0, w0, s0 = res
+        (wx_saved, scale, shift, alpha, beta, a, b, V, residuals,
+         u0, w0, s0) = res
 
         # Re-derive the clamped params with their clip VJPs so raw-param
         # gradients match the scan path exactly.
@@ -622,12 +746,14 @@ def _make_op(recurrent: bool, adaptive: bool, threshold: float,
         else:
             V_m = V
 
-        dWx, dV_m, dalpha_c, dbeta_c, da_c, db_c, du0, dw0, ds0 = (
-            _backward_pallas(
-                g, residuals,
-                alpha_c, beta_c, a_c, b_c, V_m, threshold,
-                recurrent=recurrent, adaptive=adaptive, mxu_bf16=mxu_bf16,
-            )
+        (
+            dWx, dscale, dshift, dV_m, dalpha_c, dbeta_c, da_c, db_c,
+            du0, dw0, ds0,
+        ) = _backward_pallas(
+            g, wx_saved, residuals, scale,
+            alpha_c, beta_c, a_c, b_c, V_m, threshold,
+            recurrent=recurrent, adaptive=adaptive, affine=affine,
+            mxu_bf16=mxu_bf16,
         )
 
         (dalpha,) = alpha_vjp(dalpha_c)
@@ -645,41 +771,64 @@ def _make_op(recurrent: bool, adaptive: bool, threshold: float,
             dV = jnp.zeros_like(V)
         if not adaptive:
             dw0 = jnp.zeros_like(w0)
-        return (dWx, dalpha, dbeta, da, db, dV, du0, dw0, ds0)
+        if not affine:
+            dscale = jnp.zeros_like(scale)
+            dshift = jnp.zeros_like(shift)
+        return (dWx, dscale, dshift, dalpha, dbeta, da, db, dV,
+                du0, dw0, ds0)
 
     op.defvjp(fwd, bwd)
     return op
 
 
+def _call_op(Wx, scale, shift, alpha, beta, a, b, V, threshold, u0, w0, s0,
+             *, recurrent, adaptive, mxu_bf16):
+    affine = scale is not None
+    op = _make_op(recurrent, adaptive, affine, float(threshold), mxu_bf16)
+    H = Wx.shape[-1]
+    if not affine:
+        scale = jnp.zeros((H,), Wx.dtype)
+        shift = jnp.zeros((H,), Wx.dtype)
+    return op(Wx, scale, shift, alpha, beta, a, b, V, u0, w0, s0)
+
+
 def radlif_pallas(Wx, alpha, beta, a, b, V, threshold, u0, w0, s0,
-                  mxu_bf16: bool = False):
-    """Fused RadLIF layer recurrence (drop-in for cells.radlif_scan)."""
-    op = _make_op(True, True, float(threshold), mxu_bf16)
-    return op(Wx, alpha, beta, a, b, V, u0, w0, s0)
+                  mxu_bf16: bool = False, scale=None, shift=None):
+    """Fused RadLIF layer recurrence (drop-in for cells.radlif_scan).
+    With ``scale``/``shift`` the normalization affine is applied on load
+    (drive = scale*Wx + shift) and their gradients are returned."""
+    return _call_op(Wx, scale, shift, alpha, beta, a, b, V, threshold,
+                    u0, w0, s0, recurrent=True, adaptive=True,
+                    mxu_bf16=mxu_bf16)
 
 
-def rlif_pallas(Wx, alpha, V, threshold, u0, s0, mxu_bf16: bool = False):
+def rlif_pallas(Wx, alpha, V, threshold, u0, s0, mxu_bf16: bool = False,
+                scale=None, shift=None):
     """Fused RLIF layer recurrence (drop-in for cells.rlif_scan)."""
-    op = _make_op(True, False, float(threshold), mxu_bf16)
     z = jnp.zeros_like(alpha)
     zs = jnp.zeros_like(u0)
-    return op(Wx, alpha, z, z, z, V, u0, zs, s0)
+    return _call_op(Wx, scale, shift, alpha, z, z, z, V, threshold,
+                    u0, zs, s0, recurrent=True, adaptive=False,
+                    mxu_bf16=mxu_bf16)
 
 
-def adlif_pallas(Wx, alpha, beta, a, b, threshold, u0, w0, s0):
+def adlif_pallas(Wx, alpha, beta, a, b, threshold, u0, w0, s0,
+                 scale=None, shift=None):
     """Fused adLIF layer recurrence (drop-in for cells.adlif_scan)."""
-    op = _make_op(False, True, float(threshold))
     V = jnp.zeros((Wx.shape[-1], Wx.shape[-1]), Wx.dtype)
-    return op(Wx, alpha, beta, a, b, V, u0, w0, s0)
+    return _call_op(Wx, scale, shift, alpha, beta, a, b, V, threshold,
+                    u0, w0, s0, recurrent=False, adaptive=True,
+                    mxu_bf16=False)
 
 
-def lif_pallas(Wx, alpha, threshold, u0, s0):
+def lif_pallas(Wx, alpha, threshold, u0, s0, scale=None, shift=None):
     """Fused LIF layer recurrence (drop-in for cells.lif_scan)."""
-    op = _make_op(False, False, float(threshold))
     z = jnp.zeros_like(alpha)
     zs = jnp.zeros_like(u0)
     V = jnp.zeros((Wx.shape[-1], Wx.shape[-1]), Wx.dtype)
-    return op(Wx, alpha, z, z, z, V, u0, zs, s0)
+    return _call_op(Wx, scale, shift, alpha, z, z, z, V, threshold,
+                    u0, zs, s0, recurrent=False, adaptive=False,
+                    mxu_bf16=False)
 
 
 # ---------------------------------------------------------------------------
@@ -783,11 +932,11 @@ def _readout_bwd_kernel(
         jac = p * (g_eff - jnp.sum(p * g_eff, axis=-1, keepdims=True))
         G = jac + alpha * G
         dwx_ref[:, k, :] = one_m_alpha * G
-        wx_t = (u_t - alpha * u_p) / one_m_alpha
-        dal = dal + jnp.sum(G * (u_p - wx_t), axis=0, keepdims=True)
+        # u_p - wx_t == (u_p - u_t)/(1-alpha); divide hoisted out of loop
+        dal = dal + jnp.sum(G * (u_p - u_t), axis=0, keepdims=True)
 
     G_scr[:, :] = G
-    dalpha_ref[:, :] += dal
+    dalpha_ref[:, :] += dal / one_m_alpha
 
     @pl.when(last)
     def _du0():
@@ -843,6 +992,7 @@ def _readout_forward(Wx, alpha, u0, *, save_residuals):
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((bt, Hp), jnp.float32)],
         interpret=_interpret(),
+        compiler_params=_compiler_params(),
     )(Wx_p, alpha_p, u0_p)
 
     if not save_residuals:
@@ -885,6 +1035,7 @@ def _readout_backward(g, residuals, alpha, T):
         ),
         scratch_shapes=[pltpu.VMEM((bt, Hp), jnp.float32)],
         interpret=_interpret(),
+        compiler_params=_compiler_params(),
     )(u_seq, ub, g_p, alpha_p)
 
     return dWx[:B, :, :H], dalpha[0, :H], du0[:B, :H]

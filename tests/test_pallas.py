@@ -252,3 +252,80 @@ def test_readout_pallas_matches_scan(data):
             np.asarray(x), np.asarray(y), atol=1e-4,
             err_msg=f"readout grad argnum {i}",
         )
+
+
+def test_affine_fold_matches_scan(data):
+    """The normalization affine folded into the kernel (drive =
+    scale*Wx + shift) must match applying the affine outside the scan,
+    for values and for gradients w.r.t. every operand incl. scale/shift."""
+    d = data
+    scale = _rand(20, H, lo=0.5, hi=1.5)
+    shift = _rand(21, H, lo=-0.3, hi=0.3)
+
+    def f_pl(Wx, scale, shift, alpha, beta, a, b, V, u0, w0, s0):
+        return pallas_cells.radlif_pallas(
+            Wx, alpha, beta, a, b, V, 1.0, u0, w0, s0,
+            scale=scale, shift=shift,
+        )
+
+    def f_sc(Wx, scale, shift, alpha, beta, a, b, V, u0, w0, s0):
+        return cells.radlif_scan(
+            scale * Wx + shift, alpha, beta, a, b, V, 1.0, u0, w0, s0
+        )
+
+    args = (d["Wx"], scale, shift, d["alpha"], d["beta"], d["a"], d["b"],
+            d["V"], d["u0"], d["w0"], d["s0"])
+    got = f_pl(*args)
+    want = f_sc(*args)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    wgt = jnp.asarray(
+        np.linspace(0.5, 1.5, T)[None, :, None]
+        * np.linspace(1.0, 2.0, H)[None, None, :],
+        jnp.float32,
+    )
+    n = len(args)
+    gp = jax.grad(lambda *a: (f_pl(*a) * wgt).sum(), argnums=tuple(range(n)))(*args)
+    gs = jax.grad(lambda *a: (f_sc(*a) * wgt).sum(), argnums=tuple(range(n)))(*args)
+    names = ["Wx", "scale", "shift", "alpha", "beta", "a", "b", "V",
+             "u0", "w0", "s0"]
+    for nm, x, y in zip(names, gp, gs):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), atol=2e-3, rtol=1e-4,
+            err_msg=f"affine-fold grad {nm}",
+        )
+
+
+def test_model_affine_fold_matches_apply_norm(data):
+    """Full model: pallas path (BN folded into the kernel) vs scan path
+    (BN applied) on identical variables, train and eval mode."""
+    from sparch_tpu.models import build_model
+
+    x = _rand(11, B, T, 12, lo=0.0, hi=2.0)
+    kw = dict(dropout=0.0, state_init="zeros", normalization="batchnorm")
+    pallas_model = build_model("RadLIF", (B, T, 12), [16, 5],
+                               cell_impl="pallas", **kw)
+    scan_model = build_model("RadLIF", (B, T, 12), [16, 5],
+                             cell_impl="scan", **kw)
+    variables = scan_model.init({"params": jax.random.PRNGKey(0)}, x)
+
+    for train in (False, True):
+        kwargs = dict(mutable=["batch_stats"]) if train else {}
+        out_p = pallas_model.apply(variables, x, train=train, **kwargs)
+        out_s = scan_model.apply(variables, x, train=train, **kwargs)
+        if train:
+            (o_p, _), stats_p = out_p
+            (o_s, _), stats_s = out_s
+            jax.tree.map(
+                lambda a, b: np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b), atol=1e-5
+                ),
+                stats_p, stats_s,
+            )
+        else:
+            o_p, _ = out_p
+            o_s, _ = out_s
+        np.testing.assert_allclose(
+            np.asarray(o_p), np.asarray(o_s), atol=1e-4,
+            err_msg=f"train={train}",
+        )
