@@ -124,9 +124,25 @@ class _SpikingLayerBase(nn.Module):
                      axis_name=self.bn_axis_name, name="norm")(Wx)
         return Wx, None, None
 
-    def _post(self, s, train):
+    def _fused_dropout(self, train):
+        """(drop_rate, seed) for the in-kernel dropout on the fused path;
+        (0.0, None) when XLA-side nn.Dropout should run instead. The mask
+        is drawn per element before the bidirectional split — iid, so
+        distributionally identical to the reference's split-then-dropout
+        order."""
+        if not (train and self.dropout > 0 and self._use_pallas()):
+            return 0.0, None
+        key = self.make_rng("dropout")
+        seed = jax.random.randint(
+            key, (2,), 0, jnp.iinfo(jnp.int32).max, jnp.int32
+        )
+        return float(self.dropout), seed
+
+    def _post(self, s, train, fused_drop: bool = False):
         if self.bidirectional:
             s = bidir_split(s)
+        if fused_drop:
+            return s  # dropout already applied inside the kernel
         return nn.Dropout(self.dropout, deterministic=not train)(s)
 
     def _init_states(self, Wx, n):
@@ -168,12 +184,14 @@ class LIFLayer(_SpikingLayerBase):
         if self._use_pallas():
             from sparch_tpu.ops import pallas_cells
 
+            drop_rate, drop_seed = self._fused_dropout(train)
             s = pallas_cells.lif_pallas(
                 Wx, self._alpha(), self.threshold, u0, s0,
                 scale=scale, shift=shift,
+                drop_rate=drop_rate, drop_seed=drop_seed,
             )
-        else:
-            s = cells.lif_scan(Wx, self._alpha(), self.threshold, u0, s0)
+            return self._post(s, train, fused_drop=drop_rate > 0)
+        s = cells.lif_scan(Wx, self._alpha(), self.threshold, u0, s0)
         return self._post(s, train)
 
 
@@ -188,14 +206,16 @@ class adLIFLayer(_SpikingLayerBase):
         if self._use_pallas():
             from sparch_tpu.ops import pallas_cells
 
+            drop_rate, drop_seed = self._fused_dropout(train)
             s = pallas_cells.adlif_pallas(
                 Wx, self._alpha(), beta, a, b, self.threshold, u0, w0, s0,
                 scale=scale, shift=shift,
+                drop_rate=drop_rate, drop_seed=drop_seed,
             )
-        else:
-            s = cells.adlif_scan(
-                Wx, self._alpha(), beta, a, b, self.threshold, u0, w0, s0
-            )
+            return self._post(s, train, fused_drop=drop_rate > 0)
+        s = cells.adlif_scan(
+            Wx, self._alpha(), beta, a, b, self.threshold, u0, w0, s0
+        )
         return self._post(s, train)
 
 
@@ -210,14 +230,16 @@ class RLIFLayer(_SpikingLayerBase):
         if self._use_pallas():
             from sparch_tpu.ops import pallas_cells
 
+            drop_rate, drop_seed = self._fused_dropout(train)
             s = pallas_cells.rlif_pallas(
                 Wx, self._alpha(), self._V(), self.threshold, u0, s0,
                 mxu_bf16=self._mxu_bf16(), scale=scale, shift=shift,
+                drop_rate=drop_rate, drop_seed=drop_seed,
             )
-        else:
-            s = cells.rlif_scan(
-                Wx, self._alpha(), self._V(), self.threshold, u0, s0
-            )
+            return self._post(s, train, fused_drop=drop_rate > 0)
+        s = cells.rlif_scan(
+            Wx, self._alpha(), self._V(), self.threshold, u0, s0
+        )
         return self._post(s, train)
 
 
@@ -233,16 +255,18 @@ class RadLIFLayer(_SpikingLayerBase):
         if self._use_pallas():
             from sparch_tpu.ops import pallas_cells
 
+            drop_rate, drop_seed = self._fused_dropout(train)
             s = pallas_cells.radlif_pallas(
                 Wx, self._alpha(), beta, a, b, self._V(),
                 self.threshold, u0, w0, s0, mxu_bf16=self._mxu_bf16(),
                 scale=scale, shift=shift,
+                drop_rate=drop_rate, drop_seed=drop_seed,
             )
-        else:
-            s = cells.radlif_scan(
-                Wx, self._alpha(), beta, a, b, self._V(),
-                self.threshold, u0, w0, s0,
-            )
+            return self._post(s, train, fused_drop=drop_rate > 0)
+        s = cells.radlif_scan(
+            Wx, self._alpha(), beta, a, b, self._V(),
+            self.threshold, u0, w0, s0,
+        )
         return self._post(s, train)
 
 

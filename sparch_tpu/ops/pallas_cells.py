@@ -62,8 +62,14 @@ walking t = T..1:
 Gradients w.r.t. the raw (unclamped) parameters are obtained by pulling
 the clamped-parameter cotangents back through ``jnp.clip``'s own VJP, and
 dV through the zero-diagonal mask — identical semantics to the scan path
-(sparch_tpu.ops.cells). The residuals saved for backward (u and w series)
-match what ``lax.scan``'s VJP would stash, so peak memory is no worse.
+(sparch_tpu.ops.cells). The only full-length residual is the u series
+(plus tiny chunk-boundary states): s_t is recomputed in the backward as
+``(u_t > threshold)`` (exact — same f32 values the forward thresholded)
+and w is unwound within each chunk from its right boundary via
+``w_{t-1} = (w_t - a*u_{t-1} - b*s_{t-1}) / beta`` (beta >= exp(-1/30)
+after clamping, so eight inversion steps amplify rounding by <= 1.31x
+before the next boundary refresh). This is ~1/3 of the residual HBM
+traffic ``lax.scan``'s VJP would stash and stream.
 
 Equivalence with the scan cells (forward bit-exactness modulo f32 order,
 gradient agreement) is pinned by tests/test_pallas.py, which runs these
@@ -75,6 +81,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -114,6 +121,11 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _keep_u32(drop_rate: float) -> int:
+    """uint32 threshold such that P(bits < thr) = 1 - drop_rate."""
+    return min(2**32 - 1, int(round((1.0 - drop_rate) * 2**32)))
+
+
 def _tile_plan(Bp: int, Hp: int, streams: int):
     """Pick the batch tile so `streams` double-buffered (bt, TC, Hp) blocks
     + V/VT + a few (bt, Hp) state buffers fit the VMEM budget. Prefer the
@@ -134,6 +146,41 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _random_keep(shape, s0, s1, tile_i, t_global, keep_u32, use_hw_prng):
+    """Deterministic per-(seed, batch-tile, timestep, element) keep mask.
+
+    Forward and backward kernels regenerate the identical mask from the
+    same seeds, so the dropout pattern needs no stream and no storage.
+    On TPU the hardware PRNG is used (one seed + one draw per step); in
+    interpret mode (where the PRNG primitives are a zero stub) a murmur-
+    style index hash supplies real, reproducible masks for the CPU tests.
+    """
+    if use_hw_prng:
+        # Mosaic accepts at most two seed scalars: mix the batch-tile and
+        # timestep indices into them (wrapping int32 arithmetic)
+        sa = s0 + tile_i * jnp.int32(-1640531527)  # 0x9E3779B9
+        sb = s1 + jnp.asarray(t_global, jnp.int32) * jnp.int32(40503)
+        pltpu.prng_seed(sa, sb)
+        bits = pltpu.prng_random_bits(shape).astype(jnp.uint32)
+    else:
+        r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+        c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+        z = (
+            r * jnp.uint32(0x9E3779B1)
+            + c * jnp.uint32(0x85EBCA77)
+            + jnp.asarray(s0, jnp.uint32) * jnp.uint32(0xC2B2AE3D)
+            + jnp.asarray(s1, jnp.uint32)
+            + jnp.asarray(t_global, jnp.uint32) * jnp.uint32(0x27D4EB2F)
+            + jnp.asarray(tile_i, jnp.uint32) * jnp.uint32(0x165667B1)
+        )
+        z = z ^ (z >> 16)
+        z = z * jnp.uint32(0x7FEB352D)
+        z = z ^ (z >> 15)
+        z = z * jnp.uint32(0x846CA68B)
+        bits = z ^ (z >> 16)
+    return bits < jnp.uint32(keep_u32)
+
+
 # ---------------------------------------------------------------------------
 # Forward kernel
 # ---------------------------------------------------------------------------
@@ -143,9 +190,12 @@ def _fwd_kernel(
     *refs,
     threshold: float,
     tc: int,
+    T: int,
     recurrent: bool,
     adaptive: bool,
     affine: bool,
+    drop_rate: float,
+    use_hw_prng: bool,
     save_residuals: bool,
     mxu_bf16: bool,
 ):
@@ -156,20 +206,33 @@ def _fwd_kernel(
     # here so no host-side strided gather (and its layout-change copy of
     # the 26 MB residuals) is needed]
     # scratch: u, w, s state (bt,H) — persists across time-chunk grid steps
+    refs = list(refs)
     (
         wx_ref, scale_ref, shift_ref,
         alpha_ref, beta_ref, a_ref, b_ref, v_ref,
         u0_ref, w0_ref, s0_ref,
     ) = refs[:11]
-    n_out = 6 if save_residuals else 1
-    outs = refs[11 : 11 + n_out]
+    del refs[:11]
+    # dropout seed scalars (SMEM) only exist on the fused-dropout path
+    has_dropout = drop_rate > 0.0
+    seed_ref = refs.pop(0) if has_dropout else None
+    # residual outputs: s and u streams + chunk-boundary states. The w
+    # series is NOT streamed — the backward reconstructs it within each
+    # chunk from the next boundary (w_{t-1} = (w_t - a*u_p - b*s_p)/beta),
+    # and s_t is recomputed as (u_t > threshold). Adaptive cells
+    # additionally emit the w boundaries and the final w state.
+    if save_residuals:
+        n_out = 6 if adaptive else 4
+    else:
+        n_out = 1
+    outs = refs[:n_out]
     s_out_ref = outs[0]
     u_out_ref = outs[1] if save_residuals else None
-    w_out_ref = outs[2] if save_residuals else None
-    ub_out_ref = outs[3] if save_residuals else None
-    sb_out_ref = outs[4] if save_residuals else None
-    wb_out_ref = outs[5] if save_residuals else None
-    u_scr, w_scr, s_scr = refs[11 + n_out :]
+    ub_out_ref = outs[2] if save_residuals else None
+    sb_out_ref = outs[3] if save_residuals else None
+    wb_out_ref = outs[4] if (save_residuals and adaptive) else None
+    wf_out_ref = outs[5] if (save_residuals and adaptive) else None
+    u_scr, w_scr, s_scr = refs[n_out:]
 
     t = pl.program_id(1)
 
@@ -202,7 +265,11 @@ def _fwd_kernel(
             v_mat = v_mat.astype(jnp.bfloat16)
 
     for k in range(tc):  # static unroll
-        drive = wx_ref[:, k, :]
+        # Wx streams time-major (TC, bt, H): XLA's projection+BN-stats
+        # fusion writes its (B,T,H) output in the {2,0,1} (time-major)
+        # layout, so the transposed view is a free bitcast where a
+        # batch-major block would cost a 26 MB relayout copy per layer.
+        drive = wx_ref[k, :, :]
         if affine:
             # normalization folded to a per-feature affine on load
             drive = scale * drive + shift
@@ -219,11 +286,28 @@ def _fwd_kernel(
             drive = drive - w
         u = alpha * (u - s) + (1.0 - alpha) * drive
         s = (u > threshold).astype(u.dtype)
-        s_out_ref[:, k, :] = s.astype(s_out_ref.dtype)
+        if has_dropout:
+            # raw spikes stay in the recurrence (and are reconstructed
+            # from u in the backward); only the layer OUTPUT is dropped,
+            # so the mask needs no stream or storage
+            keep = _random_keep(
+                s.shape, seed_ref[0], seed_ref[1], pl.program_id(0),
+                t * tc + k, _keep_u32(drop_rate), use_hw_prng,
+            )
+            s_out_ref[:, k, :] = jnp.where(
+                keep, s * (1.0 / (1.0 - drop_rate)), 0.0
+            ).astype(s_out_ref.dtype)
+        else:
+            s_out_ref[:, k, :] = s.astype(s_out_ref.dtype)
         if save_residuals:
             u_out_ref[:, k, :] = u.astype(u_out_ref.dtype)
-            if adaptive:
-                w_out_ref[:, k, :] = w.astype(w_out_ref.dtype)
+            if adaptive and k == (T - 1) % tc:
+                # final w state, captured after the last LIVE step of the
+                # tail chunk (later dead steps corrupt the register from
+                # out-of-bounds Wx reads); earlier chunks' writes to this
+                # revisited block are overwritten by later chunks. The
+                # backward unwinds w from here / from the chunk boundaries.
+                wf_out_ref[:, :] = w
 
     u_scr[:, :] = u
     s_scr[:, :] = s
@@ -232,9 +316,9 @@ def _fwd_kernel(
 
 
 def _forward_pallas(
-    Wx, scale, shift, alpha, beta, a, b, V, threshold, u0, w0, s0,
-    *, recurrent: bool, adaptive: bool, affine: bool, save_residuals: bool,
-    mxu_bf16: bool = False,
+    Wx, scale, shift, alpha, beta, a, b, V, threshold, u0, w0, s0, seed,
+    *, recurrent: bool, adaptive: bool, affine: bool, drop_rate: float,
+    save_residuals: bool, mxu_bf16: bool = False,
 ):
     """Run the fused forward. Params must already be clamped/masked.
     Returns s, or (s, residuals)."""
@@ -247,8 +331,10 @@ def _forward_pallas(
     rdt = dtype
     Hp = _round_up(H, _LANE)
     Bp = _round_up(B, _SUBLANE)
-    streams = 4 if save_residuals else 2  # Wx in + s/u/w out
-    bt = _tile_plan(Bp, Hp, streams)
+    # streams=4 matches the backward's plan so both kernels always pick
+    # the same batch tile — the fused-dropout mask regeneration keys on
+    # the batch-tile index, so fwd/bwd tiles must align
+    bt = _tile_plan(Bp, Hp, streams=4)
     # T is NOT padded: the tail time chunk reads out-of-bounds garbage
     # (harmless — tail state is never consumed) and its out-of-range
     # writes are discarded by Pallas. Padding T would cost two full
@@ -260,11 +346,14 @@ def _forward_pallas(
             x.astype(dtype), ((0, Bp - B), (0, Hp - H)), constant_values=fill
         )
 
-    Wx_p = jnp.pad(
-        Wx.astype(dtype),
-        ((0, Bp - B), (0, 0), (0, Hp - H)),
-        constant_values=-1e9,
-    )
+    Wx_p = jnp.swapaxes(
+        jnp.pad(
+            Wx.astype(dtype),
+            ((0, Bp - B), (0, 0), (0, Hp - H)),
+            constant_values=-1e9,
+        ),
+        0, 1,
+    )  # (T, Bp, Hp) — free bitcast given the producer's T-major layout
     pad_h = lambda p, fill=0.0: jnp.pad(  # noqa: E731
         p.astype(dtype), (0, Hp - H), constant_values=fill
     )[None, :]
@@ -293,28 +382,47 @@ def _forward_pallas(
         _fwd_kernel,
         threshold=float(threshold),
         tc=_TC,
+        T=T,
         recurrent=recurrent,
         adaptive=adaptive,
         affine=affine,
+        drop_rate=drop_rate,
+        use_hw_prng=not _interpret(),
         save_residuals=save_residuals,
         mxu_bf16=mxu_bf16,
     )
+    seed_ops = ()
+    seed_specs = []
+    if drop_rate > 0.0:
+        seed_ops = (jnp.asarray(seed, jnp.int32),)
+        seed_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     bh = lambda i, t: (i, 0)  # noqa: E731
     bth = lambda i, t: (i, t, 0)  # noqa: E731
+    tbh = lambda i, t: (t, i, 0)  # noqa: E731
     bnd_map = lambda i, t: (i, t)  # noqa: E731
     rep2 = lambda i, t: (0, 0)  # noqa: E731
     stream_spec = pl.BlockSpec((bt, _TC, Hp), bth, memory_space=pltpu.VMEM)
+    tm_spec = pl.BlockSpec((_TC, bt, Hp), tbh, memory_space=pltpu.VMEM)
     vec_spec = pl.BlockSpec((1, Hp), rep2, memory_space=pltpu.VMEM)
     mat_spec = pl.BlockSpec((Hp, Hp), rep2, memory_space=pltpu.VMEM)
     state_spec = pl.BlockSpec((bt, Hp), bh, memory_space=pltpu.VMEM)
     bnd_spec = pl.BlockSpec((bt, Hp), bnd_map, memory_space=pltpu.VMEM)
 
     if save_residuals:
-        out_specs = (stream_spec,) * 3 + (bnd_spec,) * 3
-        out_shape = tuple(
-            [jax.ShapeDtypeStruct((Bp, T, Hp), rdt)] * 3
-            + [jax.ShapeDtypeStruct((Bp, n_chunks * Hp), dtype)] * 3
-        )
+        out_specs = (stream_spec,) * 2 + (bnd_spec,) * 2
+        out_shape = [
+            jax.ShapeDtypeStruct((Bp, T, Hp), rdt),  # s
+            jax.ShapeDtypeStruct((Bp, T, Hp), rdt),  # u
+            jax.ShapeDtypeStruct((Bp, n_chunks * Hp), dtype),  # ub
+            jax.ShapeDtypeStruct((Bp, n_chunks * Hp), dtype),  # sb
+        ]
+        if adaptive:
+            out_specs = out_specs + (bnd_spec, state_spec)
+            out_shape += [
+                jax.ShapeDtypeStruct((Bp, n_chunks * Hp), dtype),  # wb
+                jax.ShapeDtypeStruct((Bp, Hp), dtype),  # w final
+            ]
+        out_shape = tuple(out_shape)
     else:
         out_specs = (stream_spec,)
         out_shape = (jax.ShapeDtypeStruct((Bp, T, Hp), rdt),)
@@ -323,12 +431,12 @@ def _forward_pallas(
         kernel,
         grid=grid,
         in_specs=[
-            stream_spec,  # Wx
+            tm_spec,  # Wx (time-major)
             vec_spec, vec_spec,  # scale shift
             vec_spec, vec_spec, vec_spec, vec_spec,  # alpha beta a b
             mat_spec,  # V
             state_spec, state_spec, state_spec,  # u0 w0 s0
-        ],
+        ] + seed_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[
@@ -338,14 +446,22 @@ def _forward_pallas(
         ],
         interpret=_interpret(),
         compiler_params=_compiler_params(),
-    )(Wx_p, scale_p, shift_p, alpha_p, beta_p, a_p, b_p, V_p, u0_p, w0_p, s0_p)
+    )(Wx_p, scale_p, shift_p, alpha_p, beta_p, a_p, b_p, V_p,
+      u0_p, w0_p, s0_p, *seed_ops)
 
     if not save_residuals:
         return outs[0][:B, :, :H]
-    s_seq, u_seq, w_seq, ub, sb, wb = outs
+    if adaptive:
+        s_seq, u_seq, ub, sb, wb, wf = outs
+        # chunk-END w boundaries: slots shift by one, final state closes
+        # the last chunk — the backward unwinds w inside each chunk
+        wend = jnp.concatenate([wb[:, Hp:], wf], axis=1)
+    else:
+        s_seq, u_seq, ub, sb = outs
+        wend = jnp.zeros_like(sb)
     # residuals stay in padded (Bp, ., Hp) form — the backward kernel
     # consumes them directly, avoiding slice/pad round-trips
-    return s_seq[:B, :, :H], (u_seq, w_seq, s_seq, ub, sb, wb)
+    return s_seq[:B, :, :H], (u_seq, ub, sb, wend)
 
 
 # ---------------------------------------------------------------------------
@@ -361,19 +477,24 @@ def _bwd_kernel(
     recurrent: bool,
     adaptive: bool,
     affine: bool,
+    drop_rate: float,
+    use_hw_prng: bool,
     mxu_bf16: bool,
 ):
     refs = list(refs)
     g_ref = refs.pop(0)  # (bt, TC, H) — output cotangent, reverse-streamed
     # raw Wx stream only exists on the affine-fold path
     wx_ref = refs.pop(0) if affine else None
+    has_dropout = drop_rate > 0.0
+    seed_ref = refs.pop(0) if has_dropout else None
     (
-        u_ref,  # (bt, TC, H) — saved u_t
-        s_ref,  # (bt, TC, H) — saved s_t (the forward output)
-        w_ref,  # (bt, TC, H) — saved w_t
+        u_ref,  # (bt, TC, H) — saved u_t (the ONLY full residual stream:
+        # s_t is recomputed as (u_t > threshold) and w is unwound within
+        # the chunk from its end boundary)
         ub_ref,  # (bt, H) — u at this chunk's left boundary (t = start-1)
-        sb_ref,  # (bt, H)
-        wb_ref,  # (bt, H)
+        sb_ref,  # (bt, H) — s at the left boundary (s0 is independent of
+        # u0, so it cannot be recomputed for the first chunk)
+        we_ref,  # (bt, H) — w at this chunk's RIGHT boundary (last step)
         scale_ref,  # (1, H)
         alpha_ref,  # (1, H)
         beta_ref,
@@ -394,7 +515,7 @@ def _bwd_kernel(
         ds0_ref,
         A_scr,  # (bt, H) persistent adjoint scratch
         B_scr,
-    ) = refs[:25]
+    ) = refs[:23]
     kc = pl.program_id(1)
     n_chunks = pl.num_programs(1)
     first = kc == 0
@@ -428,6 +549,12 @@ def _bwd_kernel(
     a_c = a_ref[0, :]
     b_c = b_ref[0, :]
     scale = scale_ref[0, :] if affine else None
+    if adaptive:
+        # beta >= exp(-1/30) after clamping: the in-chunk backward unwind
+        # w_{t-1} = (w_t - a*u_p - b*s_p)/beta amplifies rounding by at
+        # most (1/beta)^TC ~ 1.3 before the next boundary refresh
+        inv_beta = 1.0 / beta
+        w_cur = we_ref[:, :]
 
     A = A_scr[:, :]
     B = B_scr[:, :]
@@ -441,15 +568,26 @@ def _bwd_kernel(
 
     for k in range(tc - 1, -1, -1):  # reverse static unroll
         g_t = g_ref[:, k, :].astype(jnp.float32)
+        if has_dropout:
+            # regenerate the forward's keep mask from the same seeds: the
+            # incoming cotangent is w.r.t. the DROPPED output
+            keep = _random_keep(
+                g_t.shape, seed_ref[0], seed_ref[1], pl.program_id(0),
+                (n_chunks - 1 - kc) * tc + k, _keep_u32(drop_rate),
+                use_hw_prng,
+            )
+            g_t = jnp.where(keep, g_t * (1.0 / (1.0 - drop_rate)), 0.0)
         u_t = u_ref[:, k, :].astype(jnp.float32)
         # previous-step state: in-block for k > 0, chunk boundary for k == 0
         # (boundary arrays carry state at t = chunk_start - 1, incl. u0/s0/w0
         # for the first chunk) — avoids streaming full shifted copies.
+        # s_{t-1} is the forward's threshold function of u_{t-1}, so it is
+        # recomputed instead of streamed (exact: same f32 u values).
         u_p = (
             u_ref[:, k - 1, :].astype(jnp.float32) if k > 0 else ub_ref[:, :]
         )
         s_p = (
-            s_ref[:, k - 1, :].astype(jnp.float32) if k > 0 else sb_ref[:, :]
+            (u_p > threshold).astype(jnp.float32) if k > 0 else sb_ref[:, :]
         )
         if k >= tail_len:
             live = kc != 0
@@ -481,7 +619,7 @@ def _bwd_kernel(
             A_new = A_new + a_c * B
         ddrive = one_m_alpha * A_new
         if affine:
-            wx_t = wx_ref[:, k, :]
+            wx_t = wx_ref[k, :, :]  # time-major stream (see forward)
             if k >= tail_len:
                 wx_t = jnp.where(kc != 0, wx_t, 0.0)
             dsc = dsc + jnp.sum(ddrive * wx_t, axis=0, keepdims=True)
@@ -508,13 +646,16 @@ def _bwd_kernel(
             A_new * (u_p - s_p - u_t), axis=0, keepdims=True
         )
         if adaptive:
-            w_p = (
-                w_ref[:, k - 1, :].astype(jnp.float32)
-                if k > 0
-                else wb_ref[:, :]
-            )
+            # unwind w: w_cur holds w_t for this step; invert the forward
+            # update to get w_{t-1} (used by the dbeta sum and carried)
+            w_p = (w_cur - a_c * u_p - b_c * s_p) * inv_beta
             if k >= tail_len:
-                w_p = jnp.where(kc != 0, w_p, 0.0)
+                live = kc != 0
+                w_p = jnp.where(live, w_p, 0.0)
+                # dead tail steps must not unwind the carried state
+                w_cur = jnp.where(live, w_p, w_cur)
+            else:
+                w_cur = w_p
             B_new = -one_m_alpha * A_new + beta * B
             dbe = dbe + jnp.sum(B_new * w_p, axis=0, keepdims=True)
             daa = daa + jnp.sum(B_new * u_p, axis=0, keepdims=True)
@@ -558,27 +699,37 @@ def _bwd_kernel(
 
 
 def _backward_pallas(
-    g, Wx, residuals, scale, alpha, beta, a, b, V, threshold,
-    *, recurrent: bool, adaptive: bool, affine: bool, mxu_bf16: bool = False,
+    g, Wx, residuals, scale, alpha, beta, a, b, V, threshold, seed,
+    *, recurrent: bool, adaptive: bool, affine: bool, drop_rate: float,
+    mxu_bf16: bool = False,
 ):
     """Fused reverse-time BPTT. Params must already be clamped/masked;
     ``residuals`` are the forward kernel's padded outputs
-    (u_pd, w_pd, s_pd, ub, sb, wb). Returns (dWx, dscale, dshift, dV,
+    (u_pd, ub, sb, wend). Returns (dWx, dscale, dshift, dV,
     dalpha, dbeta, da, db, du0, dw0, ds0) w.r.t. the clamped parameters."""
-    u_pd, w_pd, s_pd, ub, sb, wb = residuals
+    u_pd, ub, sb, wend = residuals
     B, T, H = g.shape
     dtype = jnp.float32
     rdt = u_pd.dtype
     Bp, _, Hp = u_pd.shape
-    bt = _tile_plan(Bp, Hp, streams=6)
+    # streams: g, u, dwx out (+ Wx on the affine path); fixed at 4 so the
+    # batch tile always matches the forward's (mask regeneration keys on
+    # the tile index)
+    bt = _tile_plan(Bp, Hp, streams=4)
     n_chunks = (T + _TC - 1) // _TC
 
     # zero cotangent on padded rows/cols keeps adjoints silent
     g_p = jnp.pad(g.astype(rdt), ((0, Bp - B), (0, 0), (0, Hp - H)))
     wx_ops = ()
     if affine:
+        # time-major, matching the producer's layout (see forward kernel)
         wx_ops = (
-            jnp.pad(Wx.astype(dtype), ((0, Bp - B), (0, 0), (0, Hp - H))),
+            jnp.swapaxes(
+                jnp.pad(
+                    Wx.astype(dtype), ((0, Bp - B), (0, 0), (0, Hp - H))
+                ),
+                0, 1,
+            ),
         )
 
     pad_h = lambda p: jnp.pad(p.astype(dtype), (0, Hp - H))[None, :]  # noqa: E731
@@ -602,14 +753,23 @@ def _backward_pallas(
         recurrent=recurrent,
         adaptive=adaptive,
         affine=affine,
+        drop_rate=drop_rate,
+        use_hw_prng=not _interpret(),
         mxu_bf16=mxu_bf16,
     )
+    seed_ops = ()
+    seed_specs = []
+    if drop_rate > 0.0:
+        seed_ops = (jnp.asarray(seed, jnp.int32),)
+        seed_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     # time chunks walked in reverse
     rev = lambda i, t: (i, n_chunks - 1 - t, 0)  # noqa: E731
+    rev_tm = lambda i, t: (n_chunks - 1 - t, i, 0)  # noqa: E731
     bh = lambda i, t: (i, 0)  # noqa: E731
     rev_bnd = lambda i, t: (i, n_chunks - 1 - t)  # noqa: E731
     rep2 = lambda i, t: (0, 0)  # noqa: E731
     stream_spec = pl.BlockSpec((bt, _TC, Hp), rev, memory_space=pltpu.VMEM)
+    tm_spec = pl.BlockSpec((_TC, bt, Hp), rev_tm, memory_space=pltpu.VMEM)
     vec_spec = pl.BlockSpec((1, Hp), rep2, memory_space=pltpu.VMEM)
     mat_spec = pl.BlockSpec((Hp, Hp), rep2, memory_space=pltpu.VMEM)
     state_spec = pl.BlockSpec((bt, Hp), bh, memory_space=pltpu.VMEM)
@@ -620,14 +780,13 @@ def _backward_pallas(
         grid=grid,
         in_specs=(
             [stream_spec]  # g
-            + ([stream_spec] if affine else [])  # raw Wx (affine fold)
+            + ([tm_spec] if affine else [])  # raw Wx (affine fold)
+            + seed_specs  # dropout seed scalars (SMEM)
             + [
                 stream_spec,  # u
-                stream_spec,  # s
-                stream_spec,  # w
-                bnd_spec,  # u boundary
-                bnd_spec,  # s boundary
-                bnd_spec,  # w boundary
+                bnd_spec,  # u left boundary
+                bnd_spec,  # s left boundary
+                bnd_spec,  # w right boundary
                 vec_spec,  # scale
                 vec_spec, vec_spec, vec_spec, vec_spec,  # alpha beta a b
                 mat_spec,  # V
@@ -660,7 +819,7 @@ def _backward_pallas(
         interpret=_interpret(),
         compiler_params=_compiler_params(),
     )(
-        g_p, *wx_ops, u_pd, s_pd, w_pd, ub, sb, wb,
+        g_p, *wx_ops, *seed_ops, u_pd, ub, sb, wend,
         scale_p, alpha_p, beta_p, a_p, b_p, V_p,
     )
 
@@ -698,35 +857,35 @@ def _clip_and_mask(alpha, beta, a, b, V, recurrent, adaptive):
 
 @functools.lru_cache(maxsize=None)
 def _make_op(recurrent: bool, adaptive: bool, affine: bool, threshold: float,
-             mxu_bf16: bool = False):
+             drop_rate: float = 0.0, mxu_bf16: bool = False):
     """Build (and memoize) the custom_vjp op for a fixed static threshold —
-    the kernels need a concrete Python float, so threshold cannot be a
-    traced operand."""
+    the kernels need a concrete Python float, so threshold (and the
+    dropout rate) cannot be traced operands."""
 
     @jax.custom_vjp
-    def op(Wx, scale, shift, alpha, beta, a, b, V, u0, w0, s0):
+    def op(Wx, scale, shift, alpha, beta, a, b, V, u0, w0, s0, seed):
         cm = _clip_and_mask(alpha, beta, a, b, V, recurrent, adaptive)
         return _forward_pallas(
-            Wx, scale, shift, *cm[:4], cm[4], threshold, u0, w0, s0,
+            Wx, scale, shift, *cm[:4], cm[4], threshold, u0, w0, s0, seed,
             recurrent=recurrent, adaptive=adaptive, affine=affine,
-            save_residuals=False, mxu_bf16=mxu_bf16,
+            drop_rate=drop_rate, save_residuals=False, mxu_bf16=mxu_bf16,
         )
 
-    def fwd(Wx, scale, shift, alpha, beta, a, b, V, u0, w0, s0):
+    def fwd(Wx, scale, shift, alpha, beta, a, b, V, u0, w0, s0, seed):
         cm = _clip_and_mask(alpha, beta, a, b, V, recurrent, adaptive)
         s_out, residuals = _forward_pallas(
-            Wx, scale, shift, *cm[:4], cm[4], threshold, u0, w0, s0,
+            Wx, scale, shift, *cm[:4], cm[4], threshold, u0, w0, s0, seed,
             recurrent=recurrent, adaptive=adaptive, affine=affine,
-            save_residuals=True, mxu_bf16=mxu_bf16,
+            drop_rate=drop_rate, save_residuals=True, mxu_bf16=mxu_bf16,
         )
         wx_saved = Wx if affine else None
         res = (wx_saved, scale, shift, alpha, beta, a, b, V, residuals,
-               u0, w0, s0)
+               u0, w0, s0, seed)
         return s_out, res
 
     def bwd(res, g):
         (wx_saved, scale, shift, alpha, beta, a, b, V, residuals,
-         u0, w0, s0) = res
+         u0, w0, s0, seed) = res
 
         # Re-derive the clamped params with their clip VJPs so raw-param
         # gradients match the scan path exactly.
@@ -751,9 +910,9 @@ def _make_op(recurrent: bool, adaptive: bool, affine: bool, threshold: float,
             du0, dw0, ds0,
         ) = _backward_pallas(
             g, wx_saved, residuals, scale,
-            alpha_c, beta_c, a_c, b_c, V_m, threshold,
+            alpha_c, beta_c, a_c, b_c, V_m, threshold, seed,
             recurrent=recurrent, adaptive=adaptive, affine=affine,
-            mxu_bf16=mxu_bf16,
+            drop_rate=drop_rate, mxu_bf16=mxu_bf16,
         )
 
         (dalpha,) = alpha_vjp(dalpha_c)
@@ -774,61 +933,76 @@ def _make_op(recurrent: bool, adaptive: bool, affine: bool, threshold: float,
         if not affine:
             dscale = jnp.zeros_like(scale)
             dshift = jnp.zeros_like(shift)
+        dseed = np.zeros(seed.shape, jax.dtypes.float0)
         return (dWx, dscale, dshift, dalpha, dbeta, da, db, dV,
-                du0, dw0, ds0)
+                du0, dw0, ds0, dseed)
 
     op.defvjp(fwd, bwd)
     return op
 
 
 def _call_op(Wx, scale, shift, alpha, beta, a, b, V, threshold, u0, w0, s0,
-             *, recurrent, adaptive, mxu_bf16):
+             *, recurrent, adaptive, mxu_bf16, drop_rate=0.0, drop_seed=None):
     affine = scale is not None
-    op = _make_op(recurrent, adaptive, affine, float(threshold), mxu_bf16)
+    op = _make_op(recurrent, adaptive, affine, float(threshold),
+                  float(drop_rate), mxu_bf16)
     H = Wx.shape[-1]
     if not affine:
         scale = jnp.zeros((H,), Wx.dtype)
         shift = jnp.zeros((H,), Wx.dtype)
-    return op(Wx, scale, shift, alpha, beta, a, b, V, u0, w0, s0)
+    if drop_seed is None:
+        drop_seed = jnp.zeros((2,), jnp.int32)
+    return op(Wx, scale, shift, alpha, beta, a, b, V, u0, w0, s0, drop_seed)
 
 
 def radlif_pallas(Wx, alpha, beta, a, b, V, threshold, u0, w0, s0,
-                  mxu_bf16: bool = False, scale=None, shift=None):
+                  mxu_bf16: bool = False, scale=None, shift=None,
+                  drop_rate: float = 0.0, drop_seed=None):
     """Fused RadLIF layer recurrence (drop-in for cells.radlif_scan).
     With ``scale``/``shift`` the normalization affine is applied on load
-    (drive = scale*Wx + shift) and their gradients are returned."""
+    (drive = scale*Wx + shift) and their gradients are returned. With
+    ``drop_rate``/``drop_seed`` the layer-output dropout is fused: masks
+    are regenerated from the seed in the backward, so the raw spikes need
+    neither a second output stream nor storage."""
     return _call_op(Wx, scale, shift, alpha, beta, a, b, V, threshold,
                     u0, w0, s0, recurrent=True, adaptive=True,
-                    mxu_bf16=mxu_bf16)
+                    mxu_bf16=mxu_bf16, drop_rate=drop_rate,
+                    drop_seed=drop_seed)
 
 
 def rlif_pallas(Wx, alpha, V, threshold, u0, s0, mxu_bf16: bool = False,
-                scale=None, shift=None):
+                scale=None, shift=None, drop_rate: float = 0.0,
+                drop_seed=None):
     """Fused RLIF layer recurrence (drop-in for cells.rlif_scan)."""
     z = jnp.zeros_like(alpha)
     zs = jnp.zeros_like(u0)
     return _call_op(Wx, scale, shift, alpha, z, z, z, V, threshold,
                     u0, zs, s0, recurrent=True, adaptive=False,
-                    mxu_bf16=mxu_bf16)
+                    mxu_bf16=mxu_bf16, drop_rate=drop_rate,
+                    drop_seed=drop_seed)
 
 
 def adlif_pallas(Wx, alpha, beta, a, b, threshold, u0, w0, s0,
-                 scale=None, shift=None):
+                 scale=None, shift=None, drop_rate: float = 0.0,
+                 drop_seed=None):
     """Fused adLIF layer recurrence (drop-in for cells.adlif_scan)."""
     V = jnp.zeros((Wx.shape[-1], Wx.shape[-1]), Wx.dtype)
     return _call_op(Wx, scale, shift, alpha, beta, a, b, V, threshold,
                     u0, w0, s0, recurrent=False, adaptive=True,
-                    mxu_bf16=False)
+                    mxu_bf16=False, drop_rate=drop_rate,
+                    drop_seed=drop_seed)
 
 
-def lif_pallas(Wx, alpha, threshold, u0, s0, scale=None, shift=None):
+def lif_pallas(Wx, alpha, threshold, u0, s0, scale=None, shift=None,
+               drop_rate: float = 0.0, drop_seed=None):
     """Fused LIF layer recurrence (drop-in for cells.lif_scan)."""
     z = jnp.zeros_like(alpha)
     zs = jnp.zeros_like(u0)
     V = jnp.zeros((Wx.shape[-1], Wx.shape[-1]), Wx.dtype)
     return _call_op(Wx, scale, shift, alpha, z, z, z, V, threshold,
                     u0, zs, s0, recurrent=False, adaptive=False,
-                    mxu_bf16=False)
+                    mxu_bf16=False, drop_rate=drop_rate,
+                    drop_seed=drop_seed)
 
 
 # ---------------------------------------------------------------------------

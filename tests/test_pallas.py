@@ -329,3 +329,85 @@ def test_model_affine_fold_matches_apply_norm(data):
             np.asarray(o_p), np.asarray(o_s), atol=1e-4,
             err_msg=f"train={train}",
         )
+
+
+def test_fused_dropout_properties():
+    """In-kernel dropout: deterministic per seed, values in {0, s/(1-p)},
+    dropped fraction ~= p among fired spikes, seed changes the mask."""
+    Bq, Tq, Hq = 16, 32, 48
+    alpha = jnp.linspace(0.83, 0.95, Hq)
+    alpha_c = jnp.clip(alpha, *cells.ALPHA_LIM)
+    # drive pinning u at exactly 1.2: every neuron fires every step
+    wx_row = 1.2 + alpha_c / (1.0 - alpha_c)
+    Wx = jnp.broadcast_to(wx_row, (Bq, Tq, Hq)).astype(jnp.float32)
+    u0 = jnp.full((Bq, Hq), 1.2, jnp.float32)
+    s0 = jnp.ones((Bq, Hq), jnp.float32)
+    seed = jnp.array([42, 7], jnp.int32)
+    p = 0.25
+    args = (Wx, alpha, 1.0, u0, s0)
+    drp = np.asarray(
+        pallas_cells.lif_pallas(*args, drop_rate=p, drop_seed=seed)
+    )
+    drp2 = np.asarray(
+        pallas_cells.lif_pallas(*args, drop_rate=p, drop_seed=seed)
+    )
+    np.testing.assert_array_equal(drp, drp2)  # deterministic
+    # every raw spike fired, so values are exactly {0, 1/(1-p)}
+    vals = np.unique(drp)
+    np.testing.assert_allclose(vals, [0.0, 1.0 / (1.0 - p)], rtol=1e-6)
+    frac = float((drp == 0.0).mean())
+    assert abs(frac - p) < 0.02, frac  # 24576 samples
+    drp3 = np.asarray(
+        pallas_cells.lif_pallas(
+            *args, drop_rate=p, drop_seed=jnp.array([43, 7], jnp.int32)
+        )
+    )
+    assert not np.array_equal(drp, drp3)  # seed-dependent
+
+
+def test_fused_dropout_gradients_match_masked_oracle():
+    """With every neuron firing inside the surrogate window, the realized
+    keep mask is fully recoverable from the dropped output, so the fused
+    backward can be checked against scan-autodiff through an explicit
+    mask multiply."""
+    Bq, Tq, Hq = 8, 24, 16
+    alpha = jnp.linspace(0.83, 0.95, Hq)
+    alpha_c = jnp.clip(alpha, *cells.ALPHA_LIM)
+    # drive that pins u at exactly 1.2: spikes every step, window = 1
+    wx_row = 1.2 + alpha_c / (1.0 - alpha_c)
+    Wx = jnp.broadcast_to(wx_row, (Bq, Tq, Hq)).astype(jnp.float32)
+    u0 = jnp.full((Bq, Hq), 1.2, jnp.float32)
+    s0 = jnp.ones((Bq, Hq), jnp.float32)
+    p = 0.3
+    seed = jnp.array([5, 11], jnp.int32)
+
+    out = pallas_cells.lif_pallas(
+        Wx, alpha, 1.0, u0, s0, drop_rate=p, drop_seed=seed
+    )
+    mask = (np.asarray(out) > 0).astype(np.float32)
+    assert 0.05 < 1.0 - mask.mean() < 0.6  # real dropping happened
+    mask = jnp.asarray(mask)
+
+    wgt = jnp.asarray(
+        np.linspace(0.5, 1.5, Tq)[None, :, None]
+        * np.linspace(1.0, 2.0, Hq)[None, None, :],
+        jnp.float32,
+    )
+
+    def loss_pl(Wx, alpha):
+        o = pallas_cells.lif_pallas(
+            Wx, alpha, 1.0, u0, s0, drop_rate=p, drop_seed=seed
+        )
+        return (o * wgt).sum()
+
+    def loss_oracle(Wx, alpha):
+        o = cells.lif_scan(Wx, alpha, 1.0, u0, s0) * mask / (1.0 - p)
+        return (o * wgt).sum()
+
+    gp = jax.grad(loss_pl, argnums=(0, 1))(Wx, alpha)
+    gs = jax.grad(loss_oracle, argnums=(0, 1))(Wx, alpha)
+    for name, x, y in zip(("Wx", "alpha"), gp, gs):
+        np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), atol=1e-4, rtol=1e-5,
+            err_msg=f"fused-dropout grad {name}",
+        )
