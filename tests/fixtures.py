@@ -22,9 +22,12 @@ def make_shd_h5(
     nb_units: int = 700,
     max_time: float = 1.4,
     seed: int = 0,
+    noise_frac: float = 0.0,
+    n_events_range: tuple = (50, 150),
 ):
     """Create a synthetic SHD-schema HDF5 file. Each class fires a distinct
-    block of units so the task is learnable."""
+    block of units so the task is learnable; ``noise_frac`` of the events
+    land on uniformly random units, making the task arbitrarily hard."""
     rng = np.random.default_rng(seed)
     vlen_f = h5py.special_dtype(vlen=np.dtype("float64"))
     vlen_i = h5py.special_dtype(vlen=np.dtype("int64"))
@@ -33,9 +36,14 @@ def make_shd_h5(
     block = nb_units // nb_classes
     for i in range(n):
         c = labels[i]
-        n_events = rng.integers(50, 150)
+        n_events = rng.integers(*n_events_range)
         times = np.sort(rng.uniform(0, max_time * 0.99, n_events))
         units = rng.integers(c * block, (c + 1) * block, n_events)
+        if noise_frac > 0.0:
+            noisy = rng.random(n_events) < noise_frac
+            units = np.where(
+                noisy, rng.integers(0, nb_units, n_events), units
+            )
         times_list.append(times)
         units_list.append(units.astype(np.int64))
     with h5py.File(path, "w") as f:

@@ -3,15 +3,19 @@
 Trains the reference SNN (imported from /root/reference as an oracle) and
 our model on the SAME synthetic SHD-schema dataset with the same
 architecture, optimizer (Adam, lr 1e-2), CE loss, and epoch count, then
-checks both learn the task to comparable accuracy. This validates the
-whole stack — init distributions, clamped dynamics, surrogate gradients,
-normalisation semantics, optimizer settings — at the level that matters
-(training behaviour), where bit-parity is impossible.
+compares mean test accuracy over multiple seeds. The task is made
+deliberately NOISY (40% of events land on random units) so accuracies sit
+mid-range, where the +-0.05 parity band is informative — on a trivially
+separable task both implementations saturate and the comparison proves
+nothing. This validates the whole stack — init distributions, clamped
+dynamics, surrogate gradients, normalisation semantics, optimizer
+settings — at the level that matters (training behaviour), where
+bit-parity is impossible.
 
-Layernorm is used because the reference's train-mode-vs-eval-mode
-BatchNorm gap makes IT fail on this tiny synthetic set (eval-mode
-running stats silence the spiking layer entirely — observed with the
-reference code itself); layernorm has no such gap.
+The BatchNorm case is evaluated in TRAIN mode on both sides: the
+reference's eval-mode running stats silence the spiking layer entirely on
+tiny synthetic sets (observed with the reference code itself), so
+batch-stat normalisation is the only comparable regime at this scale.
 """
 import os
 import sys
@@ -32,67 +36,75 @@ from sparch_tpu.train.steps import make_eval_step, make_train_step  # noqa: E402
 
 from .fixtures import make_shd_h5  # noqa: E402
 
-B, T, F, H, C = 16, 100, 700, 32, 3
+B, T, F, H, C = 16, 100, 700, 32, 4
 EPOCHS = 4
 
 
-@pytest.fixture
-def shd_folder(tmp_path):
-    folder = str(tmp_path / "shd")
-    os.makedirs(folder)
-    make_shd_h5(f"{folder}/shd_train.h5", n=96, nb_classes=C, seed=0)
-    make_shd_h5(f"{folder}/shd_test.h5", n=24, nb_classes=C, seed=1)
+@pytest.fixture(scope="module")
+def shd_folder(tmp_path_factory):
+    folder = str(tmp_path_factory.mktemp("shd"))
+    make_shd_h5(
+        f"{folder}/shd_train.h5", n=96, nb_classes=C, seed=0,
+        noise_frac=0.4, n_events_range=(30, 90),
+    )
+    make_shd_h5(
+        f"{folder}/shd_test.h5", n=48, nb_classes=C, seed=1,
+        noise_frac=0.4, n_events_range=(30, 90),
+    )
     return folder
 
 
 def _batches(folder, split, shuffle, seed=0):
-    loader = load_shd_or_ssc(
+    return load_shd_or_ssc(
         "shd", folder, split, batch_size=B, shuffle=shuffle, seed=seed
     )
-    return loader
 
 
-def _train_reference(folder, monkeypatch):
+def _train_reference(folder, neuron_type, norm, seed, eval_train_mode):
     # deterministic zero hidden-state init, matching state_init='zeros'
-    monkeypatch.setattr(torch, "rand", lambda *s, **k: torch.zeros(*s, **k))
-    torch.manual_seed(0)
-    net = RefSNN(
-        input_shape=(B, T, F),
-        layer_sizes=[H, C],
-        neuron_type="LIF",
-        dropout=0.0,
-        normalization="layernorm",
-        use_readout_layer=True,
-    )
-    opt = torch.optim.Adam(net.parameters(), 1e-2)
-    loss_fn = torch.nn.CrossEntropyLoss()
-    for e in range(EPOCHS):
-        net.train()
-        for x, _, y in _batches(folder, "train", True, seed=e):
-            xb = torch.from_numpy(np.asarray(x))
-            yb = torch.from_numpy(np.asarray(y))
-            out, _ = net(xb)
-            loss = loss_fn(out, yb)
-            opt.zero_grad()
-            loss.backward()
-            opt.step()
-    net.eval()
-    accs = []
-    with torch.no_grad():
-        for x, _, y in _batches(folder, "test", False):
-            out, _ = net(torch.from_numpy(np.asarray(x)))
-            accs.append((out.argmax(1).numpy() == np.asarray(y)).mean())
-    return float(np.mean(accs))
+    orig_rand = torch.rand
+    torch.rand = lambda *s, **k: torch.zeros(*s, **k)
+    try:
+        torch.manual_seed(seed)
+        net = RefSNN(
+            input_shape=(B, T, F),
+            layer_sizes=[H, C],
+            neuron_type=neuron_type,
+            dropout=0.0,
+            normalization=norm,
+            use_readout_layer=True,
+        )
+        opt = torch.optim.Adam(net.parameters(), 1e-2)
+        loss_fn = torch.nn.CrossEntropyLoss()
+        for e in range(EPOCHS):
+            net.train()
+            for x, _, y in _batches(folder, "train", True, seed=e):
+                xb = torch.from_numpy(np.asarray(x))
+                yb = torch.from_numpy(np.asarray(y))
+                out, _ = net(xb)
+                loss = loss_fn(out, yb)
+                opt.zero_grad()
+                loss.backward()
+                opt.step()
+        net.train() if eval_train_mode else net.eval()
+        accs = []
+        with torch.no_grad():
+            for x, _, y in _batches(folder, "test", False):
+                out, _ = net(torch.from_numpy(np.asarray(x)))
+                accs.append((out.argmax(1).numpy() == np.asarray(y)).mean())
+        return float(np.mean(accs))
+    finally:
+        torch.rand = orig_rand
 
 
-def _train_ours(folder):
+def _train_ours(folder, neuron_type, norm, seed, eval_train_mode):
     model = build_model(
-        "LIF", (B, T, F), [H, C], dropout=0.0, normalization="layernorm",
+        neuron_type, (B, T, F), [H, C], dropout=0.0, normalization=norm,
         state_init="zeros",
     )
     sample = np.zeros((2, 8, F), np.float32)
     state = create_train_state(
-        model, sample, lr=1e-2, rng=jax.random.PRNGKey(0)
+        model, sample, lr=1e-2, rng=jax.random.PRNGKey(seed)
     )
     train_step = make_train_step(model, donate=False)
     eval_step = make_eval_step(model)
@@ -101,16 +113,47 @@ def _train_ours(folder):
             state, _ = train_step(state, x, y)
     accs = []
     for x, _, y in _batches(folder, "test", False):
-        m = eval_step(state, x, y, jax.random.PRNGKey(0))
-        accs.append(float(m["acc"]))
+        if eval_train_mode:
+            # batch-stat (train-mode) normalisation, updates discarded
+            (out, _), _ = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                np.asarray(x), train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(0)},
+            )
+            accs.append(
+                float((np.asarray(out).argmax(1) == np.asarray(y)).mean())
+            )
+        else:
+            m = eval_step(state, x, y, jax.random.PRNGKey(0))
+            accs.append(float(m["acc"]))
     return float(np.mean(accs))
 
 
-def test_training_dynamics_parity(shd_folder, monkeypatch):
-    acc_ref = _train_reference(shd_folder, monkeypatch)
-    acc_ours = _train_ours(shd_folder)
-    # both must learn the (easy, separable) task...
-    assert acc_ref >= 0.8, f"reference failed to learn: {acc_ref}"
-    assert acc_ours >= 0.8, f"ours failed to learn: {acc_ours}"
-    # ...to comparable accuracy
-    assert abs(acc_ref - acc_ours) <= 0.2, (acc_ref, acc_ours)
+@pytest.mark.parametrize(
+    "neuron_type,norm,eval_train_mode,seeds",
+    [
+        ("LIF", "layernorm", False, (0, 1, 2)),
+        ("adLIF", "layernorm", False, (0, 1)),
+        ("RadLIF", "layernorm", False, (0, 1)),
+        ("LIF", "batchnorm", True, (0, 1)),
+    ],
+    ids=["LIF-ln", "adLIF-ln", "RadLIF-ln", "LIF-bn-trainstats"],
+)
+def test_training_dynamics_parity(
+    shd_folder, neuron_type, norm, eval_train_mode, seeds
+):
+    ref = [
+        _train_reference(shd_folder, neuron_type, norm, s, eval_train_mode)
+        for s in seeds
+    ]
+    ours = [
+        _train_ours(shd_folder, neuron_type, norm, s, eval_train_mode)
+        for s in seeds
+    ]
+    acc_ref = float(np.mean(ref))
+    acc_ours = float(np.mean(ours))
+    # both must beat chance solidly (noisy 4-class task, chance 0.25)...
+    assert acc_ref >= 0.5, f"reference failed to learn: {ref}"
+    assert acc_ours >= 0.5, f"ours failed to learn: {ours}"
+    # ...and train to the same accuracy within a tight band
+    assert abs(acc_ref - acc_ours) <= 0.05, (ref, ours)
