@@ -40,6 +40,11 @@ logger = logging.getLogger(__name__)
 __all__ = ["read_wav", "HeidelbergDigits", "SpeechCommands", "load_hd_or_sc"]
 
 
+def _identity(x):
+    """Picklable no-op transform (lambdas break multi-process loading)."""
+    return x
+
+
 def read_wav(path: str) -> np.ndarray:
     """Read a (mono) PCM WAV file as float32 in [-1, 1]."""
     with wave.open(path, "rb") as f:
@@ -103,7 +108,7 @@ class HeidelbergDigits:
         if use_augm and split == "train":
             self.transf = AugmentChain(min_snr, max_snr, p_noise, seed=seed)
         else:
-            self.transf = lambda x: x
+            self.transf = _identity
 
     def __len__(self) -> int:
         return len(self.file_list)
@@ -119,6 +124,12 @@ class HeidelbergDigits:
         if filename[5] == "g":
             y += 10
         return x, y
+
+    def reseed_augment(self, seed: int):
+        """Give this process's augmentation chain an independent stream
+        (called by the loader's worker initializer)."""
+        if isinstance(self.transf, AugmentChain):
+            self.transf.rng = np.random.default_rng(seed)
 
     def generate_batch(self, batch):
         return _collate_padded(batch, self.pad_multiple)
@@ -170,7 +181,7 @@ class SpeechCommands:
         if use_augm and split == "training":
             self.transf = AugmentChain(min_snr, max_snr, p_noise, seed=seed)
         else:
-            self.transf = lambda x: x
+            self.transf = _identity
 
     def __len__(self) -> int:
         return len(self.file_list)
@@ -185,6 +196,12 @@ class SpeechCommands:
         label, _ = os.path.split(relpath)
         y = self.labels.index(label)
         return x, y
+
+    def reseed_augment(self, seed: int):
+        """Give this process's augmentation chain an independent stream
+        (called by the loader's worker initializer)."""
+        if isinstance(self.transf, AugmentChain):
+            self.transf.rng = np.random.default_rng(seed)
 
     def generate_batch(self, batch):
         return _collate_padded(batch, self.pad_multiple)
@@ -237,6 +254,7 @@ def load_hd_or_sc(
         shuffle=shuffle,
         seed=seed,
         prefetch=2 if workers >= 0 else 0,
+        workers=max(workers, 0),
         num_shards=num_shards,
         shard_index=shard_index,
     )

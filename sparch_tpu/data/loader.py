@@ -1,15 +1,32 @@
-"""Minimal NumPy data loader with background prefetch.
+"""Minimal NumPy data loader with background prefetch and multi-process
+item loading.
 
 Replaces torch's DataLoader (reference spiking_datasets.py:132-139) for a
 JAX host pipeline: pure-NumPy batches, deterministic shuffling from a
-seed, a custom collate function, and an optional background thread that
-overlaps host-side preprocessing with device compute (the reference's
-``pin_memory`` + synchronous loop has no equivalent benefit on TPU; what
-matters here is keeping the TPU fed while the host bins/featurises the
-next batch).
+seed, a custom collate function, and two overlap mechanisms:
+
+- ``prefetch``: a background thread keeps N collated batches ahead of the
+  consumer, overlapping host preprocessing with device compute;
+- ``workers``: a persistent process pool loads the items of each batch in
+  parallel (the reference gets this from torch DataLoader ``num_workers``,
+  nonspiking_datasets.py:282-289). Essential for the on-the-fly
+  wav -> augment -> fbank pipeline of the SC benchmark config, where
+  single-threaded item loading cannot feed a ~2 ms TPU train step.
+
+Datasets used with ``workers > 0`` must be picklable (the spiking dataset
+reopens its HDF5 handle lazily per process) and may expose
+``reseed_augment(seed)`` so each worker draws independent augmentation
+noise. Worker scheduling makes multi-process augmentation
+non-reproducible run-to-run (same as torch's default behaviour). The
+default ``forkserver`` context keeps children clear of the parent's JAX
+runtime threads (forking a multi-threaded process risks deadlocks and is
+deprecated in Python 3.12+).
 """
 from __future__ import annotations
 
+import collections
+import multiprocessing
+import os
 import queue
 import threading
 from typing import Callable, Iterator, Optional, Sequence
@@ -17,6 +34,21 @@ from typing import Callable, Iterator, Optional, Sequence
 import numpy as np
 
 __all__ = ["DataLoader"]
+
+_WORKER_DATASET = None
+
+
+def _worker_init(dataset, base_seed):
+    global _WORKER_DATASET
+    _WORKER_DATASET = dataset
+    reseed = getattr(dataset, "reseed_augment", None)
+    if reseed is not None:
+        # distinct augmentation streams per worker process
+        reseed(base_seed + os.getpid())
+
+
+def _worker_get(index):
+    return _WORKER_DATASET[int(index)]
 
 
 class DataLoader:
@@ -37,8 +69,10 @@ class DataLoader:
         seed: int = 0,
         drop_last: bool = False,
         prefetch: int = 2,
+        workers: int = 0,
         num_shards: int = 1,
         shard_index: int = 0,
+        mp_context: str = "forkserver",
     ):
         """``num_shards``/``shard_index`` give multi-host data parallelism:
         every host derives the SAME shuffled order from the shared seed and
@@ -51,13 +85,16 @@ class DataLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.workers = workers
         self.num_shards = num_shards
         self.shard_index = shard_index
+        self.mp_context = mp_context
         if batch_size % num_shards:
             raise ValueError(
                 f"batch_size {batch_size} not divisible by {num_shards} shards"
             )
         self._epoch = 0
+        self._pool = None
 
     def __len__(self) -> int:
         n = len(self.dataset)
@@ -84,8 +121,77 @@ class DataLoader:
             hi = min(lo + per_shard, len(batch))
             yield batch[lo:hi]
 
+    # per-batch wait bound: a crashed worker pool otherwise blocks get()
+    # forever (observed when the spawning __main__ cannot be re-imported,
+    # e.g. REPL/heredoc parents — forkserver/spawn children re-import it)
+    _GET_TIMEOUT_S = 600.0
+
+    def _ensure_pool(self):
+        if self._pool is None:
+            ctx = multiprocessing.get_context(self.mp_context)
+            self._pool = ctx.Pool(
+                self.workers,
+                initializer=_worker_init,
+                initargs=(self.dataset, self.seed),
+            )
+            # smoke-load one item so child bootstrap failures surface as
+            # an immediate error instead of a silent hang later
+            try:
+                self._pool.map_async(_worker_get, [0], chunksize=1).get(60.0)
+            except Exception as e:
+                self.close()
+                raise RuntimeError(
+                    "data-loader worker pool failed to start (workers "
+                    f"require an importable __main__ for the "
+                    f"'{self.mp_context}' start method; use workers=0 from "
+                    "REPL-like parents)"
+                ) from e
+        return self._pool
+
+    def close(self):
+        if self._pool is not None:
+            self._pool.terminate()
+            self._pool.join()
+            self._pool = None
+
+    def __del__(self):  # pragma: no cover - interpreter-shutdown dependent
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def _iter_pool(self):
+        """Pool path: up to ``prefetch`` batches of items in flight across
+        the workers; collation happens on the consumer thread."""
+        pool = self._ensure_pool()
+        chunk = max(1, self.batch_size // (self.workers * 2))
+        pending = collections.deque()
+        batch_iter = self._batches()
+
+        def submit():
+            idxs = next(batch_iter, None)
+            if idxs is None:
+                return False
+            pending.append(
+                pool.map_async(
+                    _worker_get, [int(i) for i in idxs], chunksize=chunk
+                )
+            )
+            return True
+
+        for _ in range(max(1, self.prefetch)):
+            if not submit():
+                break
+        while pending:
+            items = pending.popleft().get(self._GET_TIMEOUT_S)
+            submit()
+            yield self.collate_fn(items)
+
     def __iter__(self):
         self._epoch += 1
+        if self.workers > 0:
+            yield from self._iter_pool()
+            return
         if self.prefetch <= 0:
             for idxs in self._batches():
                 yield self.collate_fn([self.dataset[int(i)] for i in idxs])

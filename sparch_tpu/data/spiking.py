@@ -49,11 +49,23 @@ class SpikingDataset:
         # (reference spiking_datasets.py:54,68).
         self.time_bins = np.linspace(0, self.max_time, num=self.nb_steps)
 
-        filename = f"{data_folder}/{dataset_name}_{split}.h5"
-        self.h5py_file = h5py.File(filename, "r")
-        self.firing_times = self.h5py_file["spikes"]["times"]
-        self.units_fired = self.h5py_file["spikes"]["units"]
-        self.labels = np.array(self.h5py_file["labels"], dtype=np.int64)
+        self._filename = f"{data_folder}/{dataset_name}_{split}.h5"
+        # HDF5 handles are not fork-safe and not picklable: labels are
+        # read eagerly (small); the spikes handle opens lazily, once per
+        # process, so the dataset works under multi-process loading.
+        with h5py.File(self._filename, "r") as f:
+            self.labels = np.array(f["labels"], dtype=np.int64)
+        self._h5 = None
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        state["_h5"] = None
+        return state
+
+    def _spikes(self):
+        if self._h5 is None:
+            self._h5 = h5py.File(self._filename, "r")
+        return self._h5["spikes"]
 
     def __len__(self) -> int:
         return len(self.labels)
@@ -61,12 +73,13 @@ class SpikingDataset:
     def __getitem__(self, index: int):
         from sparch_tpu.data.native import bin_events
 
+        spikes = self._spikes()
         # digitize + additive scatter (native C++ kernel with NumPy
         # fallback); events at/after max_time are dropped, matching the
         # reference's silent sparse-to-dense discard of out-of-range bins.
         x = bin_events(
-            np.asarray(self.firing_times[index], np.float64),
-            np.asarray(self.units_fired[index], np.int64),
+            np.asarray(spikes["times"][index], np.float64),
+            np.asarray(spikes["units"][index], np.int64),
             self.time_bins,
             self.nb_steps,
             self.nb_units,
@@ -118,6 +131,7 @@ def load_shd_or_ssc(
         shuffle=shuffle,
         seed=seed,
         prefetch=2 if workers >= 0 else 0,
+        workers=max(workers, 0),
         num_shards=num_shards,
         shard_index=shard_index,
     )

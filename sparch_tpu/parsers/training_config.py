@@ -215,6 +215,14 @@ def add_training_options(parser):
         "epoch into this directory (TensorBoard/xprof format).",
     )
     parser.add_argument(
+        "--workers",
+        type=int,
+        default=0,
+        help="Data-loading worker processes per host (0 = load in the "
+        "main process with a prefetch thread). Needed to keep the TPU fed "
+        "on the on-the-fly hd/sc wav->fbank pipeline.",
+    )
+    parser.add_argument(
         "--pad_multiple",
         type=int,
         default=100,

@@ -87,6 +87,7 @@ class Experiment:
         self.cell_impl = getattr(args, "cell_impl", "auto")
         self.mesh_model = getattr(args, "mesh_model", 1)
         self.pad_multiple = getattr(args, "pad_multiple", 100)
+        self.workers = getattr(args, "workers", 0)
         self.compute_dtype = getattr(args, "compute_dtype", "float32")
         self.profile_dir = getattr(args, "profile_dir", None)
         self.prng_impl = getattr(args, "prng_impl", "rbg")
@@ -209,6 +210,7 @@ class Experiment:
                 batch_size=self.batch_size,
                 nb_steps=self.nb_steps,
                 seed=self.seed,
+                workers=self.workers,
                 **self._shard_kw(),
             )
             self.train_loader = load_shd_or_ssc(split="train", shuffle=True, **kw)
@@ -231,6 +233,7 @@ class Experiment:
                 use_augm=self.use_augm,
                 pad_multiple=self.pad_multiple,
                 seed=self.seed,
+                workers=self.workers,
                 **self._shard_kw(),
             )
             self.train_loader = load_hd_or_sc(split="train", shuffle=True, **kw)

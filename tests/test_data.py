@@ -190,3 +190,58 @@ def test_loader_shards_partition_global_batches(shd_folder):
             np.concatenate([y0, y1]), yf
         )
         np.testing.assert_array_equal(np.concatenate([x0, x1]), xf)
+
+
+def test_workers_match_single_process_spiking(shd_folder):
+    """Multi-process loading yields byte-identical batches (dropout-free
+    deterministic pipeline; same shuffle order from the shared seed)."""
+    from sparch_tpu.data.spiking import load_shd_or_ssc
+
+    a = load_shd_or_ssc("shd", shd_folder, "train", batch_size=4,
+                        shuffle=True, seed=3, workers=0)
+    b = load_shd_or_ssc("shd", shd_folder, "train", batch_size=4,
+                        shuffle=True, seed=3, workers=2)
+    try:
+        for (xa, la, ya), (xb, lb, yb) in zip(a, b):
+            np.testing.assert_array_equal(xa, xb)
+            np.testing.assert_array_equal(ya, yb)
+    finally:
+        b.close()
+
+
+def test_workers_match_single_process_audio(tmp_path):
+    """Audio pipeline (wav -> fbank, no augmentation) matches across
+    worker counts; with augmentation it still produces valid batches."""
+    from .fixtures import make_hd_tree
+    from sparch_tpu.data.audio import load_hd_or_sc
+
+    root = str(tmp_path / "hd")
+    import os
+    os.makedirs(root)
+    make_hd_tree(root, n_per_digit=3)
+    a = load_hd_or_sc("hd", root, "train", batch_size=3, shuffle=False,
+                      use_augm=False, min_snr=1e-4, max_snr=0.9,
+                      p_noise=0.1, workers=0)
+    b = load_hd_or_sc("hd", root, "train", batch_size=3, shuffle=False,
+                      use_augm=False, min_snr=1e-4, max_snr=0.9,
+                      p_noise=0.1, workers=2)
+    try:
+        for (xa, la, ya), (xb, lb, yb) in zip(a, b):
+            np.testing.assert_allclose(xa, xb, atol=1e-6)
+            np.testing.assert_array_equal(ya, yb)
+            np.testing.assert_array_equal(la, lb)
+    finally:
+        b.close()
+
+    # augmentation on: batches are valid (shape/dtype/finite) and the
+    # pool survives several epochs
+    c = load_hd_or_sc("hd", root, "train", batch_size=3, shuffle=True,
+                      use_augm=True, min_snr=1e-4, max_snr=0.9,
+                      p_noise=0.5, workers=2)
+    try:
+        for _ in range(2):
+            for x, lens, y in c:
+                assert np.isfinite(x).all()
+                assert x.shape[0] == len(y) == len(lens)
+    finally:
+        c.close()

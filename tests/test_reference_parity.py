@@ -248,3 +248,86 @@ def test_ann_forward_parity(ann_type, normalization):
         np.asarray(out), ref_out.numpy(), atol=5e-4,
         err_msg=f"{ann_type}/{normalization} output mismatch",
     )
+
+
+@pytest.mark.parametrize("neuron_type", ["LIF", "adLIF", "RLIF", "RadLIF"])
+def test_snn_gradient_parity(neuron_type):
+    """Backward parity against the actual reference: with identical
+    parameters and batch, every parameter gradient of the CE loss matches
+    torch autograd to float32 noise (~1e-7 relative). This is the exact
+    counterpart of the training-dynamics tests — those compare noisy
+    end-to-end accuracy; this pins the gradients themselves, including the
+    boxcar surrogate, clamping, zero-diagonal masking, and both readout
+    recurrences."""
+    import optax
+
+    torch.manual_seed(0)
+    ref = RefSNN(
+        input_shape=(B, T, F),
+        layer_sizes=[H, C],
+        neuron_type=neuron_type,
+        dropout=0.0,
+        normalization="layernorm",
+        use_bias=False,
+        bidirectional=False,
+        use_readout_layer=True,
+    ).train()
+    model = SNN(
+        input_shape=(B, T, F),
+        layer_sizes=(H, C),
+        neuron_type=neuron_type,
+        dropout=0.0,
+        normalization="layernorm",
+        use_bias=False,
+        bidirectional=False,
+        use_readout_layer=True,
+        state_init="zeros",
+        cell_impl="scan",
+    )
+    variables = _snn_params_from_ref(ref, neuron_type, "layernorm", False)
+    rng = np.random.default_rng(0)
+    x = (rng.random((B, T, F)) < 0.3).astype(np.float32)
+    y = (np.arange(B) % C).astype(np.int64)
+
+    out, _ = ref(torch.from_numpy(x))
+    loss_t = torch.nn.CrossEntropyLoss()(out, torch.from_numpy(y))
+    ref.zero_grad()
+    loss_t.backward()
+    tgrads = {n: p.grad.detach().numpy() for n, p in ref.named_parameters()}
+
+    def loss_fn(params):
+        o, _ = model.apply({"params": params}, jnp.asarray(x), train=True)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            o, jnp.asarray(y)
+        ).mean()
+
+    np.testing.assert_allclose(
+        float(loss_fn(variables["params"])), float(loss_t.detach()), rtol=1e-5
+    )
+    g = jax.grad(loss_fn)(variables["params"])
+
+    def check(name, ours, theirs, transpose=False):
+        o = np.asarray(ours)
+        t = theirs.T if transpose else theirs
+        denom = np.abs(t).max() + 1e-12
+        np.testing.assert_allclose(
+            o / denom, t / denom, atol=1e-5, err_msg=f"{neuron_type} {name}"
+        )
+
+    check("layer0.W", g["layer_0"]["W"]["kernel"], tgrads["snn.0.W.weight"],
+          transpose=True)
+    check("layer0.alpha", g["layer_0"]["alpha"], tgrads["snn.0.alpha"])
+    if neuron_type in ("adLIF", "RadLIF"):
+        for p in ("beta", "a", "b"):
+            check(f"layer0.{p}", g["layer_0"][p], tgrads[f"snn.0.{p}"])
+    if neuron_type in ("RLIF", "RadLIF"):
+        check("layer0.V", g["layer_0"]["V"], tgrads["snn.0.V.weight"])
+    check("readout.W", g["readout"]["W"]["kernel"], tgrads["snn.1.W.weight"],
+          transpose=True)
+    check("readout.alpha", g["readout"]["alpha"], tgrads["snn.1.alpha"])
+    # layernorm params too
+    check(
+        "layer0.norm",
+        g["layer_0"]["norm"]["LayerNorm_0"]["scale"],
+        tgrads["snn.0.norm.weight"],
+    )

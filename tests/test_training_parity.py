@@ -45,11 +45,11 @@ def shd_folder(tmp_path_factory):
     folder = str(tmp_path_factory.mktemp("shd"))
     make_shd_h5(
         f"{folder}/shd_train.h5", n=96, nb_classes=C, seed=0,
-        noise_frac=0.4, n_events_range=(30, 90),
+        noise_frac=0.35, n_events_range=(30, 90),
     )
     make_shd_h5(
-        f"{folder}/shd_test.h5", n=48, nb_classes=C, seed=1,
-        noise_frac=0.4, n_events_range=(30, 90),
+        f"{folder}/shd_test.h5", n=96, nb_classes=C, seed=1,
+        noise_frac=0.35, n_events_range=(30, 90),
     )
     return folder
 
@@ -133,8 +133,12 @@ def _train_ours(folder, neuron_type, norm, seed, eval_train_mode):
     "neuron_type,norm,eval_train_mode,seeds",
     [
         ("LIF", "layernorm", False, (0, 1, 2)),
-        ("adLIF", "layernorm", False, (0, 1)),
-        ("RadLIF", "layernorm", False, (0, 1)),
+        ("adLIF", "layernorm", False, (0, 1, 2, 3)),
+        # RadLIF training is the most trajectory-chaotic (per-seed accuracy
+        # std ~0.05 for the reference itself); 6 seeds keep the +-0.05
+        # mean band meaningful. The exact per-batch gradient parity lives
+        # in test_reference_parity.py::test_snn_gradient_parity.
+        ("RadLIF", "layernorm", False, (0, 1, 2, 3, 4, 5)),
         ("LIF", "batchnorm", True, (0, 1)),
     ],
     ids=["LIF-ln", "adLIF-ln", "RadLIF-ln", "LIF-bn-trainstats"],
