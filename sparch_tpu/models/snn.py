@@ -406,10 +406,10 @@ class SNN(nn.Module):
 
         # Mean firing rate of each hidden neuron (reference snns.py:174).
         # Accumulate in f32: spike streams may be bf16 on the fused path,
-        # and a bf16 mean over B*T values loses ~1e-2.
-        firing_rates = (
-            jnp.concatenate(all_spikes, axis=2)
-            .astype(jnp.float32)
-            .mean(axis=(0, 1))
+        # and a bf16 mean over B*T values loses ~1e-2. Reduce per layer
+        # BEFORE concatenating — concat-then-mean would materialise the
+        # full (B,T,sum H) stack just to reduce it.
+        firing_rates = jnp.concatenate(
+            [s.astype(jnp.float32).mean(axis=(0, 1)) for s in all_spikes]
         )
         return x, firing_rates

@@ -97,12 +97,28 @@ __all__ = [
 
 _LANE = 128
 _SUBLANE = 8
-_TC = 8  # timesteps per grid cell (statically unrolled)
+_TC = 8  # fallback timesteps per grid cell (statically unrolled)
+
+
+def _pick_tc(T: int) -> int:
+    """Timesteps per grid cell. Prefer a divisor of T so the tail chunk is
+    full: the per-step out-of-bounds sanitisation (`k >= tail_len` selects)
+    then compiles away entirely — for T=100 that removes 4 partially-dead
+    unrolled steps and their `where` chains from EVERY chunk. Falls back to
+    8 (with the tail logic) for awkward (e.g. prime) T."""
+    if T <= 16:
+        return max(T, 1)
+    for cand in range(16, 5, -1):
+        if T % cand == 0:
+            return cand
+    return _TC
 # v5e has 128 MiB of VMEM per TensorCore. The budget must be generous:
 # shrinking the batch tile below 128 rows starves the MXU (a (bt,H)@(H,H)
 # matmul feeds only bt of the systolic array's 128 rows, so bt=32 runs the
 # recurrent products at ~25% efficiency — measured 3.3x slower backward).
-_VMEM_BUDGET = 48 * 1024 * 1024
+# 64 MiB keeps bt=128 up to H=1024 (the SC bidirectional config) with the
+# plan's conservative 4-bytes-per-element stream accounting.
+_VMEM_BUDGET = 64 * 1024 * 1024
 _VMEM_LIMIT = 96 * 1024 * 1024
 
 
@@ -126,8 +142,8 @@ def _keep_u32(drop_rate: float) -> int:
     return min(2**32 - 1, int(round((1.0 - drop_rate) * 2**32)))
 
 
-def _tile_plan(Bp: int, Hp: int, streams: int):
-    """Pick the batch tile so `streams` double-buffered (bt, TC, Hp) blocks
+def _tile_plan(Bp: int, Hp: int, streams: int, tc: int = _TC):
+    """Pick the batch tile so `streams` double-buffered (tc, bt, Hp) blocks
     + V/VT + a few (bt, Hp) state buffers fit the VMEM budget. Prefer the
     full 128 MXU rows; shrink only for very wide layers."""
     bt = Bp
@@ -136,7 +152,7 @@ def _tile_plan(Bp: int, Hp: int, streams: int):
             bt = cand
             break
     while bt > _SUBLANE and 4 * (
-        2 * streams * bt * _TC * Hp + 2 * Hp * Hp + 6 * bt * Hp
+        2 * streams * bt * tc * Hp + 2 * Hp * Hp + 6 * bt * Hp
     ) > _VMEM_BUDGET:
         bt //= 2
     return bt
@@ -144,6 +160,20 @@ def _tile_plan(Bp: int, Hp: int, streams: int):
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
+
+
+def _mxu_colsum(ones_row, x):
+    """Batch-dim reduction ``sum_b x[b, :]`` as a (1,bt)@(bt,H) contraction.
+
+    The backward kernel is VPU-throughput-bound; the MXU sits mostly idle
+    between the two big per-step products, so the six per-step gradient
+    reductions ride it for free instead of paying cross-sublane shuffle
+    chains on the VPU."""
+    return jax.lax.dot_general(
+        ones_row, x,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
 
 
 def _random_keep(shape, s0, s1, tile_i, t_global, keep_u32, use_hw_prng):
@@ -232,9 +262,15 @@ def _fwd_kernel(
     sb_out_ref = outs[3] if save_residuals else None
     wb_out_ref = outs[4] if (save_residuals and adaptive) else None
     wf_out_ref = outs[5] if (save_residuals and adaptive) else None
-    u_scr, w_scr, s_scr = refs[n_out:]
+    u_scr, w_scr, s_scr, sv_scr = refs[n_out:]
 
     t = pl.program_id(1)
+
+    v_mat = None
+    if recurrent:
+        v_mat = v_ref[:, :]
+        if mxu_bf16:
+            v_mat = v_mat.astype(jnp.bfloat16)
 
     @pl.when(t == 0)
     def _init():
@@ -242,6 +278,13 @@ def _fwd_kernel(
         s_scr[:, :] = s0_ref[:, :]
         if adaptive:
             w_scr[:, :] = w0_ref[:, :]
+        if recurrent:
+            s0 = s0_ref[:, :]
+            if mxu_bf16:
+                s0 = s0.astype(jnp.bfloat16)
+            sv_scr[:, :] = jnp.dot(
+                s0, v_mat, preferred_element_type=jnp.float32
+            )
 
     alpha = alpha_ref[0, :]
     if affine:
@@ -250,6 +293,10 @@ def _fwd_kernel(
     u = u_scr[:, :]
     s = s_scr[:, :]
     w = w_scr[:, :] if adaptive else None
+    # sV carries s @ V for the CURRENT s: issued right after each new spike
+    # vector so the MXU product overlaps the dropout/store/w VPU work
+    # instead of stalling the next step's drive.
+    sV = sv_scr[:, :] if recurrent else None
 
     if save_residuals:
         # state at this chunk's left boundary (t = chunk_start - 1)
@@ -257,12 +304,6 @@ def _fwd_kernel(
         sb_out_ref[:, :] = s
         if adaptive:
             wb_out_ref[:, :] = w
-
-    v_mat = None
-    if recurrent:
-        v_mat = v_ref[:, :]
-        if mxu_bf16:
-            v_mat = v_mat.astype(jnp.bfloat16)
 
     for k in range(tc):  # static unroll
         # Wx streams time-major (TC, bt, H): XLA's projection+BN-stats
@@ -274,18 +315,18 @@ def _fwd_kernel(
             # normalization folded to a per-feature affine on load
             drive = scale * drive + shift
         if recurrent:
-            # spikes are 0/1 — exactly representable in bf16; with a bf16 V
-            # the MXU runs at full (single-pass) rate instead of the 3-pass
-            # f32 mode, at ~1e-3 relative error on the recurrent drive
-            s_in = s.astype(jnp.bfloat16) if mxu_bf16 else s
-            drive = drive + jnp.dot(
-                s_in, v_mat, preferred_element_type=jnp.float32
-            )
+            drive = drive + sV
         if adaptive:
             w = beta_ref[0, :] * w + a_ref[0, :] * u + b_ref[0, :] * s
             drive = drive - w
         u = alpha * (u - s) + (1.0 - alpha) * drive
         s = (u > threshold).astype(u.dtype)
+        if recurrent:
+            # spikes are 0/1 — exactly representable in bf16; with a bf16 V
+            # the MXU runs at full (single-pass) rate instead of the 3-pass
+            # f32 mode, at ~1e-3 relative error on the recurrent drive
+            s_in = s.astype(jnp.bfloat16) if mxu_bf16 else s
+            sV = jnp.dot(s_in, v_mat, preferred_element_type=jnp.float32)
         if has_dropout:
             # raw spikes stay in the recurrence (and are reconstructed
             # from u in the backward); only the layer OUTPUT is dropped,
@@ -294,13 +335,13 @@ def _fwd_kernel(
                 s.shape, seed_ref[0], seed_ref[1], pl.program_id(0),
                 t * tc + k, _keep_u32(drop_rate), use_hw_prng,
             )
-            s_out_ref[:, k, :] = jnp.where(
+            s_out_ref[k, :, :] = jnp.where(
                 keep, s * (1.0 / (1.0 - drop_rate)), 0.0
             ).astype(s_out_ref.dtype)
         else:
-            s_out_ref[:, k, :] = s.astype(s_out_ref.dtype)
+            s_out_ref[k, :, :] = s.astype(s_out_ref.dtype)
         if save_residuals:
-            u_out_ref[:, k, :] = u.astype(u_out_ref.dtype)
+            u_out_ref[k, :, :] = u.astype(u_out_ref.dtype)
             if adaptive and k == (T - 1) % tc:
                 # final w state, captured after the last LIVE step of the
                 # tail chunk (later dead steps corrupt the register from
@@ -313,6 +354,8 @@ def _fwd_kernel(
     s_scr[:, :] = s
     if adaptive:
         w_scr[:, :] = w
+    if recurrent:
+        sv_scr[:, :] = sV
 
 
 def _forward_pallas(
@@ -324,22 +367,30 @@ def _forward_pallas(
     Returns s, or (s, residuals)."""
     B, T, H = Wx.shape
     dtype = jnp.float32
-    # Residual streams stay f32: bf16 streams were measured SLOWER on v5e
-    # (0.57 -> 0.86 ms/layer fwd+bwd) — the packed (16,128) bf16 tiling
-    # makes the per-step k-slices of the (bt,TC,Hp) blocks pay sublane
-    # unpack shuffles that cost more than the halved HBM traffic saves.
-    rdt = dtype
+    # Spike streams are bf16 in the bf16-MXU mode: raw spikes are 0/1
+    # (exact); only dropout-kept values pay one bf16 rounding. This became
+    # profitable with the time-major layout — in batch-major blocks the
+    # packed (16,128) bf16 tiling made every per-step k-slice pay sublane
+    # unpack shuffles that cost more than the halved HBM traffic saved,
+    # but a time-major per-step slice is a whole (bt, Hp) plane.
+    rdt = jnp.bfloat16 if mxu_bf16 else dtype
+    # The u residual stays f32: the backward recomputes s_t EXACTLY by
+    # re-thresholding the same f32 u values the forward thresholded; a
+    # bf16 u would flip spikes whose membrane sits within one bf16 ulp of
+    # the threshold and corrupt dV/dbeta with O(1) per-element errors.
+    udt = dtype
     Hp = _round_up(H, _LANE)
     Bp = _round_up(B, _SUBLANE)
+    tc = _pick_tc(T)
     # streams=4 matches the backward's plan so both kernels always pick
     # the same batch tile — the fused-dropout mask regeneration keys on
     # the batch-tile index, so fwd/bwd tiles must align
-    bt = _tile_plan(Bp, Hp, streams=4)
+    bt = _tile_plan(Bp, Hp, streams=4, tc=tc)
     # T is NOT padded: the tail time chunk reads out-of-bounds garbage
     # (harmless — tail state is never consumed) and its out-of-range
     # writes are discarded by Pallas. Padding T would cost two full
     # HBM copies of every (B,T,H) stream per call.
-    n_chunks = (T + _TC - 1) // _TC
+    n_chunks = (T + tc - 1) // tc
 
     def pad_bh(x, fill=0.0):
         return jnp.pad(
@@ -381,7 +432,7 @@ def _forward_pallas(
     kernel = functools.partial(
         _fwd_kernel,
         threshold=float(threshold),
-        tc=_TC,
+        tc=tc,
         T=T,
         recurrent=recurrent,
         adaptive=adaptive,
@@ -397,22 +448,25 @@ def _forward_pallas(
         seed_ops = (jnp.asarray(seed, jnp.int32),)
         seed_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     bh = lambda i, t: (i, 0)  # noqa: E731
-    bth = lambda i, t: (i, t, 0)  # noqa: E731
     tbh = lambda i, t: (t, i, 0)  # noqa: E731
     bnd_map = lambda i, t: (i, t)  # noqa: E731
     rep2 = lambda i, t: (0, 0)  # noqa: E731
-    stream_spec = pl.BlockSpec((bt, _TC, Hp), bth, memory_space=pltpu.VMEM)
-    tm_spec = pl.BlockSpec((_TC, bt, Hp), tbh, memory_space=pltpu.VMEM)
+    # ALL (T,.,.) streams are time-major: the in-kernel per-step slice
+    # [k, :, :] is then a whole tile-aligned (bt, Hp) plane (a batch-major
+    # (bt, tc, Hp) block would pay sublane shuffles on every k-slice), and
+    # the producing/consuming XLA matmuls fold the logical transpose for
+    # free.
+    tm_spec = pl.BlockSpec((tc, bt, Hp), tbh, memory_space=pltpu.VMEM)
     vec_spec = pl.BlockSpec((1, Hp), rep2, memory_space=pltpu.VMEM)
     mat_spec = pl.BlockSpec((Hp, Hp), rep2, memory_space=pltpu.VMEM)
     state_spec = pl.BlockSpec((bt, Hp), bh, memory_space=pltpu.VMEM)
     bnd_spec = pl.BlockSpec((bt, Hp), bnd_map, memory_space=pltpu.VMEM)
 
     if save_residuals:
-        out_specs = (stream_spec,) * 2 + (bnd_spec,) * 2
+        out_specs = (tm_spec,) * 2 + (bnd_spec,) * 2
         out_shape = [
-            jax.ShapeDtypeStruct((Bp, T, Hp), rdt),  # s
-            jax.ShapeDtypeStruct((Bp, T, Hp), rdt),  # u
+            jax.ShapeDtypeStruct((T, Bp, Hp), rdt),  # s
+            jax.ShapeDtypeStruct((T, Bp, Hp), udt),  # u
             jax.ShapeDtypeStruct((Bp, n_chunks * Hp), dtype),  # ub
             jax.ShapeDtypeStruct((Bp, n_chunks * Hp), dtype),  # sb
         ]
@@ -424,8 +478,8 @@ def _forward_pallas(
             ]
         out_shape = tuple(out_shape)
     else:
-        out_specs = (stream_spec,)
-        out_shape = (jax.ShapeDtypeStruct((Bp, T, Hp), rdt),)
+        out_specs = (tm_spec,)
+        out_shape = (jax.ShapeDtypeStruct((T, Bp, Hp), rdt),)
 
     outs = pl.pallas_call(
         kernel,
@@ -443,6 +497,7 @@ def _forward_pallas(
             pltpu.VMEM((bt, Hp), jnp.float32),
             pltpu.VMEM((bt, Hp), jnp.float32),
             pltpu.VMEM((bt, Hp), jnp.float32),
+            pltpu.VMEM((bt, Hp), jnp.float32),  # carried s @ V
         ],
         interpret=_interpret(),
         compiler_params=_compiler_params(),
@@ -450,7 +505,7 @@ def _forward_pallas(
       u0_p, w0_p, s0_p, *seed_ops)
 
     if not save_residuals:
-        return outs[0][:B, :, :H]
+        return jnp.swapaxes(outs[0][:, :B, :H], 0, 1)
     if adaptive:
         s_seq, u_seq, ub, sb, wb, wf = outs
         # chunk-END w boundaries: slots shift by one, final state closes
@@ -459,9 +514,9 @@ def _forward_pallas(
     else:
         s_seq, u_seq, ub, sb = outs
         wend = jnp.zeros_like(sb)
-    # residuals stay in padded (Bp, ., Hp) form — the backward kernel
-    # consumes them directly, avoiding slice/pad round-trips
-    return s_seq[:B, :, :H], (u_seq, ub, sb, wend)
+    # residuals stay in padded time-major (T, Bp, Hp) form — the backward
+    # kernel consumes them directly, avoiding slice/pad round-trips
+    return jnp.swapaxes(s_seq[:, :B, :H], 0, 1), (u_seq, ub, sb, wend)
 
 
 # ---------------------------------------------------------------------------
@@ -515,7 +570,8 @@ def _bwd_kernel(
         ds0_ref,
         A_scr,  # (bt, H) persistent adjoint scratch
         B_scr,
-    ) = refs[:23]
+        AV_scr,  # (bt, H) carried ((1-alpha)*A) @ V^T (see loop note)
+    ) = refs[:24]
     kc = pl.program_id(1)
     n_chunks = pl.num_programs(1)
     first = kc == 0
@@ -532,6 +588,7 @@ def _bwd_kernel(
     def _init_adjoints():
         A_scr[:, :] = jnp.zeros_like(A_scr)
         B_scr[:, :] = jnp.zeros_like(B_scr)
+        AV_scr[:, :] = jnp.zeros_like(AV_scr)
 
     @pl.when(first & (pl.program_id(0) == 0))
     def _init_accumulators():
@@ -558,6 +615,17 @@ def _bwd_kernel(
 
     A = A_scr[:, :]
     B = B_scr[:, :]
+    # AV carries ((1-alpha)*A) @ V^T for the CURRENT A: each step issues the
+    # next step's product immediately after A_new is known, so the MXU
+    # latency hides behind the rest of the step's gradient work instead of
+    # sitting on the sequential adjoint chain.
+    AV = AV_scr[:, :] if recurrent else None
+    v = None
+    if recurrent:
+        v = v_ref[:, :]
+        if mxu_bf16:
+            v = v.astype(jnp.bfloat16)
+    ones_row = jnp.ones((1, A.shape[0]), jnp.float32)
     dv_acc = jnp.zeros_like(dv_ref) if recurrent else None
     dal = jnp.zeros_like(dalpha_ref)
     dbe = jnp.zeros_like(dbeta_ref)
@@ -567,7 +635,7 @@ def _bwd_kernel(
     dsh = jnp.zeros_like(dshift_ref)
 
     for k in range(tc - 1, -1, -1):  # reverse static unroll
-        g_t = g_ref[:, k, :].astype(jnp.float32)
+        g_t = g_ref[k, :, :].astype(jnp.float32)
         if has_dropout:
             # regenerate the forward's keep mask from the same seeds: the
             # incoming cotangent is w.r.t. the DROPPED output
@@ -577,14 +645,14 @@ def _bwd_kernel(
                 use_hw_prng,
             )
             g_t = jnp.where(keep, g_t * (1.0 / (1.0 - drop_rate)), 0.0)
-        u_t = u_ref[:, k, :].astype(jnp.float32)
+        u_t = u_ref[k, :, :].astype(jnp.float32)
         # previous-step state: in-block for k > 0, chunk boundary for k == 0
         # (boundary arrays carry state at t = chunk_start - 1, incl. u0/s0/w0
         # for the first chunk) — avoids streaming full shifted copies.
         # s_{t-1} is the forward's threshold function of u_{t-1}, so it is
         # recomputed instead of streamed (exact: same f32 u values).
         u_p = (
-            u_ref[:, k - 1, :].astype(jnp.float32) if k > 0 else ub_ref[:, :]
+            u_ref[k - 1, :, :].astype(jnp.float32) if k > 0 else ub_ref[:, :]
         )
         s_p = (
             (u_p > threshold).astype(jnp.float32) if k > 0 else sb_ref[:, :]
@@ -596,37 +664,36 @@ def _bwd_kernel(
             u_p = jnp.where(live, u_p, 0.0)
             s_p = jnp.where(live, s_p, 0.0)
 
-        C = g_t - alpha * A
+        alphaA = alpha * A
+        C = g_t - alphaA
         if recurrent:
-            A_in = one_m_alpha * A
-            v = v_ref[:, :]
-            if mxu_bf16:
-                A_in = A_in.astype(jnp.bfloat16)
-                v = v.astype(jnp.bfloat16)
-            # A @ V^T via contraction over V's second axis
-            C = C + jax.lax.dot_general(
+            C = C + AV
+        if adaptive:
+            C = C + b_c * B
+        wsub = u_t - threshold
+        window = (wsub > -0.5) & (wsub <= 0.5)
+        A_new = jnp.where(window, C, 0.0) + alphaA
+        if adaptive:
+            A_new = A_new + a_c * B
+        ddrive = one_m_alpha * A_new
+        if recurrent:
+            # next step's A @ V^T (contraction over V's second axis),
+            # issued as early as possible; first consumed next iteration
+            A_in = ddrive.astype(jnp.bfloat16) if mxu_bf16 else ddrive
+            AV = jax.lax.dot_general(
                 A_in, v,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-        if adaptive:
-            C = C + b_c * B
-        window = ((u_t - threshold > -0.5) & (u_t - threshold <= 0.5)).astype(
-            jnp.float32
-        )
-        A_new = window * C + alpha * A
-        if adaptive:
-            A_new = A_new + a_c * B
-        ddrive = one_m_alpha * A_new
         if affine:
             wx_t = wx_ref[k, :, :]  # time-major stream (see forward)
             if k >= tail_len:
                 wx_t = jnp.where(kc != 0, wx_t, 0.0)
-            dsc = dsc + jnp.sum(ddrive * wx_t, axis=0, keepdims=True)
-            dsh = dsh + jnp.sum(ddrive, axis=0, keepdims=True)
-            dwx_ref[:, k, :] = ddrive * scale
+            dsc = dsc + _mxu_colsum(ones_row, ddrive * wx_t)
+            dsh = dsh + _mxu_colsum(ones_row, ddrive)
+            dwx_ref[k, :, :] = (ddrive * scale).astype(dwx_ref.dtype)
         else:
-            dwx_ref[:, k, :] = ddrive
+            dwx_ref[k, :, :] = ddrive.astype(dwx_ref.dtype)
 
         if recurrent:
             # dV += s_{t-1}^T dDrive — contract over the batch tile
@@ -642,9 +709,7 @@ def _bwd_kernel(
 
         # dalpha term: (u_p-s_p) - d_t == (u_p - s_p - u_t)/(1-alpha);
         # the divide is hoisted out of the loop (final scale below)
-        dal = dal + jnp.sum(
-            A_new * (u_p - s_p - u_t), axis=0, keepdims=True
-        )
+        dal = dal + _mxu_colsum(ones_row, A_new * (u_p - s_p - u_t))
         if adaptive:
             # unwind w: w_cur holds w_t for this step; invert the forward
             # update to get w_{t-1} (used by the dbeta sum and carried)
@@ -656,15 +721,17 @@ def _bwd_kernel(
                 w_cur = jnp.where(live, w_p, w_cur)
             else:
                 w_cur = w_p
-            B_new = -one_m_alpha * A_new + beta * B
-            dbe = dbe + jnp.sum(B_new * w_p, axis=0, keepdims=True)
-            daa = daa + jnp.sum(B_new * u_p, axis=0, keepdims=True)
-            dbb = dbb + jnp.sum(B_new * s_p, axis=0, keepdims=True)
+            B_new = beta * B - ddrive  # == -(1-alpha)*A_new + beta*B
+            dbe = dbe + _mxu_colsum(ones_row, B_new * w_p)
+            daa = daa + _mxu_colsum(ones_row, B_new * u_p)
+            dbb = dbb + _mxu_colsum(ones_row, B_new * s_p)
             B = B_new
         A = A_new
 
     A_scr[:, :] = A
     B_scr[:, :] = B
+    if recurrent:
+        AV_scr[:, :] = AV
     if recurrent:
         dv_ref[:, :] += dv_acc
     # 1-alpha >= 0.039 after clamping
@@ -688,11 +755,8 @@ def _bwd_kernel(
         dw0_ref[:, :] = beta * B_fin
         ds0 = -alpha * A_fin
         if recurrent:
-            ds0 = ds0 + jax.lax.dot_general(
-                one_m_alpha * A_fin, v_ref[:, :],
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            # the carried product already holds ((1-alpha)*A_fin) @ V^T
+            ds0 = ds0 + AV_scr[:, :]
         if adaptive:
             ds0 = ds0 + b_c * B_fin
         ds0_ref[:, :] = ds0
@@ -710,16 +774,24 @@ def _backward_pallas(
     u_pd, ub, sb, wend = residuals
     B, T, H = g.shape
     dtype = jnp.float32
-    rdt = u_pd.dtype
-    Bp, _, Hp = u_pd.shape
+    # g/dWx stream in bf16 in the bf16-MXU mode (the cotangent already
+    # arrives bf16 — it is the adjoint of the bf16 spike output — and dWx
+    # feeds bf16 MXU wgrad/dgrad contractions, so nothing loses precision
+    # that the mode hadn't already traded); the u residual stays f32.
+    sdt = jnp.bfloat16 if mxu_bf16 else dtype
+    _, Bp, Hp = u_pd.shape  # residuals are time-major (T, Bp, Hp)
+    tc = _pick_tc(T)
     # streams: g, u, dwx out (+ Wx on the affine path); fixed at 4 so the
     # batch tile always matches the forward's (mask regeneration keys on
     # the tile index)
-    bt = _tile_plan(Bp, Hp, streams=4)
-    n_chunks = (T + _TC - 1) // _TC
+    bt = _tile_plan(Bp, Hp, streams=4, tc=tc)
+    n_chunks = (T + tc - 1) // tc
 
-    # zero cotangent on padded rows/cols keeps adjoints silent
-    g_p = jnp.pad(g.astype(rdt), ((0, Bp - B), (0, 0), (0, Hp - H)))
+    # zero cotangent on padded rows/cols keeps adjoints silent; time-major
+    # like every other stream
+    g_p = jnp.swapaxes(
+        jnp.pad(g.astype(sdt), ((0, Bp - B), (0, 0), (0, Hp - H))), 0, 1
+    )
     wx_ops = ()
     if affine:
         # time-major, matching the producer's layout (see forward kernel)
@@ -748,7 +820,7 @@ def _backward_pallas(
     kernel = functools.partial(
         _bwd_kernel,
         threshold=float(threshold),
-        tc=_TC,
+        tc=tc,
         T=T,
         recurrent=recurrent,
         adaptive=adaptive,
@@ -762,14 +834,13 @@ def _backward_pallas(
     if drop_rate > 0.0:
         seed_ops = (jnp.asarray(seed, jnp.int32),)
         seed_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
-    # time chunks walked in reverse
-    rev = lambda i, t: (i, n_chunks - 1 - t, 0)  # noqa: E731
+    # time chunks walked in reverse; every stream is time-major (see the
+    # forward kernel's layout note)
     rev_tm = lambda i, t: (n_chunks - 1 - t, i, 0)  # noqa: E731
     bh = lambda i, t: (i, 0)  # noqa: E731
     rev_bnd = lambda i, t: (i, n_chunks - 1 - t)  # noqa: E731
     rep2 = lambda i, t: (0, 0)  # noqa: E731
-    stream_spec = pl.BlockSpec((bt, _TC, Hp), rev, memory_space=pltpu.VMEM)
-    tm_spec = pl.BlockSpec((_TC, bt, Hp), rev_tm, memory_space=pltpu.VMEM)
+    tm_spec = pl.BlockSpec((tc, bt, Hp), rev_tm, memory_space=pltpu.VMEM)
     vec_spec = pl.BlockSpec((1, Hp), rep2, memory_space=pltpu.VMEM)
     mat_spec = pl.BlockSpec((Hp, Hp), rep2, memory_space=pltpu.VMEM)
     state_spec = pl.BlockSpec((bt, Hp), bh, memory_space=pltpu.VMEM)
@@ -779,11 +850,11 @@ def _backward_pallas(
         kernel,
         grid=grid,
         in_specs=(
-            [stream_spec]  # g
+            [tm_spec]  # g
             + ([tm_spec] if affine else [])  # raw Wx (affine fold)
             + seed_specs  # dropout seed scalars (SMEM)
             + [
-                stream_spec,  # u
+                tm_spec,  # u
                 bnd_spec,  # u left boundary
                 bnd_spec,  # s left boundary
                 bnd_spec,  # w right boundary
@@ -793,14 +864,14 @@ def _backward_pallas(
             ]
         ),
         out_specs=(
-            stream_spec,  # dWx
+            tm_spec,  # dWx
             mat_spec,  # dV
             vec_spec, vec_spec, vec_spec, vec_spec,  # dalpha dbeta da db
             vec_spec, vec_spec,  # dscale dshift
             state_spec, state_spec, state_spec,  # du0 dw0 ds0
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((Bp, T, Hp), dtype),
+            jax.ShapeDtypeStruct((T, Bp, Hp), sdt),  # dWx
             jax.ShapeDtypeStruct((Hp, Hp), dtype),
             jax.ShapeDtypeStruct((1, Hp), dtype),
             jax.ShapeDtypeStruct((1, Hp), dtype),
@@ -815,6 +886,7 @@ def _backward_pallas(
         scratch_shapes=[
             pltpu.VMEM((bt, Hp), jnp.float32),
             pltpu.VMEM((bt, Hp), jnp.float32),
+            pltpu.VMEM((bt, Hp), jnp.float32),  # carried A @ V^T
         ],
         interpret=_interpret(),
         compiler_params=_compiler_params(),
@@ -827,7 +899,7 @@ def _backward_pallas(
         dWx, dV, dalpha, dbeta, da, db, dscale, dshift, du0, dw0, ds0
     ) = outs
     return (
-        dWx[:B, :, :H],
+        jnp.swapaxes(dWx[:, :B, :H], 0, 1),
         dscale[0, :H],
         dshift[0, :H],
         dV[:H, :H],
@@ -878,7 +950,9 @@ def _make_op(recurrent: bool, adaptive: bool, affine: bool, threshold: float,
             recurrent=recurrent, adaptive=adaptive, affine=affine,
             drop_rate=drop_rate, save_residuals=True, mxu_bf16=mxu_bf16,
         )
-        wx_saved = Wx if affine else None
+        # non-affine: a zero-length slice keeps Wx's dtype reachable for
+        # the tangent casts below without holding the 26 MB array alive
+        wx_saved = Wx if affine else Wx[:0]
         res = (wx_saved, scale, shift, alpha, beta, a, b, V, residuals,
                u0, w0, s0, seed)
         return s_out, res
@@ -934,6 +1008,12 @@ def _make_op(recurrent: bool, adaptive: bool, affine: bool, threshold: float,
             dscale = jnp.zeros_like(scale)
             dshift = jnp.zeros_like(shift)
         dseed = np.zeros(seed.shape, jax.dtypes.float0)
+        # tangent dtypes must match the primals (custom_vjp contract); the
+        # bf16 dWx stream converts on its way into the wgrad/dgrad dots
+        dWx = dWx.astype(wx_saved.dtype)
+        du0 = du0.astype(u0.dtype)
+        dw0 = dw0.astype(w0.dtype)
+        ds0 = ds0.astype(s0.dtype)
         return (dWx, dscale, dshift, dalpha, dbeta, da, db, dV,
                 du0, dw0, ds0, dseed)
 
@@ -1053,9 +1133,9 @@ def _readout_fwd_kernel(*refs, tc, T, save_residuals):
     acc = out_ref[:, :]
 
     for k in range(tc):
-        u = alpha * u + (1.0 - alpha) * wx_ref[:, k, :]
+        u = alpha * u + (1.0 - alpha) * wx_ref[k, :, :]
         if save_residuals:
-            u_out_ref[:, k, :] = u
+            u_out_ref[k, :, :] = u
         p = _softmax_lastdim(u)
         if k >= tail_len:
             # forward tail: out-of-bounds steps must not accumulate
@@ -1094,8 +1174,8 @@ def _readout_bwd_kernel(
     dal = jnp.zeros_like(dalpha_ref)
 
     for k in range(tc - 1, -1, -1):
-        u_t = u_ref[:, k, :]
-        u_p = u_ref[:, k - 1, :] if k > 0 else ub_ref[:, :]
+        u_t = u_ref[k, :, :]
+        u_p = u_ref[k - 1, :, :] if k > 0 else ub_ref[:, :]
         g_eff = gout
         if k >= tail_len:
             live = kc != 0
@@ -1105,7 +1185,7 @@ def _readout_bwd_kernel(
         p = _softmax_lastdim(u_t)
         jac = p * (g_eff - jnp.sum(p * g_eff, axis=-1, keepdims=True))
         G = jac + alpha * G
-        dwx_ref[:, k, :] = one_m_alpha * G
+        dwx_ref[k, :, :] = one_m_alpha * G
         # u_p - wx_t == (u_p - u_t)/(1-alpha); divide hoisted out of loop
         dal = dal + jnp.sum(G * (u_p - u_t), axis=0, keepdims=True)
 
@@ -1122,12 +1202,16 @@ def _readout_forward(Wx, alpha, u0, *, save_residuals):
     dtype = jnp.float32
     Hp = _round_up(H, _LANE)
     Bp = _round_up(B, _SUBLANE)
-    bt = _tile_plan(Bp, Hp, streams=2)
-    n_chunks = (T + _TC - 1) // _TC
+    tc = _pick_tc(T)
+    bt = _tile_plan(Bp, Hp, streams=2, tc=tc)
+    n_chunks = (T + tc - 1) // tc
 
-    Wx_p = jnp.pad(
-        Wx.astype(dtype), ((0, Bp - B), (0, 0), (0, Hp - H)),
-        constant_values=-1e9,  # padded class lanes never win the softmax
+    Wx_p = jnp.swapaxes(
+        jnp.pad(
+            Wx.astype(dtype), ((0, Bp - B), (0, 0), (0, Hp - H)),
+            constant_values=-1e9,  # padded class lanes never win the softmax
+        ),
+        0, 1,
     )
     alpha_p = jnp.pad(alpha.astype(dtype), (0, Hp - H))[None, :]
     u0_p = jnp.pad(
@@ -1136,22 +1220,22 @@ def _readout_forward(Wx, alpha, u0, *, save_residuals):
 
     grid = (Bp // bt, n_chunks)
     kernel = functools.partial(
-        _readout_fwd_kernel, tc=_TC, T=T, save_residuals=save_residuals
+        _readout_fwd_kernel, tc=tc, T=T, save_residuals=save_residuals
     )
     bh = lambda i, t: (i, 0)  # noqa: E731
-    bth = lambda i, t: (i, t, 0)  # noqa: E731
+    tbh = lambda i, t: (t, i, 0)  # noqa: E731
     bnd_map = lambda i, t: (i, t)  # noqa: E731
     rep2 = lambda i, t: (0, 0)  # noqa: E731
-    stream_spec = pl.BlockSpec((bt, _TC, Hp), bth, memory_space=pltpu.VMEM)
+    tm_spec = pl.BlockSpec((tc, bt, Hp), tbh, memory_space=pltpu.VMEM)
     vec_spec = pl.BlockSpec((1, Hp), rep2, memory_space=pltpu.VMEM)
     state_spec = pl.BlockSpec((bt, Hp), bh, memory_space=pltpu.VMEM)
     bnd_spec = pl.BlockSpec((bt, Hp), bnd_map, memory_space=pltpu.VMEM)
 
     if save_residuals:
-        out_specs = (state_spec, stream_spec, bnd_spec)
+        out_specs = (state_spec, tm_spec, bnd_spec)
         out_shape = (
             jax.ShapeDtypeStruct((Bp, Hp), dtype),
-            jax.ShapeDtypeStruct((Bp, T, Hp), dtype),
+            jax.ShapeDtypeStruct((T, Bp, Hp), dtype),
             jax.ShapeDtypeStruct((Bp, n_chunks * Hp), dtype),
         )
     else:
@@ -1161,7 +1245,7 @@ def _readout_forward(Wx, alpha, u0, *, save_residuals):
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[stream_spec, vec_spec, state_spec],
+        in_specs=[tm_spec, vec_spec, state_spec],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((bt, Hp), jnp.float32)],
@@ -1177,22 +1261,23 @@ def _readout_forward(Wx, alpha, u0, *, save_residuals):
 
 def _readout_backward(g, residuals, alpha, T):
     u_seq, ub = residuals
-    Bp, _, Hp = u_seq.shape
+    _, Bp, Hp = u_seq.shape  # residuals are time-major (T, Bp, Hp)
     B, H = g.shape
     dtype = jnp.float32
-    bt = _tile_plan(Bp, Hp, streams=2)
-    n_chunks = (T + _TC - 1) // _TC
+    tc = _pick_tc(T)
+    bt = _tile_plan(Bp, Hp, streams=2, tc=tc)
+    n_chunks = (T + tc - 1) // tc
 
     g_p = jnp.pad(g.astype(dtype), ((0, Bp - B), (0, Hp - H)))
     alpha_p = jnp.pad(alpha.astype(dtype), (0, Hp - H))[None, :]
 
     grid = (Bp // bt, n_chunks)
-    kernel = functools.partial(_readout_bwd_kernel, tc=_TC, T=T)
-    rev = lambda i, t: (i, n_chunks - 1 - t, 0)  # noqa: E731
+    kernel = functools.partial(_readout_bwd_kernel, tc=tc, T=T)
+    rev_tm = lambda i, t: (n_chunks - 1 - t, i, 0)  # noqa: E731
     rev_bnd = lambda i, t: (i, n_chunks - 1 - t)  # noqa: E731
     bh = lambda i, t: (i, 0)  # noqa: E731
     rep2 = lambda i, t: (0, 0)  # noqa: E731
-    stream_spec = pl.BlockSpec((bt, _TC, Hp), rev, memory_space=pltpu.VMEM)
+    tm_spec = pl.BlockSpec((tc, bt, Hp), rev_tm, memory_space=pltpu.VMEM)
     vec_spec = pl.BlockSpec((1, Hp), rep2, memory_space=pltpu.VMEM)
     state_spec = pl.BlockSpec((bt, Hp), bh, memory_space=pltpu.VMEM)
     bnd_spec = pl.BlockSpec((bt, Hp), rev_bnd, memory_space=pltpu.VMEM)
@@ -1200,10 +1285,10 @@ def _readout_backward(g, residuals, alpha, T):
     dWx, dalpha, du0 = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[stream_spec, bnd_spec, state_spec, vec_spec],
-        out_specs=(stream_spec, vec_spec, state_spec),
+        in_specs=[tm_spec, bnd_spec, state_spec, vec_spec],
+        out_specs=(tm_spec, vec_spec, state_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((Bp, T, Hp), jnp.float32),
+            jax.ShapeDtypeStruct((T, Bp, Hp), jnp.float32),
             jax.ShapeDtypeStruct((1, Hp), jnp.float32),
             jax.ShapeDtypeStruct((Bp, Hp), jnp.float32),
         ),
@@ -1212,7 +1297,7 @@ def _readout_backward(g, residuals, alpha, T):
         compiler_params=_compiler_params(),
     )(u_seq, ub, g_p, alpha_p)
 
-    return dWx[:B, :, :H], dalpha[0, :H], du0[:B, :H]
+    return jnp.swapaxes(dWx[:, :B, :H], 0, 1), dalpha[0, :H], du0[:B, :H]
 
 
 @functools.lru_cache(maxsize=None)
