@@ -50,9 +50,7 @@ def build_model(
         )
     if model_type in ANN_TYPES:
         kwargs.pop("state_init", None)
-        kwargs.pop("cell_impl", None)
         kwargs.pop("threshold", None)
-        kwargs.pop("mxu_precision", None)
         return ANN(
             input_shape=tuple(input_shape),
             layer_sizes=tuple(layer_sizes),

@@ -43,6 +43,34 @@ class _ANNLayerBase(nn.Module):
     bidirectional: bool = False
     compute_dtype: Optional[jnp.dtype] = None
     bn_axis_name: Optional[str] = None
+    cell_impl: str = "auto"
+    mxu_precision: str = "default"
+
+    def _use_pallas(self) -> bool:
+        """Same policy as the SNN layers: fused kernels on TPU (scan in
+        interpret-unfriendly environments), scan fallback for very wide
+        layers whose V matrices don't fit VMEM."""
+        if self.cell_impl == "pallas":
+            return True
+        if self.cell_impl == "auto":
+            import jax
+
+            return (
+                jax.default_backend() == "tpu" and self.hidden_size <= 1280
+            )
+        return False
+
+    def _mxu_bf16(self) -> bool:
+        """bf16 MXU inputs for the recurrent products (f32 accumulation);
+        see _SpikingLayerBase._mxu_bf16 for the rationale."""
+        import jax
+
+        if self.compute_dtype == jnp.bfloat16:
+            return True
+        return (
+            self.mxu_precision == "default"
+            and jax.default_backend() == "tpu"
+        )
 
     def _proj(self, x, train, name):
         """Hoisted input projection + flattened-sequence norm for one gate."""
@@ -85,7 +113,14 @@ class RNNLayer(_ANNLayerBase):
             x = bidir_concat(x)
         Wx = self._proj(x, train, "W")
         y0 = jnp.zeros((Wx.shape[0], Wx.shape[2]), Wx.dtype)
-        y = cells.rnn_scan(Wx, self._V(), y0)
+        if self._use_pallas():
+            from sparch_tpu.ops import pallas_ann
+
+            y = pallas_ann.rnn_pallas(
+                Wx, self._V(), y0, mxu_bf16=self._mxu_bf16()
+            )
+        else:
+            y = cells.rnn_scan(Wx, self._V(), y0)
         return self._post(y, train)
 
 
@@ -101,7 +136,15 @@ class LiGRULayer(_ANNLayerBase):
         Wx = self._proj(x, train, "W")
         Wzx = self._proj(x, train, "Wz")
         y0 = jnp.zeros((Wx.shape[0], Wx.shape[2]), Wx.dtype)
-        y = cells.ligru_scan(Wx, Wzx, self._V("V"), self._V("Vz"), y0)
+        if self._use_pallas():
+            from sparch_tpu.ops import pallas_ann
+
+            y = pallas_ann.ligru_pallas(
+                Wx, Wzx, self._V("V"), self._V("Vz"), y0,
+                mxu_bf16=self._mxu_bf16(),
+            )
+        else:
+            y = cells.ligru_scan(Wx, Wzx, self._V("V"), self._V("Vz"), y0)
         return self._post(y, train)
 
 
@@ -116,9 +159,18 @@ class GRULayer(_ANNLayerBase):
         Wzx = self._proj(x, train, "Wz")
         Wrx = self._proj(x, train, "Wr")
         y0 = jnp.zeros((Wx.shape[0], Wx.shape[2]), Wx.dtype)
-        y = cells.gru_scan(
-            Wx, Wzx, Wrx, self._V("V"), self._V("Vz"), self._V("Vr"), y0
-        )
+        if self._use_pallas():
+            from sparch_tpu.ops import pallas_ann
+
+            y = pallas_ann.gru_pallas(
+                Wx, Wzx, Wrx,
+                self._V("V"), self._V("Vz"), self._V("Vr"), y0,
+                mxu_bf16=self._mxu_bf16(),
+            )
+        else:
+            y = cells.gru_scan(
+                Wx, Wzx, Wrx, self._V("V"), self._V("Vz"), self._V("Vr"), y0
+            )
         return self._post(y, train)
 
 
@@ -167,6 +219,8 @@ class ANN(nn.Module):
     use_readout_layer: bool = True
     compute_dtype: Optional[jnp.dtype] = None
     bn_axis_name: Optional[str] = None
+    cell_impl: str = "auto"
+    mxu_precision: str = "default"
 
     @property
     def is_snn(self) -> bool:
@@ -206,6 +260,8 @@ class ANN(nn.Module):
                 bidirectional=self.bidirectional,
                 compute_dtype=self.compute_dtype,
                 bn_axis_name=self.bn_axis_name,
+                cell_impl=self.cell_impl,
+                mxu_precision=self.mxu_precision,
                 name=f"layer_{i}",
             )(x, train=train)
 

@@ -1,0 +1,477 @@
+"""Fused Pallas TPU kernels for the non-spiking (ANN) recurrent cells —
+forward AND backward — mirroring the SNN kernels in
+``sparch_tpu.ops.pallas_cells`` (same grid/layout/tail strategy; read that
+module's docstring for the design rationale).
+
+Semantics match the ``lax.scan`` cells (``sparch_tpu.ops.cells``) that are
+themselves pinned against the torch reference
+(/root/reference/sparch/models/anns.py:328-339,449-462,581-595):
+
+    RNN:    y_t = sigmoid(wx_t + y @ V)
+    LiGRU:  z = sigmoid(wzx_t + y @ Vz); c = relu(wx_t + y @ V)
+            y_t = z*y + (1-z)*c
+    GRU:    z = sigmoid(wzx_t + y @ Vz); r = sigmoid(wrx_t + y @ Vr)
+            c = tanh(wx_t + (r*y) @ V);  y_t = z*y + (1-z)*c
+
+Why kernels: under ``lax.scan`` each step's recurrent matmul(s) sit on the
+sequential carry chain with HBM round-trips between steps. Here the state
+stays in VMEM, the carriable products (``y @ V``, ``y @ Vz``, ``y @ Vr``
+forward; the adjoint products backward for RNN/LiGRU) are issued
+immediately after the new state is known so their MXU latency hides behind
+the remaining VPU work, and the per-step streams are double-buffered
+time-major blocks. Only the GRU keeps one product per step on the critical
+path in each direction (``(r*y) @ V`` forward, ``dcpre @ V^T`` backward) —
+that serialisation is inherent to its gating structure.
+
+Backward math (G_t = total adjoint dL/dy_t, walking t = T..1):
+
+    RNN:   dpre = G * y_t * (1 - y_t)
+           G_{t-1} += dpre @ V^T;  dV += y_{t-1}^T dpre;  dWx_t = dpre
+    LiGRU: dz = G*(y_p - c); dc = G*(1-z)
+           dcpre = dc * [c > 0];  dzpre = dz * z * (1-z)
+           G_{t-1} += G*z + dcpre @ V^T + dzpre @ Vz^T
+           dV += y_p^T dcpre; dVz += y_p^T dzpre
+    GRU:   dcpre = G*(1-z)*(1-c^2); dzpre = G*(y_p - c)*z*(1-z)
+           dry = dcpre @ V^T; drpre = dry*y_p*r*(1-r)
+           G_{t-1} += G*z + dry*r + dzpre @ Vz^T + drpre @ Vr^T
+           dV += (r*y_p)^T dcpre; dVz += y_p^T dzpre; dVr += y_p^T drpre
+
+Residuals: the y stream (the forward output itself), the gate streams
+(z[, r], c) and the per-chunk left-boundary y. Batch reductions for the
+weight gradients ride the MXU as contractions.
+
+Equivalence with the scan cells is pinned by tests/test_pallas_ann.py in
+interpret mode on the CPU mesh.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sparch_tpu.ops.pallas_cells import (
+    _compiler_params,
+    _interpret,
+    _pick_tc,
+    _round_up,
+    _tile_plan,
+    _LANE,
+    _SUBLANE,
+)
+
+__all__ = ["rnn_pallas", "ligru_pallas", "gru_pallas"]
+
+# per-mode static structure: (n_inputs, gate residual streams)
+_MODES = {
+    "rnn": dict(n_wx=1, n_v=1, gates=()),
+    "ligru": dict(n_wx=2, n_v=2, gates=("z", "c")),
+    "gru": dict(n_wx=3, n_v=3, gates=("z", "r", "c")),
+}
+
+
+def _dotT(x, v, mxu_bf16):
+    """x @ v^T (contract v's second axis), f32 accumulation."""
+    if mxu_bf16:
+        x = x.astype(jnp.bfloat16)
+        v = v.astype(jnp.bfloat16)
+    return jax.lax.dot_general(
+        x, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _dot(x, v, mxu_bf16):
+    if mxu_bf16:
+        x = x.astype(jnp.bfloat16)
+        v = v.astype(jnp.bfloat16)
+    return jnp.dot(x, v, preferred_element_type=jnp.float32)
+
+
+def _outer_acc(a, b, mxu_bf16):
+    """a^T @ b contracted over the batch tile (for dV accumulations)."""
+    if mxu_bf16:
+        a = a.astype(jnp.bfloat16)
+        b = b.astype(jnp.bfloat16)
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+
+def _ann_fwd_kernel(*refs, tc, T, mode, save_residuals, mxu_bf16):
+    m = _MODES[mode]
+    refs = list(refs)
+    wx_refs = refs[: m["n_wx"]]
+    del refs[: m["n_wx"]]
+    v_refs = refs[: m["n_v"]]
+    del refs[: m["n_v"]]
+    y0_ref = refs.pop(0)
+    n_out = 1 + (len(m["gates"]) + 1 if save_residuals else 0)
+    outs = refs[:n_out]
+    y_out_ref = outs[0]
+    gate_out_refs = outs[1 : 1 + len(m["gates"])] if save_residuals else []
+    yb_out_ref = outs[-1] if save_residuals else None
+    scrs = refs[n_out:]
+    y_scr = scrs[0]
+    # carried-product scratches: rnn/ligru carry y@V (and y@Vz); gru
+    # carries y@Vz and y@Vr (its y-dependent candidate product can't be
+    # hoisted: it needs the current step's r)
+    carry_scrs = scrs[1:]
+
+    t = pl.program_id(1)
+    # (forward needs no tail sanitisation: dead tail steps only write
+    # out-of-range rows, which Pallas discards, and the post-tail carry
+    # is never consumed)
+
+    v_mats = [v_ref[:, :] for v_ref in v_refs]
+
+    @pl.when(t == 0)
+    def _init():
+        y0 = y0_ref[:, :]
+        y_scr[:, :] = y0
+        if mode == "rnn":
+            carry_scrs[0][:, :] = _dot(y0, v_mats[0], mxu_bf16)
+        elif mode == "ligru":
+            carry_scrs[0][:, :] = _dot(y0, v_mats[0], mxu_bf16)  # y @ V
+            carry_scrs[1][:, :] = _dot(y0, v_mats[1], mxu_bf16)  # y @ Vz
+        else:  # gru
+            carry_scrs[0][:, :] = _dot(y0, v_mats[1], mxu_bf16)  # y @ Vz
+            carry_scrs[1][:, :] = _dot(y0, v_mats[2], mxu_bf16)  # y @ Vr
+
+    y = y_scr[:, :]
+    carries = [c[:, :] for c in carry_scrs]
+
+    if save_residuals:
+        yb_out_ref[:, :] = y
+
+    for k in range(tc):
+        if mode == "rnn":
+            y = jax.nn.sigmoid(wx_refs[0][k, :, :] + carries[0])
+            carries[0] = _dot(y, v_mats[0], mxu_bf16)
+            gate_vals = ()
+        elif mode == "ligru":
+            z = jax.nn.sigmoid(wx_refs[1][k, :, :] + carries[1])
+            c = jax.nn.relu(wx_refs[0][k, :, :] + carries[0])
+            y = z * y + (1.0 - z) * c
+            carries[0] = _dot(y, v_mats[0], mxu_bf16)
+            carries[1] = _dot(y, v_mats[1], mxu_bf16)
+            gate_vals = (z, c)
+        else:  # gru
+            z = jax.nn.sigmoid(wx_refs[1][k, :, :] + carries[0])
+            r = jax.nn.sigmoid(wx_refs[2][k, :, :] + carries[1])
+            c = jnp.tanh(
+                wx_refs[0][k, :, :] + _dot(r * y, v_mats[0], mxu_bf16)
+            )
+            y = z * y + (1.0 - z) * c
+            carries[0] = _dot(y, v_mats[1], mxu_bf16)
+            carries[1] = _dot(y, v_mats[2], mxu_bf16)
+            gate_vals = (z, r, c)
+        y_out_ref[k, :, :] = y.astype(y_out_ref.dtype)
+        if save_residuals:
+            for gref, gval in zip(gate_out_refs, gate_vals):
+                gref[k, :, :] = gval.astype(gref.dtype)
+
+    y_scr[:, :] = y
+    for scr, val in zip(carry_scrs, carries):
+        scr[:, :] = val
+
+
+def _ann_forward(wxs, vs, y0, *, mode, save_residuals, mxu_bf16):
+    m = _MODES[mode]
+    B, T, H = wxs[0].shape
+    dtype = jnp.float32
+    Hp = _round_up(H, _LANE)
+    Bp = _round_up(B, _SUBLANE)
+    tc = _pick_tc(T)
+    bt = _tile_plan(Bp, Hp, streams=2 * m["n_wx"] + 2, tc=tc)
+    n_chunks = (T + tc - 1) // tc
+
+    def pad_stream(x):
+        return jnp.swapaxes(
+            jnp.pad(x.astype(dtype), ((0, Bp - B), (0, 0), (0, Hp - H))),
+            0, 1,
+        )
+
+    wxs_p = [pad_stream(w) for w in wxs]
+    vs_p = [jnp.pad(v.astype(dtype), ((0, Hp - H), (0, Hp - H))) for v in vs]
+    y0_p = jnp.pad(y0.astype(dtype), ((0, Bp - B), (0, Hp - H)))
+
+    grid = (Bp // bt, n_chunks)
+    kernel = functools.partial(
+        _ann_fwd_kernel, tc=tc, T=T, mode=mode,
+        save_residuals=save_residuals, mxu_bf16=mxu_bf16,
+    )
+    bh = lambda i, t: (i, 0)  # noqa: E731
+    tbh = lambda i, t: (t, i, 0)  # noqa: E731
+    bnd_map = lambda i, t: (i, t)  # noqa: E731
+    rep2 = lambda i, t: (0, 0)  # noqa: E731
+    tm_spec = pl.BlockSpec((tc, bt, Hp), tbh, memory_space=pltpu.VMEM)
+    mat_spec = pl.BlockSpec((Hp, Hp), rep2, memory_space=pltpu.VMEM)
+    state_spec = pl.BlockSpec((bt, Hp), bh, memory_space=pltpu.VMEM)
+    bnd_spec = pl.BlockSpec((bt, Hp), bnd_map, memory_space=pltpu.VMEM)
+
+    n_gates = len(m["gates"])
+    if save_residuals:
+        out_specs = (tm_spec,) * (1 + n_gates) + (bnd_spec,)
+        out_shape = tuple(
+            [jax.ShapeDtypeStruct((T, Bp, Hp), dtype)] * (1 + n_gates)
+            + [jax.ShapeDtypeStruct((Bp, n_chunks * Hp), dtype)]
+        )
+    else:
+        out_specs = (tm_spec,)
+        out_shape = (jax.ShapeDtypeStruct((T, Bp, Hp), dtype),)
+
+    n_carry = 1 if mode == "rnn" else 2
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[tm_spec] * m["n_wx"] + [mat_spec] * m["n_v"] + [state_spec],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((bt, Hp), jnp.float32)] * (1 + n_carry),
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(*wxs_p, *vs_p, y0_p)
+
+    y_seq = outs[0]
+    y_logical = jnp.swapaxes(y_seq[:, :B, :H], 0, 1)
+    if not save_residuals:
+        return y_logical
+    # residuals stay padded time-major for the backward kernel
+    return y_logical, tuple(outs)
+
+
+# ---------------------------------------------------------------------------
+# Backward
+# ---------------------------------------------------------------------------
+
+
+def _ann_bwd_kernel(*refs, tc, T, mode, mxu_bf16):
+    m = _MODES[mode]
+    n_gates = len(m["gates"])
+    refs = list(refs)
+    g_ref = refs.pop(0)
+    y_ref = refs.pop(0)
+    gate_refs = refs[:n_gates]
+    del refs[:n_gates]
+    yb_ref = refs.pop(0)
+    v_refs = refs[: m["n_v"]]
+    del refs[: m["n_v"]]
+    dwx_refs = refs[: m["n_wx"]]
+    del refs[: m["n_wx"]]
+    dv_refs = refs[: m["n_v"]]
+    del refs[: m["n_v"]]
+    dy0_ref = refs.pop(0)
+    D_scr = refs.pop(0)  # carried adjoint dL/dy_{t} contribution from t+1
+
+    kc = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+    first = kc == 0
+    last = kc == n_chunks - 1
+    n_chunks_static = (T + tc - 1) // tc
+    tail_len = T - (n_chunks_static - 1) * tc
+
+    @pl.when(first)
+    def _init():
+        D_scr[:, :] = jnp.zeros_like(D_scr)
+
+    @pl.when(first & (pl.program_id(0) == 0))
+    def _init_acc():
+        for dv_ref in dv_refs:
+            dv_ref[:, :] = jnp.zeros_like(dv_ref)
+
+    v_mats = [v_ref[:, :] for v_ref in v_refs]
+    dv_accs = [jnp.zeros_like(dv_ref) for dv_ref in dv_refs]
+    D = D_scr[:, :]
+
+    for k in range(tc - 1, -1, -1):
+        g_t = g_ref[k, :, :].astype(jnp.float32)
+        y_t = y_ref[k, :, :]
+        y_p = y_ref[k - 1, :, :] if k > 0 else yb_ref[:, :]
+        gates = [gr[k, :, :] for gr in gate_refs]
+        if k >= tail_len:
+            live = kc != 0
+            g_t = jnp.where(live, g_t, 0.0)
+            y_t = jnp.where(live, y_t, 0.0)
+            y_p = jnp.where(live, y_p, 0.0)
+            gates = [jnp.where(live, gv, 0.0) for gv in gates]
+
+        G = g_t + D
+        if mode == "rnn":
+            dpre = G * y_t * (1.0 - y_t)
+            # next step's adjoint product, issued immediately (carried)
+            D = _dotT(dpre, v_mats[0], mxu_bf16)
+            dv_accs[0] = dv_accs[0] + _outer_acc(y_p, dpre, mxu_bf16)
+            dwx_refs[0][k, :, :] = dpre.astype(dwx_refs[0].dtype)
+        elif mode == "ligru":
+            z, c = gates
+            dcpre = jnp.where(c > 0, G * (1.0 - z), 0.0)
+            dzpre = G * (y_p - c) * z * (1.0 - z)
+            # both adjoint products are carriable: issued now, first
+            # consumed at the top of the next iteration
+            P1 = _dotT(dcpre, v_mats[0], mxu_bf16)
+            P2 = _dotT(dzpre, v_mats[1], mxu_bf16)
+            dv_accs[0] = dv_accs[0] + _outer_acc(y_p, dcpre, mxu_bf16)
+            dv_accs[1] = dv_accs[1] + _outer_acc(y_p, dzpre, mxu_bf16)
+            dwx_refs[0][k, :, :] = dcpre.astype(dwx_refs[0].dtype)
+            dwx_refs[1][k, :, :] = dzpre.astype(dwx_refs[1].dtype)
+            D = G * z + P1 + P2
+        else:  # gru
+            z, r, c = gates
+            dcpre = G * (1.0 - z) * (1.0 - c * c)
+            dzpre = G * (y_p - c) * z * (1.0 - z)
+            # dry is needed within this step (for dr and the adjoint):
+            # inherent critical-path product of the GRU structure
+            dry = _dotT(dcpre, v_mats[0], mxu_bf16)
+            drpre = dry * y_p * r * (1.0 - r)
+            P1 = _dotT(dzpre, v_mats[1], mxu_bf16)
+            P2 = _dotT(drpre, v_mats[2], mxu_bf16)
+            dv_accs[0] = dv_accs[0] + _outer_acc(r * y_p, dcpre, mxu_bf16)
+            dv_accs[1] = dv_accs[1] + _outer_acc(y_p, dzpre, mxu_bf16)
+            dv_accs[2] = dv_accs[2] + _outer_acc(y_p, drpre, mxu_bf16)
+            dwx_refs[0][k, :, :] = dcpre.astype(dwx_refs[0].dtype)
+            dwx_refs[1][k, :, :] = dzpre.astype(dwx_refs[1].dtype)
+            dwx_refs[2][k, :, :] = drpre.astype(dwx_refs[2].dtype)
+            D = G * z + dry * r + P1 + P2
+
+    D_scr[:, :] = D
+    for dv_ref, acc in zip(dv_refs, dv_accs):
+        dv_ref[:, :] += acc
+
+    @pl.when(last)
+    def _dy0():
+        dy0_ref[:, :] = D_scr[:, :]
+
+
+def _ann_backward(g, residuals, vs, *, mode, mxu_bf16):
+    m = _MODES[mode]
+    n_gates = len(m["gates"])
+    y_seq = residuals[0]
+    gate_seqs = residuals[1 : 1 + n_gates]
+    yb = residuals[-1]
+    B, T, H = g.shape
+    dtype = jnp.float32
+    _, Bp, Hp = y_seq.shape
+    tc = _pick_tc(T)
+    bt = _tile_plan(Bp, Hp, streams=2 * m["n_wx"] + 2, tc=tc)
+    n_chunks = (T + tc - 1) // tc
+
+    g_p = jnp.swapaxes(
+        jnp.pad(g.astype(dtype), ((0, Bp - B), (0, 0), (0, Hp - H))), 0, 1
+    )
+    vs_p = [jnp.pad(v.astype(dtype), ((0, Hp - H), (0, Hp - H))) for v in vs]
+
+    grid = (Bp // bt, n_chunks)
+    kernel = functools.partial(
+        _ann_bwd_kernel, tc=tc, T=T, mode=mode, mxu_bf16=mxu_bf16
+    )
+    rev_tm = lambda i, t: (n_chunks - 1 - t, i, 0)  # noqa: E731
+    rev_bnd = lambda i, t: (i, n_chunks - 1 - t)  # noqa: E731
+    bh = lambda i, t: (i, 0)  # noqa: E731
+    rep2 = lambda i, t: (0, 0)  # noqa: E731
+    tm_spec = pl.BlockSpec((tc, bt, Hp), rev_tm, memory_space=pltpu.VMEM)
+    mat_spec = pl.BlockSpec((Hp, Hp), rep2, memory_space=pltpu.VMEM)
+    state_spec = pl.BlockSpec((bt, Hp), bh, memory_space=pltpu.VMEM)
+    bnd_spec = pl.BlockSpec((bt, Hp), rev_bnd, memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=(
+            [tm_spec]  # g
+            + [tm_spec] * (1 + n_gates)  # y + gates
+            + [bnd_spec]  # y left boundary
+            + [mat_spec] * m["n_v"]
+        ),
+        out_specs=(
+            tuple([tm_spec] * m["n_wx"])
+            + tuple([mat_spec] * m["n_v"])
+            + (state_spec,)
+        ),
+        out_shape=(
+            tuple(
+                jax.ShapeDtypeStruct((T, Bp, Hp), dtype)
+                for _ in range(m["n_wx"])
+            )
+            + tuple(
+                jax.ShapeDtypeStruct((Hp, Hp), dtype)
+                for _ in range(m["n_v"])
+            )
+            + (jax.ShapeDtypeStruct((Bp, Hp), dtype),)
+        ),
+        scratch_shapes=[pltpu.VMEM((bt, Hp), jnp.float32)],
+        interpret=_interpret(),
+        compiler_params=_compiler_params(),
+    )(g_p, y_seq, *gate_seqs, yb, *vs_p)
+
+    dwxs = [
+        jnp.swapaxes(o[:, :B, :H], 0, 1) for o in outs[: m["n_wx"]]
+    ]
+    dvs = [o[:H, :H] for o in outs[m["n_wx"] : m["n_wx"] + m["n_v"]]]
+    dy0 = outs[-1][:B, :H]
+    return dwxs, dvs, dy0
+
+
+# ---------------------------------------------------------------------------
+# custom_vjp wrappers
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _make_ann_op(mode: str, mxu_bf16: bool):
+    m = _MODES[mode]
+    n_wx, n_v = m["n_wx"], m["n_v"]
+
+    @jax.custom_vjp
+    def op(*args):
+        wxs, vs, y0 = args[:n_wx], args[n_wx : n_wx + n_v], args[-1]
+        return _ann_forward(
+            list(wxs), list(vs), y0, mode=mode, save_residuals=False,
+            mxu_bf16=mxu_bf16,
+        )
+
+    def fwd(*args):
+        wxs, vs, y0 = args[:n_wx], args[n_wx : n_wx + n_v], args[-1]
+        y, residuals = _ann_forward(
+            list(wxs), list(vs), y0, mode=mode, save_residuals=True,
+            mxu_bf16=mxu_bf16,
+        )
+        # zero-length tokens keep the primal dtypes reachable for the
+        # tangent casts without holding the big arrays alive
+        return y, (vs, residuals, args[0][:0], y0[:0])
+
+    def bwd(res, g):
+        vs, residuals, wx_tok, y0_tok = res
+        dwxs, dvs, dy0 = _ann_backward(
+            g, residuals, list(vs), mode=mode, mxu_bf16=mxu_bf16
+        )
+        # tangent dtypes must match the primals (custom_vjp contract)
+        dwxs = [d.astype(wx_tok.dtype) for d in dwxs]
+        dvs = [d.astype(v.dtype) for d, v in zip(dvs, vs)]
+        return (*dwxs, *dvs, dy0.astype(y0_tok.dtype))
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+def rnn_pallas(Wx, V, y0, mxu_bf16: bool = False):
+    """Fused sigmoid-RNN recurrence (drop-in for cells.rnn_scan)."""
+    return _make_ann_op("rnn", mxu_bf16)(Wx, V, y0)
+
+
+def ligru_pallas(Wx, Wzx, V, Vz, y0, mxu_bf16: bool = False):
+    """Fused LiGRU recurrence (drop-in for cells.ligru_scan)."""
+    return _make_ann_op("ligru", mxu_bf16)(Wx, Wzx, V, Vz, y0)
+
+
+def gru_pallas(Wx, Wzx, Wrx, V, Vz, Vr, y0, mxu_bf16: bool = False):
+    """Fused GRU recurrence (drop-in for cells.gru_scan)."""
+    return _make_ann_op("gru", mxu_bf16)(Wx, Wzx, Wrx, V, Vz, Vr, y0)
