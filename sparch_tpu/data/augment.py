@@ -16,12 +16,19 @@ package, which is a thin wrapper over these same operations):
   ``[min_snr*std(x), max_snr*std(x)]`` (same parameterisation as
   torchaudio_augmentations.Noise).
 - Gain: uniform gain in dB from [-20, -1] (the package's defaults).
-- Reverb: the package shells out to sox; unavailable here, so this uses a
-  synthetic exponentially-decaying noise RIR convolution with a comparable
-  T60 (~0.3 s). Documented approximation; augmentation is off by default
-  (reference training_config.py:140-146).
+- Reverb: the package drives sox's ``reverb`` effect with uniformly random
+  integer (reverberance, HF-damping, room-scale) in [0, 100) and then
+  downmixes to mono. sox's reverb is the public-domain Freeverb algorithm
+  (8 parallel damped feedback combs + 4 series allpasses per channel);
+  ``_sox_reverb`` below is a clean-room NumPy/SciPy implementation of that
+  algorithm with sox's exact parameter mappings (filter lengths, feedback
+  and damping curves, wet gain, stereo offsets). Each comb/allpass is an
+  exact IIR evaluated by ``scipy.signal.lfilter``. Augmentation is off by
+  default (reference training_config.py:140-146).
 """
 from __future__ import annotations
+
+import math
 
 import numpy as np
 
@@ -43,15 +50,93 @@ def _gain(x, rng, min_db=-20.0, max_db=-1.0):
     return x * np.float32(10.0 ** (db / 20.0))
 
 
-def _reverb(x, rng, sample_rate=16000, t60=0.3, rir_len=0.25):
-    n = int(rir_len * sample_rate)
-    t = np.arange(n, dtype=np.float32) / sample_rate
-    decay = np.exp(-6.908 * t / t60)  # -60 dB at t60
-    rir = rng.normal(0.0, 1.0, size=n).astype(np.float32) * decay
-    rir[0] = 1.0
-    rir /= np.sqrt(np.sum(rir**2))
-    wet = np.convolve(x, rir)[: len(x)].astype(np.float32)
-    return 0.7 * x + 0.3 * wet
+# Freeverb filter delay lengths in samples at 44100 Hz (sox reverb.c);
+# channel-offset spread of 12 samples, alternating sign per filter.
+_COMB_LENGTHS = (1116, 1188, 1277, 1356, 1422, 1491, 1557, 1617)
+_ALLPASS_LENGTHS = (225, 341, 441, 556)
+_STEREO_ADJUST = 12
+
+
+def _freeverb_channel(x64, sr, scale, offset, feedback, damp):
+    """One Freeverb channel: 8 parallel damped combs + 4 series allpasses.
+
+    Comb with delay D, feedback f, damping d obeys
+        w[n] = x[n] + f*store[n],  store[n] = (1-d)*w[n-D] + d*store[n-1],
+        out[n] = w[n-D]
+    => transfer  out/x = z^-D (1 - d z^-1) / (1 - d z^-1 - f(1-d) z^-D).
+    Allpass with delay D and gain .5:
+        w[n] = x[n] + .5 w[n-D],  out[n] = w[n-D] - x[n]
+    => transfer  (1.5 z^-D - 1) / (1 - .5 z^-D).
+    Both evaluated exactly with scipy.signal.lfilter (zero initial state,
+    matching sox's fresh buffers per file).
+    """
+    from scipy.signal import lfilter
+
+    r = sr / 44100.0
+    wet = np.zeros_like(x64)
+    off = offset
+    for L in _COMB_LENGTHS:
+        D = int(L * r * scale + _STEREO_ADJUST * off + 0.5)
+        off = -off
+        b = np.zeros(D + 2)
+        b[D], b[D + 1] = 1.0, -damp
+        a = np.zeros(D + 1)
+        a[0], a[1] = 1.0, -damp
+        a[D] += -feedback * (1.0 - damp)
+        wet += lfilter(b, a, x64)
+    for L in _ALLPASS_LENGTHS:
+        D = int(L * r + _STEREO_ADJUST * off + 0.5)
+        off = -off
+        b = np.zeros(D + 1)
+        b[0], b[D] = -1.0, 1.5
+        a = np.zeros(D + 1)
+        a[0], a[D] = 1.0, -0.5
+        wet = lfilter(b, a, wet)
+    return wet
+
+
+def _sox_reverb(x, rng, sample_rate=16000):
+    """sox ``reverb <reverberance> <HF-damping> <room-scale>`` on a mono
+    waveform, with the three percentages drawn uniformly from [0, 100)
+    like torchaudio_augmentations.Reverb, followed by the package's
+    mono downmix. Parameter mappings are sox reverb.c's:
+
+        scale    = room_scale/100 * 0.9 + 0.1
+        feedback = 1 - exp((reverberance - b) / (a*b)),
+                   a = -1/ln(1-0.3), b = 100/(ln(1-0.98)*a + 1)
+                   (so feedback runs 0.3 at 0% to 0.98 at 100%)
+        damping  = hf_damping/100 * 0.3 + 0.2
+        wet gain = 0.015 (0 dB); mono in + default stereo-depth 100%
+        makes two wet channels whose filter lengths differ by +-12
+        samples; the downmix averages them:  out = dry + (wetL+wetR)/2.
+    """
+    reverberance = float(rng.integers(0, 100))
+    hf_damping = float(rng.integers(0, 100))
+    room_scale = float(rng.integers(0, 100))
+
+    scale = room_scale / 100.0 * 0.9 + 0.1
+    a = -1.0 / math.log(1.0 - 0.3)
+    b = 100.0 / (math.log(1.0 - 0.98) * a + 1.0)
+    feedback = 1.0 - math.exp((reverberance - b) / (a * b))
+    damp = hf_damping / 100.0 * 0.3 + 0.2
+    gain = 0.015
+
+    x64 = x.astype(np.float64)
+    try:
+        wet_l = _freeverb_channel(x64, sample_rate, scale, 0.0, feedback, damp)
+        wet_r = _freeverb_channel(x64, sample_rate, scale, 1.0, feedback, damp)
+    except ImportError:  # scipy missing: decaying-noise RIR approximation
+        n = int(0.25 * sample_rate)
+        t = np.arange(n, dtype=np.float32) / sample_rate
+        rir = rng.normal(0.0, 1.0, size=n).astype(np.float32) * np.exp(
+            -6.908 * t / 0.3
+        )
+        rir[0] = 1.0
+        rir /= np.sqrt(np.sum(rir**2))
+        wet = np.convolve(x, rir)[: len(x)].astype(np.float32)
+        return 0.7 * x + 0.3 * wet
+    out = x64 + gain * 0.5 * (wet_l + wet_r)
+    return out.astype(np.float32)
 
 
 class AugmentChain:
@@ -79,5 +164,5 @@ class AugmentChain:
         if rng.random() < 0.3:
             x = _gain(x, rng)
         if rng.random() < 0.6:
-            x = _reverb(x, rng)
+            x = _sox_reverb(x, rng)
         return x.astype(np.float32)
