@@ -331,3 +331,77 @@ def test_snn_gradient_parity(neuron_type):
         g["layer_0"]["norm"]["LayerNorm_0"]["scale"],
         tgrads["snn.0.norm.weight"],
     )
+
+
+@pytest.mark.parametrize("ann_type", ["MLP", "RNN", "LiGRU", "GRU"])
+def test_ann_gradient_parity(ann_type):
+    """ANN counterpart of test_snn_gradient_parity: every parameter
+    gradient of the CE loss matches torch autograd with identical
+    parameters and batch (layernorm variant; scan cells)."""
+    import optax
+
+    torch.manual_seed(4)
+    ref = RefANN(
+        input_shape=(B, T, F),
+        layer_sizes=[H, C],
+        ann_type=ann_type,
+        dropout=0.0,
+        normalization="layernorm",
+        use_bias=False,
+        bidirectional=False,
+        use_readout_layer=True,
+    ).train()
+    model = ANN(
+        input_shape=(B, T, F),
+        layer_sizes=(H, C),
+        ann_type=ann_type,
+        dropout=0.0,
+        normalization="layernorm",
+        use_bias=False,
+        bidirectional=False,
+        use_readout_layer=True,
+        cell_impl="scan",
+    )
+    variables = _ann_params_from_ref(ref, ann_type, "layernorm", False)
+    rng = np.random.default_rng(4)
+    x = rng.random((B, T, F)).astype(np.float32)
+    y = (np.arange(B) % C).astype(np.int64)
+
+    out, _ = ref(torch.from_numpy(x))
+    loss_t = torch.nn.CrossEntropyLoss()(out, torch.from_numpy(y))
+    ref.zero_grad()
+    loss_t.backward()
+    tgrads = {n: p.grad.detach().numpy() for n, p in ref.named_parameters()}
+
+    def loss_fn(params):
+        o, _ = model.apply({"params": params}, jnp.asarray(x), train=True)
+        return optax.softmax_cross_entropy_with_integer_labels(
+            o, jnp.asarray(y)
+        ).mean()
+
+    np.testing.assert_allclose(
+        float(loss_fn(variables["params"])), float(loss_t.detach()), rtol=1e-5
+    )
+    g = jax.grad(loss_fn)(variables["params"])
+
+    def check(name, ours, theirs, transpose=False):
+        o = np.asarray(ours)
+        t = theirs.T if transpose else theirs
+        denom = np.abs(t).max() + 1e-12
+        np.testing.assert_allclose(
+            o / denom, t / denom, atol=1e-5, err_msg=f"{ann_type} {name}"
+        )
+
+    check("layer0.W", g["layer_0"]["W"]["kernel"], tgrads["ann.0.W.weight"],
+          transpose=True)
+    gates = {"MLP": [], "RNN": ["V"], "LiGRU": ["V", "Vz"],
+             "GRU": ["V", "Vz", "Vr"]}[ann_type]
+    for gate in gates:
+        check(f"layer0.{gate}", g["layer_0"][gate],
+              tgrads[f"ann.0.{gate}.weight"], transpose=True)
+    for wname in ("Wz", "Wr"):
+        if f"ann.0.{wname}.weight" in tgrads:
+            check(f"layer0.{wname}", g["layer_0"][wname]["kernel"],
+                  tgrads[f"ann.0.{wname}.weight"], transpose=True)
+    check("readout.W", g["readout"]["W"]["kernel"],
+          tgrads["ann.1.W.weight"], transpose=True)
