@@ -19,24 +19,36 @@ Fusion surface (beyond the recurrence itself):
   more full passes) are folded into these kernels. The affine params are
   differentiable operands: the backward kernel emits ``dscale``/``dshift``
   and the (scale-folded) ``dWx``.
-- **Low-precision streams** (``lowp``): spike outputs/residuals are
-  bf16 (exact — spikes are 0/1), and the u/w residual streams are stored
-  bf16, halving the HBM traffic of the backward pass. Gated together with
-  the bf16 MXU mode; off in the f32-exact mode the CPU tests pin.
-- **Per-chunk batched dV**: instead of a per-step rank-``bt`` update on
-  the critical path, the per-step ``dDrive`` and shifted spikes are staged
-  in VMEM scratch and one ``(H, bt*TC) @ (bt*TC, H)`` MXU contraction per
-  time chunk accumulates dV off the sequential adjoint chain.
+- **Low-precision streams**: spike outputs and the g/dWx cotangent
+  streams are bf16 in the bf16-MXU mode (spikes are 0/1 — exact; the
+  cotangent is the adjoint of a bf16 output and dWx feeds bf16 MXU
+  contractions). The u residual stays f32 so the backward's spike
+  recomputation re-thresholds the exact values the forward thresholded.
+- **Carried MXU products**: the recurrent products (``s @ V`` forward,
+  ``((1-alpha)*A) @ V^T`` backward) are issued immediately after the new
+  state/adjoint is known and first consumed at the top of the NEXT step,
+  so their latency hides behind the remaining VPU work of the step
+  instead of stalling the sequential chain.
+- **MXU-offloaded reductions**: the six per-step batch reductions of the
+  parameter gradients ride the otherwise-idle MXU as ``(1,bt) @ (bt,H)``
+  ones-row contractions instead of VPU cross-sublane shuffle chains.
 
-Grid: (batch tiles, time chunks), time fastest; TC timesteps are unrolled
-inside each grid cell. The backward kernel walks time chunks in reverse.
-The batch tile auto-shrinks to fit the VMEM budget. B and H are padded to
-TPU tiling (8 sublanes / 128 lanes; padded rows/neurons get a -1e9 drive
-so they never spike, padded cotangents are zero). T is NOT padded — that
-would cost two full HBM copies of every (B,T,H) stream per call (~20% of
-the train step): the tail time chunk instead reads out-of-bounds memory,
-which the forward tolerates (tail state is never consumed) and the
-backward sanitises per-step so garbage cannot poison the adjoints.
+Layout: every (T, ., .) stream is TIME-major — a per-step slice
+``ref[k, :, :]`` is then a whole tile-aligned (bt, H) plane, where a
+batch-major block would pay sublane shuffles on every k-slice; the
+producing/consuming XLA matmuls fold the logical transposes for free.
+
+Grid: (batch tiles, time chunks), time fastest; tc timesteps are unrolled
+inside each grid cell, with tc chosen to divide T when possible (no tail).
+The backward kernel walks time chunks in reverse. The batch tile
+auto-shrinks to fit the VMEM budget. B and H are padded to TPU tiling
+(8 sublanes / 128 lanes; padded rows/neurons get a -1e9 drive so they
+never spike, padded cotangents are zero). T is NOT padded — that would
+cost two full HBM copies of every stream per call (~20% of the train
+step): when tc cannot divide T, the tail time chunk instead reads
+out-of-bounds memory, which the forward tolerates (tail state is never
+consumed) and the backward sanitises per-step so garbage cannot poison
+the adjoints.
 
 Backward math (RadLIF general form; R/ad flags degenerate it). With total
 adjoints A_t = dL/du_t, B_t = dL/dw_t and per-step output cotangent g_t,
@@ -168,7 +180,10 @@ def _mxu_colsum(ones_row, x):
     The backward kernel is VPU-throughput-bound; the MXU sits mostly idle
     between the two big per-step products, so the six per-step gradient
     reductions ride it for free instead of paying cross-sublane shuffle
-    chains on the VPU."""
+    chains on the VPU. For tiny batch tiles the shuffle chain is shallow
+    and a plain VPU sum beats the matmul issue overhead."""
+    if x.shape[0] < 32:
+        return jnp.sum(x, axis=0, keepdims=True)
     return jax.lax.dot_general(
         ones_row, x,
         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -397,9 +412,12 @@ def _forward_pallas(
             x.astype(dtype), ((0, Bp - B), (0, Hp - H)), constant_values=fill
         )
 
+    # Wx keeps its incoming dtype (bf16 on the bf16-MXU fold path — the
+    # layer casts after computing f32 normalization stats); the in-kernel
+    # affine promotes back to f32 on load.
     Wx_p = jnp.swapaxes(
         jnp.pad(
-            Wx.astype(dtype),
+            Wx,
             ((0, Bp - B), (0, 0), (0, Hp - H)),
             constant_values=-1e9,
         ),
@@ -794,12 +812,11 @@ def _backward_pallas(
     )
     wx_ops = ()
     if affine:
-        # time-major, matching the producer's layout (see forward kernel)
+        # time-major, matching the producer's layout (see forward kernel);
+        # dtype preserved (bf16 on the bf16-MXU fold path)
         wx_ops = (
             jnp.swapaxes(
-                jnp.pad(
-                    Wx.astype(dtype), ((0, Bp - B), (0, 0), (0, Hp - H))
-                ),
+                jnp.pad(Wx, ((0, Bp - B), (0, 0), (0, Hp - H))),
                 0, 1,
             ),
         )
