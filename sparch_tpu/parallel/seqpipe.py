@@ -1,0 +1,326 @@
+"""Sequence (time-axis) parallelism for the SNN training step.
+
+The reference has no notion of sequence parallelism (SURVEY.md §5.7 — its
+time loop is a serial Python loop on one device). This module supplies the
+TPU-native scaling path for LONG sequences: shard the time axis over a
+``seq`` mesh axis and run the inherently-sequential neuron recurrence as a
+**state-passing pipeline** — device ``s`` owns time chunk ``s``; the
+neuron state at each chunk boundary hops to the next device over ICI via
+``lax.ppermute``, and the batch is split into microbatches so all devices
+work concurrently (device ``s`` runs microbatch ``m`` at tick ``s + m``;
+pipeline fill/drain is the usual ``(S-1)/(M+S-1)`` bubble).
+
+Everything that is NOT sequential stays embarrassingly parallel in time:
+input projections, BatchNorm statistics (one ``psum`` over the mesh),
+firing-rate telemetry, and the leaky readout — whose linear recurrence
+crosses chunk boundaries in closed form (an ``all_gather`` of one (B, C)
+boundary drive per device plus a tiny S-step scan), so it needs no
+pipelining at all.
+
+Scope: unidirectional SNNs with a readout layer, zero state init, no
+dropout (this is the long-sequence scaling/validation path, not the
+default single-chip trainer — ``train/steps.py`` remains that). Gradients
+flow through the pipeline (``ppermute``/``psum``/``all_gather`` are all
+differentiable), so the full training step works; numerical agreement
+with the single-device step is pinned by tests/test_seqpipe.py on an
+8-device CPU mesh.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sparch_tpu.ops import cells
+from sparch_tpu.ops.surrogate import spike_boxcar
+
+__all__ = ["make_seq_mesh", "seq_batch_sharding", "make_seqpipe_train_step"]
+
+_EPS = 1e-5
+
+
+def make_seq_mesh(devices=None) -> Mesh:
+    """1-D mesh over the time axis."""
+    import numpy as np
+
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), axis_names=("seq",))
+
+
+def seq_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """(B, T, F) batches shard on the TIME axis."""
+    return NamedSharding(mesh, P(None, "seq", None))
+
+
+def _clamped(p, neuron):
+    out = {"alpha": jnp.clip(p["alpha"], *cells.ALPHA_LIM)}
+    if neuron in ("adLIF", "RadLIF"):
+        out["beta"] = jnp.clip(p["beta"], *cells.BETA_LIM)
+        out["a"] = jnp.clip(p["a"], *cells.A_LIM)
+        out["b"] = jnp.clip(p["b"], *cells.B_LIM)
+    if neuron in ("RLIF", "RadLIF"):
+        out["V"] = cells.zero_diag(p["V"])
+    return out
+
+
+def _chunk_scan(neuron, cp, threshold, wx_m, state):
+    """Run one (mb, Tl, H) chunk from ``state``; returns (state, spikes)."""
+    alpha = cp["alpha"]
+
+    def stepf(carry, wx_t):
+        u, w, sp = carry
+        drive = wx_t
+        if neuron in ("RLIF", "RadLIF"):
+            drive = drive + jnp.dot(sp, cp["V"])
+        if neuron in ("adLIF", "RadLIF"):
+            w = cp["beta"] * w + cp["a"] * u + cp["b"] * sp
+            drive = drive - w
+        u = alpha * (u - sp) + (1.0 - alpha) * drive
+        sp = spike_boxcar(u - threshold)
+        return (u, w, sp), sp
+
+    state, spikes = jax.lax.scan(stepf, state, jnp.swapaxes(wx_m, 0, 1))
+    return state, jnp.swapaxes(spikes, 0, 1)
+
+
+def _pipelined_recurrence(neuron, cp, threshold, Wx, axis, n_micro):
+    """State-passing pipeline over the ``axis`` mesh dimension.
+
+    ``Wx``: (B, Tl, H) local time chunk of the normalized drive. Device s
+    runs microbatch ``m = tick - s``; boundary states hop right after every
+    tick. ``ppermute`` delivers zeros to device 0, which is exactly the
+    fresh (zeros) initial state each new microbatch needs.
+    """
+    S = jax.lax.psum(1, axis)
+    s_idx = jax.lax.axis_index(axis)
+    B, Tl, H = Wx.shape
+    M = n_micro
+    assert B % M == 0, f"batch {B} not divisible by microbatches {M}"
+    mb = B // M
+    Wxm = Wx.reshape(M, mb, Tl, H)
+    zeros_state = tuple(jnp.zeros((mb, H), Wx.dtype) for _ in range(3))
+    results0 = jnp.zeros((M, mb, Tl, H), Wx.dtype)
+    perm = [(i, i + 1) for i in range(S - 1)]
+
+    def tick(carry, t):
+        inbox, results = carry
+        m = t - s_idx
+        active = jnp.logical_and(m >= 0, m < M)
+        m_c = jnp.clip(m, 0, M - 1)
+        # zeroed drive on inactive ticks keeps the throwaway compute finite
+        wx_m = jnp.where(active, Wxm[m_c], 0.0)
+        st_out, spikes = _chunk_scan(neuron, cp, threshold, wx_m, inbox)
+        cur = jax.lax.dynamic_slice(
+            results, (m_c, 0, 0, 0), (1, mb, Tl, H)
+        )
+        results = jax.lax.dynamic_update_slice(
+            results,
+            jnp.where(active, spikes[None], cur),
+            (m_c, 0, 0, 0),
+        )
+        # the right neighbor consumes this state at tick t+1 for the same
+        # microbatch; inactive-phase garbage is only ever received by a
+        # neighbor that is itself inactive at that tick
+        inbox_next = jax.tree.map(
+            lambda v: jax.lax.ppermute(v, axis, perm), st_out
+        )
+        return (inbox_next, results), None
+
+    (_, results), _ = jax.lax.scan(
+        tick, (zeros_state, results0), jnp.arange(M + S - 1)
+    )
+    return results.reshape(B, Tl, H)
+
+
+def _norm(kind, p, stats, flat_n_global, wx, axis, train):
+    """Normalization over the globally-flattened (B*T, H) sequence; batch
+    statistics reduce with one psum over the seq axis. Returns
+    (normalized wx, updated running stats or None)."""
+    if kind == "batchnorm":
+        bn_p = p["norm"]["BatchNorm_0"]
+        bn_s = stats["norm"]["BatchNorm_0"]
+        if train:
+            flat = wx.reshape(-1, wx.shape[-1])
+            ssum = jax.lax.psum(jnp.sum(flat, axis=0), axis)
+            ssum2 = jax.lax.psum(
+                jnp.sum(jax.lax.square(flat), axis=0), axis
+            )
+            mean = ssum / flat_n_global
+            var = ssum2 / flat_n_global - jax.lax.square(mean)
+            new_stats = {
+                "mean": 0.95 * bn_s["mean"] + 0.05 * mean,
+                "var": 0.95 * bn_s["var"] + 0.05 * var,
+            }
+        else:
+            mean, var = bn_s["mean"], bn_s["var"]
+            new_stats = None
+        inv = jax.lax.rsqrt(var + _EPS)
+        return (wx - mean) * inv * bn_p["scale"] + bn_p["bias"], new_stats
+    if kind == "layernorm":
+        ln = p["norm"]["LayerNorm_0"]
+        mean = wx.mean(axis=-1, keepdims=True)
+        var = ((wx - mean) ** 2).mean(axis=-1, keepdims=True)
+        return (
+            (wx - mean) * jax.lax.rsqrt(var + _EPS) * ln["scale"]
+            + ln["bias"],
+            None,
+        )
+    return wx, None
+
+
+def _project(p, h):
+    wx = jnp.dot(h, p["W"]["kernel"])
+    if "bias" in p["W"]:
+        wx = wx + p["W"]["bias"]
+    return wx
+
+
+def _pipelined_readout(p, stats, kind, flat_n_global, h, axis, train):
+    """Leaky readout across the sharded time axis in closed form: the
+    membrane recurrence is linear, so each device only needs its chunk's
+    start state — an S-step scan over all_gather'ed per-chunk boundary
+    drives — and the softmax time-sum reduces with one psum."""
+    wx = _project(p, h)
+    wx, new_stats = _norm(kind, p, stats, flat_n_global, wx, axis, train)
+    alpha = jnp.clip(p["alpha"], *cells.ALPHA_LIM)
+    B, Tl, C = wx.shape
+    intra = cells.leaky_cumsum(wx, alpha, jnp.zeros((B, C), wx.dtype))
+    drive = intra[:, -1, :]  # chunk-end membrane given a zero start
+    a_pow_T = alpha ** Tl
+    all_drive = jax.lax.all_gather(drive, axis)  # (S, B, C)
+
+    def chain(u, d):
+        return a_pow_T * u + d, u  # emit the state BEFORE the chunk
+
+    _, starts = jax.lax.scan(
+        chain, jnp.zeros((B, C), wx.dtype), all_drive
+    )
+    u_start = starts[jax.lax.axis_index(axis)]
+    j = jnp.arange(Tl, dtype=wx.dtype)[None, :, None]
+    decay = jnp.exp((j + 1.0) * jnp.log(alpha)[None, None, :])
+    us = decay * u_start[:, None, :] + intra
+    return (
+        jax.lax.psum(jnp.sum(jax.nn.softmax(us, axis=-1), axis=1), axis),
+        new_stats,
+    )
+
+
+def make_seqpipe_train_step(
+    model,
+    mesh: Mesh,
+    n_micro: int = 4,
+    use_regularizers: bool = False,
+    reg_factor: float = 0.5,
+    reg_fmin: float = 0.01,
+    reg_fmax: float = 0.5,
+):
+    """Build a train step whose forward runs time-sharded over ``mesh``'s
+    ``seq`` axis with pipelined recurrences.
+
+    Same contract as ``train.steps.make_train_step`` (state, x, y) ->
+    (state, metrics), with x placed via :func:`seq_batch_sharding`.
+    Restrictions (asserted): unidirectional SNN, readout layer on, zero
+    state init semantics, dropout ignored.
+    """
+    if not model.is_snn:
+        raise ValueError("seq-pipeline step supports the SNN family")
+    if model.bidirectional:
+        raise ValueError("bidirectional models cannot shard the time axis")
+    if not model.use_readout_layer:
+        raise ValueError("seq-pipeline step requires the readout layer")
+    neuron = model.neuron_type
+    kind = model.normalization
+    threshold = model.threshold
+    n_hidden = model.num_layers - 1
+
+    def forward_local(params, batch_stats, x_local, train, flat_n_global):
+        h = x_local
+        rate_sums = []
+        new_stats = {}
+        for i in range(n_hidden):
+            name = f"layer_{i}"
+            p = params[name]
+            stats = batch_stats.get(name, {})
+            wx = _project(p, h)
+            wx, ns = _norm(
+                kind, p, stats, flat_n_global, wx, "seq", train
+            )
+            if ns is not None:
+                new_stats[name] = {"norm": {"BatchNorm_0": ns}}
+            cp = _clamped(p, neuron)
+            h = _pipelined_recurrence(
+                neuron, cp, threshold, wx, "seq", n_micro
+            )
+            rate_sums.append(
+                jax.lax.psum(jnp.sum(h, axis=(0, 1)), "seq") / flat_n_global
+            )
+        out, ns = _pipelined_readout(
+            params["readout"], batch_stats.get("readout", {}), kind,
+            flat_n_global, h, "seq", train,
+        )
+        if ns is not None:
+            new_stats["readout"] = {"norm": {"BatchNorm_0": ns}}
+        return out, jnp.concatenate(rate_sums), new_stats
+
+    from jax import shard_map
+
+    def loss_and_metrics(params, batch_stats, x, y):
+        fwd = shard_map(
+            functools.partial(
+                forward_local,
+                train=True,
+                flat_n_global=float(x.shape[0] * x.shape[1]),
+            ),
+            mesh=mesh,
+            in_specs=(P(), P(), P(None, "seq", None)),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )
+        out, rates, new_stats = fwd(params, batch_stats, x)
+        ce = optax.softmax_cross_entropy_with_integer_labels(out, y).mean()
+        loss = ce
+        if use_regularizers:
+            loss = loss + reg_factor * (
+                jax.nn.relu(reg_fmin - rates).sum()
+                + jax.nn.relu(rates - reg_fmax).sum()
+            )
+        return loss, (ce, out, rates, new_stats)
+
+    def train_step(state, x, y):
+        def loss_fn(params):
+            return loss_and_metrics(params, state.batch_stats, x, y)
+
+        grads, (ce, out, rates, new_stats) = jax.grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        merged = jax.tree.map(lambda s: s, state.batch_stats)
+        if new_stats:
+            merged = _merge_stats(state.batch_stats, new_stats)
+        new_state = state.apply_gradients(grads, merged)
+        pred = jnp.argmax(out, axis=-1)
+        metrics = {
+            "loss": ce,
+            "acc": jnp.mean((pred == y).astype(jnp.float32)),
+            "spike_rate": rates.mean(),
+        }
+        return new_state, metrics
+
+    return jax.jit(train_step)
+
+
+def _merge_stats(old, new):
+    """Overlay updated running stats onto the full batch_stats tree."""
+    merged = jax.tree.map(lambda x: x, old)  # shallow copy via rebuild
+    for lname, sub in new.items():
+        merged[lname]["norm"]["BatchNorm_0"]["mean"] = (
+            sub["norm"]["BatchNorm_0"]["mean"]
+        )
+        merged[lname]["norm"]["BatchNorm_0"]["var"] = (
+            sub["norm"]["BatchNorm_0"]["var"]
+        )
+    return merged
