@@ -80,6 +80,33 @@ def _collate_padded(batch, pad_multiple: int = 1):
     return out, xlens, np.asarray(ys, dtype=np.int64)
 
 
+# Kaldi framing constants at 16 kHz (25 ms window, 10 ms shift,
+# snip_edges): frame count T(L) = 1 + (L - 400)//160 for L >= 400.
+_FRAME_LEN = 400
+_FRAME_SHIFT = 160
+
+
+def _collate_waveforms(batch, pad_multiple: int = 1):
+    """Device-frontend collate: pad raw waveforms so the on-device fbank
+    produces frame counts rounded to ``pad_multiple`` buckets (the same
+    bounded-compile-shape policy as the host path). xlens are the true
+    per-item FRAME counts, identical to the host collate's."""
+    xs, ys = zip(*batch)
+    xlens = np.asarray(
+        [max(1 + (len(x) - _FRAME_LEN) // _FRAME_SHIFT, 0) for x in xs],
+        dtype=np.int64,
+    )
+    max_t = max(int(xlens.max()), 1)
+    if pad_multiple > 1:
+        max_t = ((max_t + pad_multiple - 1) // pad_multiple) * pad_multiple
+    n = _FRAME_LEN + (max_t - 1) * _FRAME_SHIFT
+    out = np.zeros((len(xs), n), dtype=np.float32)
+    for i, x in enumerate(xs):
+        m = min(len(x), n)
+        out[i, :m] = x[:m]
+    return out, xlens, np.asarray(ys, dtype=np.int64)
+
+
 class HeidelbergDigits:
     """Non-spiking Heidelberg Digits (HD) dataset
     (reference nonspiking_datasets.py:31-112)."""
@@ -95,12 +122,14 @@ class HeidelbergDigits:
         num_mel_bins: int = 40,
         pad_multiple: int = 1,
         seed: int = 0,
+        frontend: str = "host",
     ):
         if split not in ["train", "test"]:
             raise ValueError(f"Invalid split {split}")
         self.data_folder = data_folder
         self.num_mel_bins = num_mel_bins
         self.pad_multiple = pad_multiple
+        self.frontend = frontend
         filename = f"{data_folder}/{split}_filenames.txt"
         with open(filename) as f:
             self.file_list = f.read().splitlines()
@@ -117,7 +146,9 @@ class HeidelbergDigits:
         filename = self.file_list[index]
         x = read_wav(f"{self.data_folder}/audio/{filename}")
         x = self.transf(x)
-        x = fbank_np(x, self.num_mel_bins)
+        if self.frontend == "host":
+            x = fbank_np(x, self.num_mel_bins)
+        # 'device': raw waveform out; the jitted step computes the fbank
 
         # Label: digit 0-9, +10 for German (reference :98-101)
         y = int(filename[-6])
@@ -132,6 +163,8 @@ class HeidelbergDigits:
             self.transf.rng = np.random.default_rng(seed)
 
     def generate_batch(self, batch):
+        if self.frontend == "device":
+            return _collate_waveforms(batch, self.pad_multiple)
         return _collate_padded(batch, self.pad_multiple)
 
 
@@ -150,12 +183,14 @@ class SpeechCommands:
         num_mel_bins: int = 40,
         pad_multiple: int = 1,
         seed: int = 0,
+        frontend: str = "host",
     ):
         if split not in ["training", "validation", "testing"]:
             raise ValueError(f"Invalid split {split}")
         self.data_folder = data_folder
         self.num_mel_bins = num_mel_bins
         self.pad_multiple = pad_multiple
+        self.frontend = frontend
         EXCEPT_FOLDER = "_background_noise_"
 
         def load_list(name):
@@ -190,7 +225,8 @@ class SpeechCommands:
         filename = self.file_list[index]
         x = read_wav(filename)
         x = self.transf(x)
-        x = fbank_np(x, self.num_mel_bins)
+        if self.frontend == "host":
+            x = fbank_np(x, self.num_mel_bins)
 
         relpath = os.path.relpath(filename, self.data_folder)
         label, _ = os.path.split(relpath)
@@ -204,6 +240,8 @@ class SpeechCommands:
             self.transf.rng = np.random.default_rng(seed)
 
     def generate_batch(self, batch):
+        if self.frontend == "device":
+            return _collate_waveforms(batch, self.pad_multiple)
         return _collate_padded(batch, self.pad_multiple)
 
 
@@ -222,6 +260,7 @@ def load_hd_or_sc(
     seed: int = 0,
     num_shards: int = 1,
     shard_index: int = 0,
+    frontend: str = "host",
 ) -> DataLoader:
     """Create a loader for a split of HD or SC
     (reference nonspiking_datasets.py:213-290)."""
@@ -236,13 +275,13 @@ def load_hd_or_sc(
             logging.info("\nHD uses the same split for validation and testing.\n")
         dataset = HeidelbergDigits(
             data_folder, split, use_augm, min_snr, max_snr, p_noise,
-            pad_multiple=pad_multiple, seed=seed,
+            pad_multiple=pad_multiple, seed=seed, frontend=frontend,
         )
     else:
         split = {"train": "training", "valid": "validation", "test": "testing"}[split]
         dataset = SpeechCommands(
             data_folder, split, use_augm, min_snr, max_snr, p_noise,
-            pad_multiple=pad_multiple, seed=seed,
+            pad_multiple=pad_multiple, seed=seed, frontend=frontend,
         )
 
     logging.info(f"Number of examples in {dataset_name} {split} set: {len(dataset)}")

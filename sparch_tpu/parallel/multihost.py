@@ -54,10 +54,15 @@ def is_multihost() -> bool:
     return jax.process_count() > 1
 
 
-def global_batch(mesh: Mesh, local_x: np.ndarray, local_y: np.ndarray):
+def global_batch(mesh: Mesh, local_x, local_y: np.ndarray):
     """Build global arrays sharded on the 'data' mesh axis from per-host
-    local slices (every host holds global_batch/process_count rows)."""
+    local slices (every host holds global_batch/process_count rows).
+    ``local_x`` may be a pytree (e.g. (waveform, xlens) on the
+    device-frontend path)."""
     sharding = NamedSharding(mesh, P("data"))
-    x = jax.make_array_from_process_local_data(sharding, local_x)
+    x = jax.tree.map(
+        lambda a: jax.make_array_from_process_local_data(sharding, a),
+        local_x,
+    )
     y = jax.make_array_from_process_local_data(sharding, local_y)
     return x, y

@@ -229,6 +229,17 @@ def add_training_options(parser):
         help="Round variable-length (hd/sc) batch time dims up to this "
         "multiple so XLA compiles a bounded number of shapes.",
     )
+    parser.add_argument(
+        "--frontend",
+        type=str,
+        choices=["host", "device"],
+        default="host",
+        help="Where the hd/sc log-mel filterbank runs. 'host' computes "
+        "features in the data loader (reference behaviour); 'device' "
+        "ships raw waveforms and fuses the fbank DSP into the jitted "
+        "train/eval step on the TPU, cutting the per-utterance host cost "
+        "when loader cores are the bottleneck.",
+    )
     return parser
 
 

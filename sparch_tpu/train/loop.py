@@ -91,6 +91,13 @@ class Experiment:
         self.compute_dtype = getattr(args, "compute_dtype", "float32")
         self.profile_dir = getattr(args, "profile_dir", None)
         self.prng_impl = getattr(args, "prng_impl", "rbg")
+        self.frontend = getattr(args, "frontend", "host")
+        if self.frontend == "device" and self.dataset_name not in ("hd", "sc"):
+            logging.warning(
+                "\n--frontend device only applies to hd/sc (waveform "
+                "datasets); using the standard pipeline.\n"
+            )
+            self.frontend = "host"
         jax.config.update("jax_default_prng_impl", self.prng_impl)
 
         # Initialize logging and output folders
@@ -234,6 +241,7 @@ class Experiment:
                 pad_multiple=self.pad_multiple,
                 seed=self.seed,
                 workers=self.workers,
+                frontend=self.frontend,
                 **self._shard_kw(),
             )
             self.train_loader = load_hd_or_sc(split="train", shuffle=True, **kw)
@@ -271,7 +279,17 @@ class Experiment:
             compute_dtype=None if self.compute_dtype == "float32" else dtype,
         )
 
-        sample = np.zeros((2, 8, self.nb_inputs), np.float32)
+        if self.frontend == "device":
+            from sparch_tpu.models.frontend import FbankFrontend
+
+            self.net = FbankFrontend(inner=self.net)
+            # smallest waveform batch producing 8 fbank frames, + lengths
+            sample = (
+                np.zeros((2, 400 + 7 * 160), np.float32),
+                np.full((2,), 8, np.int32),
+            )
+        else:
+            sample = np.zeros((2, 8, self.nb_inputs), np.float32)
         self.state = create_train_state(
             self.net, sample, self.lr, jax.random.PRNGKey(self.seed)
         )
@@ -309,13 +327,15 @@ class Experiment:
     def _put_batch(self, x, y):
         """Shard on 'data' when divisible; a ragged final batch runs
         replicated (one extra compile, exact reference semantics — no
-        padding perturbs BN stats or the loss)."""
+        padding perturbs BN stats or the loss). ``x`` may be a pytree
+        (waveform, xlens) on the device-frontend path."""
         if self.is_multihost:
             from sparch_tpu.parallel.multihost import global_batch
 
             return global_batch(self.mesh, x, y)
         n_data = self.mesh.devices.shape[0]
-        if x.shape[0] % n_data == 0:
+        lead = jax.tree.leaves(x)[0]
+        if lead.shape[0] % n_data == 0:
             sharding = batch_sharding(self.mesh)
             return jax.device_put(x, sharding), jax.device_put(y, sharding)
         return replicate(x, self.mesh), replicate(y, self.mesh)
@@ -328,7 +348,9 @@ class Experiment:
         start = time.time()
         losses, accs, rates = [], [], []
 
-        for x, _, y in self.train_loader:
+        for x, xlens, y in self.train_loader:
+            if self.frontend == "device":
+                x = (x, xlens.astype(np.int32))
             x, y = self._put_batch(x, y)
             self.state, metrics = self._train_step(self.state, x, y)
             losses.append(metrics["loss"])
@@ -355,7 +377,9 @@ class Experiment:
 
     def _eval_epoch(self, loader):
         losses, accs, rates = [], [], []
-        for x, _, y in loader:
+        for x, xlens, y in loader:
+            if self.frontend == "device":
+                x = (x, xlens.astype(np.int32))
             x, y = self._put_batch(x, y)
             self._eval_rng, step_rng = jax.random.split(self._eval_rng)
             metrics = self._eval_step(self.state, x, y, step_rng)

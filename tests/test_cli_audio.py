@@ -61,3 +61,70 @@ def test_sc_training_run_with_augmentation(sc_folder, tmp_path):
     )
     assert 0.0 <= e.test_acc <= 1.0
     assert e.nb_outputs == 35  # sc class count is fixed by the reference
+
+
+def test_sc_training_run_device_frontend(sc_folder, tmp_path):
+    """--frontend device: raw waveforms ship to the step, fbank runs
+    inside the compiled program (masked back to the host path's
+    zero-padded-features semantics)."""
+    e = run_exp.main(
+        [
+            "--dataset_name", "sc",
+            "--data_folder", sc_folder,
+            "--new_exp_folder", str(tmp_path / "exp_sc_dev"),
+            "--model_type", "LIF",
+            "--nb_layers", "2",
+            "--nb_hiddens", "16",
+            "--batch_size", "4",
+            "--nb_epochs", "1",
+            "--state_init", "zeros",
+            "--pdrop", "0.0",
+            "--pad_multiple", "20",
+            "--frontend", "device",
+        ]
+    )
+    assert 0.0 <= e.test_acc <= 1.0
+
+
+def test_device_frontend_matches_host_pipeline(sc_folder):
+    """Same model applied via the host fbank pipeline and the on-device
+    frontend produces matching logits (fbank twins agree to float
+    tolerance; padded frames are masked identically)."""
+    import jax
+    import numpy as np
+
+    from sparch_tpu.data.audio import load_hd_or_sc
+    from sparch_tpu.models import build_model
+    from sparch_tpu.models.frontend import FbankFrontend
+
+    kw = dict(
+        dataset_name="sc", data_folder=sc_folder, batch_size=4,
+        shuffle=False, pad_multiple=20,
+    )
+    host_batch = next(iter(load_hd_or_sc(split="valid", **kw)))
+    dev_batch = next(iter(
+        load_hd_or_sc(split="valid", frontend="device", **kw)
+    ))
+    x_host, xlens_h, y_h = host_batch
+    x_wave, xlens_d, y_d = dev_batch
+    np.testing.assert_array_equal(xlens_h, xlens_d)
+    np.testing.assert_array_equal(y_h, y_d)
+    assert x_wave.ndim == 2 and x_host.ndim == 3
+    assert x_host.shape[1] == 1 + (x_wave.shape[1] - 400) // 160
+
+    inner = build_model(
+        "LIF", (4, x_host.shape[1], 40), [16, 35],
+        dropout=0.0, normalization="batchnorm", state_init="zeros",
+    )
+    variables = inner.init({"params": jax.random.PRNGKey(0)}, x_host)
+    out_host, _ = inner.apply(variables, x_host, train=False)
+
+    wrapped = FbankFrontend(inner=inner)
+    wrapped_vars = {"params": {"inner": variables["params"]},
+                    "batch_stats": {"inner": variables["batch_stats"]}}
+    out_dev, _ = wrapped.apply(
+        wrapped_vars, (x_wave, xlens_d.astype(np.int32)), train=False
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_dev), np.asarray(out_host), atol=2e-2, rtol=1e-3
+    )
