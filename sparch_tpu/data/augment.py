@@ -57,36 +57,60 @@ _ALLPASS_LENGTHS = (225, 341, 441, 556)
 _STEREO_ADJUST = 12
 
 
+def _filter_delays(sr, scale, offset):
+    """sox filter_array_create's delay lengths: combs scale with the room,
+    allpasses with the rate only; the channel offset (+-12 samples)
+    alternates sign per filter in CREATION order."""
+    r = sr / 44100.0
+    off = offset
+    combs = []
+    for L in _COMB_LENGTHS:
+        combs.append(int(L * r * scale + _STEREO_ADJUST * off + 0.5))
+        off = -off
+    aps = []
+    for L in _ALLPASS_LENGTHS:
+        aps.append(int(L * r + _STEREO_ADJUST * off + 0.5))
+        off = -off
+    # sox's filter_array_process walks the allpass array from the LAST
+    # element down — series allpasses don't commute, so preserve it
+    return combs, aps[::-1]
+
+
 def _freeverb_channel(x64, sr, scale, offset, feedback, damp):
     """One Freeverb channel: 8 parallel damped combs + 4 series allpasses.
 
-    Comb with delay D, feedback f, damping d obeys
+    Hot path: the native C++ kernel (native/freeverb.cpp, O(N) per
+    filter). Fallback: exact IIR forms via scipy.signal.lfilter — the
+    comb obeys
         w[n] = x[n] + f*store[n],  store[n] = (1-d)*w[n-D] + d*store[n-1],
         out[n] = w[n-D]
-    => transfer  out/x = z^-D (1 - d z^-1) / (1 - d z^-1 - f(1-d) z^-D).
-    Allpass with delay D and gain .5:
-        w[n] = x[n] + .5 w[n-D],  out[n] = w[n-D] - x[n]
-    => transfer  (1.5 z^-D - 1) / (1 - .5 z^-D).
-    Both evaluated exactly with scipy.signal.lfilter (zero initial state,
-    matching sox's fresh buffers per file).
+    => transfer  out/x = z^-D (1 - d z^-1) / (1 - d z^-1 - f(1-d) z^-D),
+    the allpass  (1.5 z^-D - 1) / (1 - .5 z^-D). NOTE the fallback's dense
+    coefficient vectors make lfilter O(N*D) — ~250 ms per 1 s utterance
+    vs ~0.5 ms native; it exists for toolchain-free environments and as
+    the test oracle's independent formulation.
     """
+    combs, aps = _filter_delays(sr, scale, offset)
+
+    from sparch_tpu.data.native import freeverb_channel
+
+    native = freeverb_channel(
+        x64, np.asarray(combs), np.asarray(aps), feedback, damp
+    )
+    if native is not None:
+        return native
+
     from scipy.signal import lfilter
 
-    r = sr / 44100.0
     wet = np.zeros_like(x64)
-    off = offset
-    for L in _COMB_LENGTHS:
-        D = int(L * r * scale + _STEREO_ADJUST * off + 0.5)
-        off = -off
+    for D in combs:
         b = np.zeros(D + 2)
         b[D], b[D + 1] = 1.0, -damp
         a = np.zeros(D + 1)
         a[0], a[1] = 1.0, -damp
         a[D] += -feedback * (1.0 - damp)
         wet += lfilter(b, a, x64)
-    for L in _ALLPASS_LENGTHS:
-        D = int(L * r + _STEREO_ADJUST * off + 0.5)
-        off = -off
+    for D in aps:
         b = np.zeros(D + 1)
         b[0], b[D] = -1.0, 1.5
         a = np.zeros(D + 1)

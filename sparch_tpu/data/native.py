@@ -18,7 +18,12 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["bin_events", "native_available"]
+__all__ = [
+    "bin_events",
+    "native_available",
+    "freeverb_channel",
+    "freeverb_available",
+]
 
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _SRC = os.path.join(_REPO_ROOT, "native", "binning.cpp")
@@ -69,6 +74,86 @@ def _load() -> Optional[ctypes.CDLL]:
 
 def native_available() -> bool:
     return _load() is not None
+
+
+# ---------------------------------------------------------------------------
+# Freeverb (sox reverb core) — host-side hot loop of audio augmentation
+# ---------------------------------------------------------------------------
+
+_FV_SRC = os.path.join(_REPO_ROOT, "native", "freeverb.cpp")
+_FV_LIB = os.path.join(_REPO_ROOT, "native", "libsparch_freeverb.so")
+_fv_lib: Optional[ctypes.CDLL] = None
+_fv_tried = False
+
+
+def _load_freeverb() -> Optional[ctypes.CDLL]:
+    global _fv_lib, _fv_tried
+    with _lock:
+        if _fv_tried:
+            return _fv_lib
+        _fv_tried = True
+        try:
+            if not os.path.exists(_FV_LIB) or (
+                os.path.exists(_FV_SRC)
+                and os.path.getmtime(_FV_SRC) > os.path.getmtime(_FV_LIB)
+            ):
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-o", _FV_LIB, _FV_SRC],
+                    check=True,
+                    capture_output=True,
+                )
+            lib = ctypes.CDLL(_FV_LIB)
+            lib.freeverb_channel.argtypes = [
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int64,
+                ctypes.c_double,
+                ctypes.c_double,
+                ctypes.POINTER(ctypes.c_double),
+            ]
+            lib.freeverb_channel.restype = None
+            _fv_lib = lib
+        except Exception as e:  # pragma: no cover - toolchain-dependent
+            logger.info(f"native freeverb unavailable, using SciPy: {e}")
+            _fv_lib = None
+        return _fv_lib
+
+
+def freeverb_available() -> bool:
+    return _load_freeverb() is not None
+
+
+def freeverb_channel(
+    x: np.ndarray,
+    comb_lens: np.ndarray,
+    ap_lens: np.ndarray,
+    feedback: float,
+    damp: float,
+) -> Optional[np.ndarray]:
+    """One Freeverb channel via the native kernel; None when the toolchain
+    is unavailable (caller falls back to the SciPy formulation)."""
+    lib = _load_freeverb()
+    if lib is None:
+        return None
+    x = np.ascontiguousarray(x, np.float64)
+    comb_lens = np.ascontiguousarray(comb_lens, np.int64)
+    ap_lens = np.ascontiguousarray(ap_lens, np.int64)
+    out = np.empty_like(x)
+    lib.freeverb_channel(
+        x.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_int64(len(x)),
+        comb_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(len(comb_lens)),
+        ap_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(len(ap_lens)),
+        ctypes.c_double(feedback),
+        ctypes.c_double(damp),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return out
 
 
 def _bin_events_np(

@@ -78,22 +78,67 @@ def test_allpass_lfilter_matches_recursion():
 
 def test_freeverb_channel_matches_filter_array_recursion():
     """Full channel vs a direct recursion of sox's filter_array_process
-    (8 parallel combs summed, then 4 allpasses in series, longest first)."""
+    (8 parallel combs summed, then the allpasses in series, walked from
+    the last created filter down like sox does)."""
+    from sparch_tpu.data.augment import _filter_delays
+
     rng = np.random.default_rng(2)
     x = rng.normal(size=600)
     sr, scale, offset, feedback, damp = 16000, 0.55, 1.0, 0.9, 0.29
-    r = sr / 44100.0
+    combs, aps = _filter_delays(sr, scale, offset)
     want = np.zeros_like(x)
-    off = offset
-    for L in _COMB_LENGTHS:
-        D = int(L * r * scale + _STEREO_ADJUST * off + 0.5)
-        off = -off
+    for D in combs:
         want = want + _comb_loop(x, D, feedback, damp)
-    for L in _ALLPASS_LENGTHS:
-        D = int(L * r + _STEREO_ADJUST * off + 0.5)
-        off = -off
+    for D in aps:
         want = _allpass_loop(want, D)
     got = _freeverb_channel(x, sr, scale, offset, feedback, damp)
+    np.testing.assert_allclose(got, want, atol=1e-9)
+
+
+def test_filter_delays_sox_mapping():
+    from sparch_tpu.data.augment import _filter_delays
+
+    combs, aps = _filter_delays(44100, 1.0, 0.0)
+    assert combs == list(_COMB_LENGTHS)
+    assert aps == list(_ALLPASS_LENGTHS)[::-1]  # applied longest-first
+    combs_r, aps_r = _filter_delays(44100, 1.0, 1.0)
+    # channel offset alternates sign per filter in creation order
+    assert combs_r == [
+        L + _STEREO_ADJUST * (1 if i % 2 == 0 else -1)
+        for i, L in enumerate(_COMB_LENGTHS)
+    ]
+
+
+def test_native_freeverb_matches_scipy():
+    """The C++ kernel and the lfilter formulation agree exactly."""
+    from scipy.signal import lfilter
+
+    from sparch_tpu.data import native as natmod
+    from sparch_tpu.data.augment import _filter_delays
+
+    if not natmod.freeverb_available():
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(5)
+    x = rng.normal(size=2000)
+    combs, aps = _filter_delays(16000, 0.7, 1.0)
+    feedback, damp = 0.93, 0.41
+    got = natmod.freeverb_channel(
+        x, np.asarray(combs), np.asarray(aps), feedback, damp
+    )
+    want = np.zeros_like(x)
+    for D in combs:
+        b = np.zeros(D + 2)
+        b[D], b[D + 1] = 1.0, -damp
+        a = np.zeros(D + 1)
+        a[0], a[1] = 1.0, -damp
+        a[D] += -feedback * (1.0 - damp)
+        want += lfilter(b, a, x)
+    for D in aps:
+        b = np.zeros(D + 1)
+        b[0], b[D] = -1.0, 1.5
+        a = np.zeros(D + 1)
+        a[0], a[D] = 1.0, -0.5
+        want = lfilter(b, a, want)
     np.testing.assert_allclose(got, want, atol=1e-9)
 
 

@@ -53,11 +53,11 @@ def make_sc_tree(root, n=N_UTT, labels=("go", "stop", "left", "right")):
         f.write("\n".join(test) + "\n")
 
 
-def bench(root, workers):
+def bench(root, workers, frontend="host"):
     loader = load_hd_or_sc(
         "sc", root, "train", batch_size=B, shuffle=True, use_augm=True,
         min_snr=1e-4, max_snr=0.9, p_noise=0.1, workers=workers,
-        pad_multiple=100,
+        pad_multiple=100, frontend=frontend,
     )
     try:
         # warm epoch (pool startup, fbank table caches)
@@ -78,13 +78,14 @@ def main():
     with tempfile.TemporaryDirectory() as root:
         print(f"generating {N_UTT} 1 s clips...", flush=True)
         make_sc_tree(root)
-        for workers in (0, 2, 4, 8, 16):
-            rate = bench(root, workers)
-            print(
-                f"workers={workers:2d}: {rate:8.0f} utt/s "
-                f"({rate / B:6.1f} batches/s)",
-                flush=True,
-            )
+        for frontend in ("host", "device"):
+            for workers in (0, 2, 4, 8, 16):
+                rate = bench(root, workers, frontend)
+                print(
+                    f"frontend={frontend:6s} workers={workers:2d}: "
+                    f"{rate:8.0f} utt/s ({rate / B:6.1f} batches/s)",
+                    flush=True,
+                )
 
 
 if __name__ == "__main__":
