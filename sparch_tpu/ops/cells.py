@@ -385,5 +385,8 @@ def gru_scan(
 def cumulative_softmax(x: jax.Array) -> jax.Array:
     """ANN readout time-collapse: sum_t softmax(x_t) — no recurrence, so it
     runs fully parallel over time on the VPU (reference anns.py:658-665 uses
-    a Python loop; the sum is order-independent)."""
-    return jnp.sum(jax.nn.softmax(x, axis=-1), axis=1)
+    a Python loop; the sum is order-independent). Accumulates in f32: the
+    fused ANN cells emit bf16 streams in the bf16-MXU mode, and a bf16 sum
+    over T softmaxes loses ~1e-2."""
+    x32 = x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x
+    return jnp.sum(jax.nn.softmax(x32, axis=-1), axis=1).astype(x32.dtype)

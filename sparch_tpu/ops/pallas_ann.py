@@ -188,6 +188,10 @@ def _ann_forward(wxs, vs, y0, *, mode, save_residuals, mxu_bf16):
     m = _MODES[mode]
     B, T, H = wxs[0].shape
     dtype = jnp.float32
+    # bf16 output/gate residual streams in the bf16-MXU mode: y and the
+    # gates are sigmoid/tanh/relu-bounded, so the rounding is a uniform
+    # ~4e-3 relative noise on already-bf16 recurrent products
+    rdt = jnp.bfloat16 if mxu_bf16 else dtype
     Hp = _round_up(H, _LANE)
     Bp = _round_up(B, _SUBLANE)
     tc = _pick_tc(T)
@@ -222,12 +226,12 @@ def _ann_forward(wxs, vs, y0, *, mode, save_residuals, mxu_bf16):
     if save_residuals:
         out_specs = (tm_spec,) * (1 + n_gates) + (bnd_spec,)
         out_shape = tuple(
-            [jax.ShapeDtypeStruct((T, Bp, Hp), dtype)] * (1 + n_gates)
+            [jax.ShapeDtypeStruct((T, Bp, Hp), rdt)] * (1 + n_gates)
             + [jax.ShapeDtypeStruct((Bp, n_chunks * Hp), dtype)]
         )
     else:
         out_specs = (tm_spec,)
-        out_shape = (jax.ShapeDtypeStruct((T, Bp, Hp), dtype),)
+        out_shape = (jax.ShapeDtypeStruct((T, Bp, Hp), rdt),)
 
     n_carry = 1 if mode == "rnn" else 2
     outs = pl.pallas_call(
@@ -294,9 +298,13 @@ def _ann_bwd_kernel(*refs, tc, T, mode, mxu_bf16):
 
     for k in range(tc - 1, -1, -1):
         g_t = g_ref[k, :, :].astype(jnp.float32)
-        y_t = y_ref[k, :, :]
-        y_p = y_ref[k - 1, :, :] if k > 0 else yb_ref[:, :]
-        gates = [gr[k, :, :] for gr in gate_refs]
+        y_t = y_ref[k, :, :].astype(jnp.float32)
+        y_p = (
+            y_ref[k - 1, :, :].astype(jnp.float32)
+            if k > 0
+            else yb_ref[:, :]
+        )
+        gates = [gr[k, :, :].astype(jnp.float32) for gr in gate_refs]
         if k >= tail_len:
             live = kc != 0
             g_t = jnp.where(live, g_t, 0.0)
@@ -359,13 +367,14 @@ def _ann_backward(g, residuals, vs, *, mode, mxu_bf16):
     yb = residuals[-1]
     B, T, H = g.shape
     dtype = jnp.float32
+    sdt = jnp.bfloat16 if mxu_bf16 else dtype  # g/dWx stream dtype
     _, Bp, Hp = y_seq.shape
     tc = _pick_tc(T)
     bt = _tile_plan(Bp, Hp, streams=2 * m["n_wx"] + 2, tc=tc)
     n_chunks = (T + tc - 1) // tc
 
     g_p = jnp.swapaxes(
-        jnp.pad(g.astype(dtype), ((0, Bp - B), (0, 0), (0, Hp - H))), 0, 1
+        jnp.pad(g.astype(sdt), ((0, Bp - B), (0, 0), (0, Hp - H))), 0, 1
     )
     vs_p = [jnp.pad(v.astype(dtype), ((0, Hp - H), (0, Hp - H))) for v in vs]
 
@@ -398,7 +407,7 @@ def _ann_backward(g, residuals, vs, *, mode, mxu_bf16):
         ),
         out_shape=(
             tuple(
-                jax.ShapeDtypeStruct((T, Bp, Hp), dtype)
+                jax.ShapeDtypeStruct((T, Bp, Hp), sdt)
                 for _ in range(m["n_wx"])
             )
             + tuple(
