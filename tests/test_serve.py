@@ -67,9 +67,28 @@ def test_streaming_rejects_bidirectional():
         streaming_init(model, variables, batch_size=B)
 
 
-def test_streaming_rejects_ann():
-    model = build_model("GRU", (B, T, F), [16, C])
-    x = jnp.zeros((B, T, F))
-    variables = model.init({"params": jax.random.PRNGKey(0)}, x)
-    with pytest.raises(ValueError, match="SNN"):
-        streaming_init(model, variables, batch_size=B)
+@pytest.mark.parametrize("ann_type", ["MLP", "RNN", "LiGRU", "GRU"])
+@pytest.mark.parametrize("normalization", ["batchnorm", "none"])
+def test_ann_streaming_matches_batch(ann_type, normalization):
+    model = build_model(
+        ann_type, (B, T, F), [16, C], dropout=0.0,
+        normalization=normalization, cell_impl="scan",
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, F))
+    variables = model.init({"params": jax.random.PRNGKey(1)}, x)
+    _, mut = model.apply(
+        variables, x * 2.0, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(2)},
+    )
+    variables = {**variables, **mut}
+    out_batch, _ = model.apply(variables, x, train=False)
+
+    state = streaming_init(model, variables, batch_size=B)
+    step = jax.jit(lambda s, xt: streaming_step(model, variables, s, xt))
+    out = None
+    for t in range(T):
+        state, out = step(state, x[:, t, :])
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(out_batch), atol=2e-4,
+        err_msg=f"{ann_type}/{normalization}",
+    )
