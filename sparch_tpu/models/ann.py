@@ -79,6 +79,32 @@ class _ANNLayerBase(nn.Module):
         return SeqNorm(self.normalization, use_running_average=not train,
                        axis_name=self.bn_axis_name, name=f"norm_{name}")(Wx)
 
+    def _gate_projections(self, x, train, names):
+        """Per-gate projections for the fused path: returns
+        ``(wxs, scales, shifts)`` with batchnorm folded to a per-gate
+        affine the kernel applies on load (same trick as the SNN layers;
+        the stats still come from the raw f32 projection output), or
+        ``(normalized wxs, None, None)`` when folding isn't possible
+        (layernorm / scan path)."""
+        fold = self._use_pallas() and self.normalization != "layernorm"
+        if not fold:
+            return [self._proj(x, train, n) for n in names], None, None
+        from sparch_tpu.models.common import SeqNormAffine
+
+        wxs, scales, shifts = [], [], []
+        for n in names:
+            Wx = Dense(self.hidden_size, use_bias=self.use_bias,
+                       dtype=self.compute_dtype, name=n)(x)
+            sc, sh = SeqNormAffine(
+                self.normalization, use_running_average=not train,
+                axis_name=self.bn_axis_name, name=f"norm_{n}")(Wx)
+            wxs.append(Wx)
+            scales.append(sc)
+            shifts.append(sh)
+        if scales[0] is None:  # 'none': nothing to fold
+            return wxs, None, None
+        return wxs, scales, shifts
+
     def _post(self, y, train):
         if self.bidirectional:
             y = bidir_split(y)
@@ -111,15 +137,18 @@ class RNNLayer(_ANNLayerBase):
     def __call__(self, x, train: bool = False):
         if self.bidirectional:
             x = bidir_concat(x)
-        Wx = self._proj(x, train, "W")
-        y0 = jnp.zeros((Wx.shape[0], Wx.shape[2]), Wx.dtype)
         if self._use_pallas():
             from sparch_tpu.ops import pallas_ann
 
+            (Wx,), scales, shifts = self._gate_projections(x, train, ["W"])
+            y0 = jnp.zeros((Wx.shape[0], Wx.shape[2]), jnp.float32)
             y = pallas_ann.rnn_pallas(
-                Wx, self._V(), y0, mxu_bf16=self._mxu_bf16()
+                Wx, self._V(), y0, mxu_bf16=self._mxu_bf16(),
+                scales=scales, shifts=shifts,
             )
         else:
+            Wx = self._proj(x, train, "W")
+            y0 = jnp.zeros((Wx.shape[0], Wx.shape[2]), Wx.dtype)
             y = cells.rnn_scan(Wx, self._V(), y0)
         return self._post(y, train)
 
@@ -133,17 +162,21 @@ class LiGRULayer(_ANNLayerBase):
     def __call__(self, x, train: bool = False):
         if self.bidirectional:
             x = bidir_concat(x)
-        Wx = self._proj(x, train, "W")
-        Wzx = self._proj(x, train, "Wz")
-        y0 = jnp.zeros((Wx.shape[0], Wx.shape[2]), Wx.dtype)
         if self._use_pallas():
             from sparch_tpu.ops import pallas_ann
 
+            (Wx, Wzx), scales, shifts = self._gate_projections(
+                x, train, ["W", "Wz"]
+            )
+            y0 = jnp.zeros((Wx.shape[0], Wx.shape[2]), jnp.float32)
             y = pallas_ann.ligru_pallas(
                 Wx, Wzx, self._V("V"), self._V("Vz"), y0,
-                mxu_bf16=self._mxu_bf16(),
+                mxu_bf16=self._mxu_bf16(), scales=scales, shifts=shifts,
             )
         else:
+            Wx = self._proj(x, train, "W")
+            Wzx = self._proj(x, train, "Wz")
+            y0 = jnp.zeros((Wx.shape[0], Wx.shape[2]), Wx.dtype)
             y = cells.ligru_scan(Wx, Wzx, self._V("V"), self._V("Vz"), y0)
         return self._post(y, train)
 
@@ -155,19 +188,23 @@ class GRULayer(_ANNLayerBase):
     def __call__(self, x, train: bool = False):
         if self.bidirectional:
             x = bidir_concat(x)
-        Wx = self._proj(x, train, "W")
-        Wzx = self._proj(x, train, "Wz")
-        Wrx = self._proj(x, train, "Wr")
-        y0 = jnp.zeros((Wx.shape[0], Wx.shape[2]), Wx.dtype)
         if self._use_pallas():
             from sparch_tpu.ops import pallas_ann
 
+            (Wx, Wzx, Wrx), scales, shifts = self._gate_projections(
+                x, train, ["W", "Wz", "Wr"]
+            )
+            y0 = jnp.zeros((Wx.shape[0], Wx.shape[2]), jnp.float32)
             y = pallas_ann.gru_pallas(
                 Wx, Wzx, Wrx,
                 self._V("V"), self._V("Vz"), self._V("Vr"), y0,
-                mxu_bf16=self._mxu_bf16(),
+                mxu_bf16=self._mxu_bf16(), scales=scales, shifts=shifts,
             )
         else:
+            Wx = self._proj(x, train, "W")
+            Wzx = self._proj(x, train, "Wz")
+            Wrx = self._proj(x, train, "Wr")
+            y0 = jnp.zeros((Wx.shape[0], Wx.shape[2]), Wx.dtype)
             y = cells.gru_scan(
                 Wx, Wzx, Wrx, self._V("V"), self._V("Vz"), self._V("Vr"), y0
             )

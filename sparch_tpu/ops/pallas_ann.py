@@ -55,6 +55,7 @@ from jax.experimental.pallas import tpu as pltpu
 from sparch_tpu.ops.pallas_cells import (
     _compiler_params,
     _interpret,
+    _mxu_colsum,
     _pick_tc,
     _round_up,
     _tile_plan,
@@ -106,11 +107,17 @@ def _outer_acc(a, b, mxu_bf16):
 # ---------------------------------------------------------------------------
 
 
-def _ann_fwd_kernel(*refs, tc, T, mode, save_residuals, mxu_bf16):
+def _ann_fwd_kernel(*refs, tc, T, mode, affine, save_residuals, mxu_bf16):
     m = _MODES[mode]
     refs = list(refs)
     wx_refs = refs[: m["n_wx"]]
     del refs[: m["n_wx"]]
+    scale_refs = shift_refs = None
+    if affine:
+        scale_refs = refs[: m["n_wx"]]
+        del refs[: m["n_wx"]]
+        shift_refs = refs[: m["n_wx"]]
+        del refs[: m["n_wx"]]
     v_refs = refs[: m["n_v"]]
     del refs[: m["n_v"]]
     y0_ref = refs.pop(0)
@@ -152,23 +159,31 @@ def _ann_fwd_kernel(*refs, tc, T, mode, save_residuals, mxu_bf16):
     if save_residuals:
         yb_out_ref[:, :] = y
 
+    def drive(i, k):
+        """Gate i's input drive at step k, with the normalization affine
+        applied on load (see the SNN kernels' fold)."""
+        d = wx_refs[i][k, :, :]
+        if affine:
+            d = scale_refs[i][0, :] * d + shift_refs[i][0, :]
+        return d
+
     for k in range(tc):
         if mode == "rnn":
-            y = jax.nn.sigmoid(wx_refs[0][k, :, :] + carries[0])
+            y = jax.nn.sigmoid(drive(0, k) + carries[0])
             carries[0] = _dot(y, v_mats[0], mxu_bf16)
             gate_vals = ()
         elif mode == "ligru":
-            z = jax.nn.sigmoid(wx_refs[1][k, :, :] + carries[1])
-            c = jax.nn.relu(wx_refs[0][k, :, :] + carries[0])
+            z = jax.nn.sigmoid(drive(1, k) + carries[1])
+            c = jax.nn.relu(drive(0, k) + carries[0])
             y = z * y + (1.0 - z) * c
             carries[0] = _dot(y, v_mats[0], mxu_bf16)
             carries[1] = _dot(y, v_mats[1], mxu_bf16)
             gate_vals = (z, c)
         else:  # gru
-            z = jax.nn.sigmoid(wx_refs[1][k, :, :] + carries[0])
-            r = jax.nn.sigmoid(wx_refs[2][k, :, :] + carries[1])
+            z = jax.nn.sigmoid(drive(1, k) + carries[0])
+            r = jax.nn.sigmoid(drive(2, k) + carries[1])
             c = jnp.tanh(
-                wx_refs[0][k, :, :] + _dot(r * y, v_mats[0], mxu_bf16)
+                drive(0, k) + _dot(r * y, v_mats[0], mxu_bf16)
             )
             y = z * y + (1.0 - z) * c
             carries[0] = _dot(y, v_mats[1], mxu_bf16)
@@ -184,8 +199,10 @@ def _ann_fwd_kernel(*refs, tc, T, mode, save_residuals, mxu_bf16):
         scr[:, :] = val
 
 
-def _ann_forward(wxs, vs, y0, *, mode, save_residuals, mxu_bf16):
+def _ann_forward(wxs, scales, shifts, vs, y0, *, mode, save_residuals,
+                 mxu_bf16):
     m = _MODES[mode]
+    affine = scales is not None
     B, T, H = wxs[0].shape
     dtype = jnp.float32
     # bf16 output/gate residual streams in the bf16-MXU mode: y and the
@@ -199,18 +216,22 @@ def _ann_forward(wxs, vs, y0, *, mode, save_residuals, mxu_bf16):
     n_chunks = (T + tc - 1) // tc
 
     def pad_stream(x):
+        # Wx keeps its incoming dtype (the layers do not cast it)
         return jnp.swapaxes(
-            jnp.pad(x.astype(dtype), ((0, Bp - B), (0, 0), (0, Hp - H))),
-            0, 1,
+            jnp.pad(x, ((0, Bp - B), (0, 0), (0, Hp - H))), 0, 1
         )
 
+    pad_h = lambda p: jnp.pad(p.astype(dtype), (0, Hp - H))[None, :]  # noqa: E731
     wxs_p = [pad_stream(w) for w in wxs]
+    aff_ops = []
+    if affine:
+        aff_ops = [pad_h(s) for s in scales] + [pad_h(s) for s in shifts]
     vs_p = [jnp.pad(v.astype(dtype), ((0, Hp - H), (0, Hp - H))) for v in vs]
     y0_p = jnp.pad(y0.astype(dtype), ((0, Bp - B), (0, Hp - H)))
 
     grid = (Bp // bt, n_chunks)
     kernel = functools.partial(
-        _ann_fwd_kernel, tc=tc, T=T, mode=mode,
+        _ann_fwd_kernel, tc=tc, T=T, mode=mode, affine=affine,
         save_residuals=save_residuals, mxu_bf16=mxu_bf16,
     )
     bh = lambda i, t: (i, 0)  # noqa: E731
@@ -218,6 +239,7 @@ def _ann_forward(wxs, vs, y0, *, mode, save_residuals, mxu_bf16):
     bnd_map = lambda i, t: (i, t)  # noqa: E731
     rep2 = lambda i, t: (0, 0)  # noqa: E731
     tm_spec = pl.BlockSpec((tc, bt, Hp), tbh, memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, Hp), rep2, memory_space=pltpu.VMEM)
     mat_spec = pl.BlockSpec((Hp, Hp), rep2, memory_space=pltpu.VMEM)
     state_spec = pl.BlockSpec((bt, Hp), bh, memory_space=pltpu.VMEM)
     bnd_spec = pl.BlockSpec((bt, Hp), bnd_map, memory_space=pltpu.VMEM)
@@ -237,13 +259,18 @@ def _ann_forward(wxs, vs, y0, *, mode, save_residuals, mxu_bf16):
     outs = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[tm_spec] * m["n_wx"] + [mat_spec] * m["n_v"] + [state_spec],
+        in_specs=(
+            [tm_spec] * m["n_wx"]
+            + [vec_spec] * (2 * m["n_wx"] if affine else 0)
+            + [mat_spec] * m["n_v"]
+            + [state_spec]
+        ),
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((bt, Hp), jnp.float32)] * (1 + n_carry),
         interpret=_interpret(),
         compiler_params=_compiler_params(),
-    )(*wxs_p, *vs_p, y0_p)
+    )(*wxs_p, *aff_ops, *vs_p, y0_p)
 
     y_seq = outs[0]
     y_logical = jnp.swapaxes(y_seq[:, :B, :H], 0, 1)
@@ -258,21 +285,34 @@ def _ann_forward(wxs, vs, y0, *, mode, save_residuals, mxu_bf16):
 # ---------------------------------------------------------------------------
 
 
-def _ann_bwd_kernel(*refs, tc, T, mode, mxu_bf16):
+def _ann_bwd_kernel(*refs, tc, T, mode, affine, mxu_bf16):
     m = _MODES[mode]
     n_gates = len(m["gates"])
+    n_wx = m["n_wx"]
     refs = list(refs)
     g_ref = refs.pop(0)
     y_ref = refs.pop(0)
     gate_refs = refs[:n_gates]
     del refs[:n_gates]
     yb_ref = refs.pop(0)
+    wx_refs = scale_refs = None
+    if affine:
+        wx_refs = refs[:n_wx]  # raw per-gate projection streams
+        del refs[:n_wx]
+        scale_refs = refs[:n_wx]
+        del refs[:n_wx]
     v_refs = refs[: m["n_v"]]
     del refs[: m["n_v"]]
-    dwx_refs = refs[: m["n_wx"]]
-    del refs[: m["n_wx"]]
+    dwx_refs = refs[:n_wx]
+    del refs[:n_wx]
     dv_refs = refs[: m["n_v"]]
     del refs[: m["n_v"]]
+    dsc_refs = dsh_refs = ()
+    if affine:
+        dsc_refs = refs[:n_wx]
+        del refs[:n_wx]
+        dsh_refs = refs[:n_wx]
+        del refs[:n_wx]
     dy0_ref = refs.pop(0)
     D_scr = refs.pop(0)  # carried adjoint dL/dy_{t} contribution from t+1
 
@@ -291,10 +331,31 @@ def _ann_bwd_kernel(*refs, tc, T, mode, mxu_bf16):
     def _init_acc():
         for dv_ref in dv_refs:
             dv_ref[:, :] = jnp.zeros_like(dv_ref)
+        for ref in (*dsc_refs, *dsh_refs):
+            ref[:, :] = jnp.zeros_like(ref)
 
     v_mats = [v_ref[:, :] for v_ref in v_refs]
     dv_accs = [jnp.zeros_like(dv_ref) for dv_ref in dv_refs]
     D = D_scr[:, :]
+    ones_row = jnp.ones((1, D.shape[0]), jnp.float32)
+    dsc_accs = [jnp.zeros((1, D.shape[1]), jnp.float32) for _ in dsc_refs]
+    dsh_accs = [jnp.zeros((1, D.shape[1]), jnp.float32) for _ in dsh_refs]
+
+    def emit_dwx(i, k, dpre):
+        """Write gate i's drive cotangent; on the affine path also fold the
+        scale into dWx and accumulate dscale/dshift (MXU reductions, as in
+        the SNN backward)."""
+        if affine:
+            wx_t = wx_refs[i][k, :, :]
+            if k >= tail_len:
+                wx_t = jnp.where(kc != 0, wx_t, 0.0)
+            dsc_accs[i] = dsc_accs[i] + _mxu_colsum(ones_row, dpre * wx_t)
+            dsh_accs[i] = dsh_accs[i] + _mxu_colsum(ones_row, dpre)
+            dwx_refs[i][k, :, :] = (dpre * scale_refs[i][0, :]).astype(
+                dwx_refs[i].dtype
+            )
+        else:
+            dwx_refs[i][k, :, :] = dpre.astype(dwx_refs[i].dtype)
 
     for k in range(tc - 1, -1, -1):
         g_t = g_ref[k, :, :].astype(jnp.float32)
@@ -318,7 +379,7 @@ def _ann_bwd_kernel(*refs, tc, T, mode, mxu_bf16):
             # next step's adjoint product, issued immediately (carried)
             D = _dotT(dpre, v_mats[0], mxu_bf16)
             dv_accs[0] = dv_accs[0] + _outer_acc(y_p, dpre, mxu_bf16)
-            dwx_refs[0][k, :, :] = dpre.astype(dwx_refs[0].dtype)
+            emit_dwx(0, k, dpre)
         elif mode == "ligru":
             z, c = gates
             dcpre = jnp.where(c > 0, G * (1.0 - z), 0.0)
@@ -329,8 +390,8 @@ def _ann_bwd_kernel(*refs, tc, T, mode, mxu_bf16):
             P2 = _dotT(dzpre, v_mats[1], mxu_bf16)
             dv_accs[0] = dv_accs[0] + _outer_acc(y_p, dcpre, mxu_bf16)
             dv_accs[1] = dv_accs[1] + _outer_acc(y_p, dzpre, mxu_bf16)
-            dwx_refs[0][k, :, :] = dcpre.astype(dwx_refs[0].dtype)
-            dwx_refs[1][k, :, :] = dzpre.astype(dwx_refs[1].dtype)
+            emit_dwx(0, k, dcpre)
+            emit_dwx(1, k, dzpre)
             D = G * z + P1 + P2
         else:  # gru
             z, r, c = gates
@@ -345,23 +406,27 @@ def _ann_bwd_kernel(*refs, tc, T, mode, mxu_bf16):
             dv_accs[0] = dv_accs[0] + _outer_acc(r * y_p, dcpre, mxu_bf16)
             dv_accs[1] = dv_accs[1] + _outer_acc(y_p, dzpre, mxu_bf16)
             dv_accs[2] = dv_accs[2] + _outer_acc(y_p, drpre, mxu_bf16)
-            dwx_refs[0][k, :, :] = dcpre.astype(dwx_refs[0].dtype)
-            dwx_refs[1][k, :, :] = dzpre.astype(dwx_refs[1].dtype)
-            dwx_refs[2][k, :, :] = drpre.astype(dwx_refs[2].dtype)
+            emit_dwx(0, k, dcpre)
+            emit_dwx(1, k, dzpre)
+            emit_dwx(2, k, drpre)
             D = G * z + dry * r + P1 + P2
 
     D_scr[:, :] = D
     for dv_ref, acc in zip(dv_refs, dv_accs):
         dv_ref[:, :] += acc
+    for ref, acc in zip((*dsc_refs, *dsh_refs), (*dsc_accs, *dsh_accs)):
+        ref[:, :] += acc
 
     @pl.when(last)
     def _dy0():
         dy0_ref[:, :] = D_scr[:, :]
 
 
-def _ann_backward(g, residuals, vs, *, mode, mxu_bf16):
+def _ann_backward(g, wxs, residuals, scales, vs, *, mode, mxu_bf16):
     m = _MODES[mode]
     n_gates = len(m["gates"])
+    n_wx = m["n_wx"]
+    affine = scales is not None
     y_seq = residuals[0]
     gate_seqs = residuals[1 : 1 + n_gates]
     yb = residuals[-1]
@@ -370,27 +435,39 @@ def _ann_backward(g, residuals, vs, *, mode, mxu_bf16):
     sdt = jnp.bfloat16 if mxu_bf16 else dtype  # g/dWx stream dtype
     _, Bp, Hp = y_seq.shape
     tc = _pick_tc(T)
-    bt = _tile_plan(Bp, Hp, streams=2 * m["n_wx"] + 2, tc=tc)
+    bt = _tile_plan(Bp, Hp, streams=3 * n_wx + 2, tc=tc)
     n_chunks = (T + tc - 1) // tc
 
     g_p = jnp.swapaxes(
         jnp.pad(g.astype(sdt), ((0, Bp - B), (0, 0), (0, Hp - H))), 0, 1
     )
+    pad_h = lambda p: jnp.pad(p.astype(dtype), (0, Hp - H))[None, :]  # noqa: E731
+    aff_ops = []
+    if affine:
+        aff_ops = [
+            jnp.swapaxes(
+                jnp.pad(w, ((0, Bp - B), (0, 0), (0, Hp - H))), 0, 1
+            )
+            for w in wxs
+        ] + [pad_h(s) for s in scales]
     vs_p = [jnp.pad(v.astype(dtype), ((0, Hp - H), (0, Hp - H))) for v in vs]
 
     grid = (Bp // bt, n_chunks)
     kernel = functools.partial(
-        _ann_bwd_kernel, tc=tc, T=T, mode=mode, mxu_bf16=mxu_bf16
+        _ann_bwd_kernel, tc=tc, T=T, mode=mode, affine=affine,
+        mxu_bf16=mxu_bf16,
     )
     rev_tm = lambda i, t: (n_chunks - 1 - t, i, 0)  # noqa: E731
     rev_bnd = lambda i, t: (i, n_chunks - 1 - t)  # noqa: E731
     bh = lambda i, t: (i, 0)  # noqa: E731
     rep2 = lambda i, t: (0, 0)  # noqa: E731
     tm_spec = pl.BlockSpec((tc, bt, Hp), rev_tm, memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((1, Hp), rep2, memory_space=pltpu.VMEM)
     mat_spec = pl.BlockSpec((Hp, Hp), rep2, memory_space=pltpu.VMEM)
     state_spec = pl.BlockSpec((bt, Hp), bh, memory_space=pltpu.VMEM)
     bnd_spec = pl.BlockSpec((bt, Hp), rev_bnd, memory_space=pltpu.VMEM)
 
+    n_aff_out = 2 * n_wx if affine else 0
     outs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -398,35 +475,45 @@ def _ann_backward(g, residuals, vs, *, mode, mxu_bf16):
             [tm_spec]  # g
             + [tm_spec] * (1 + n_gates)  # y + gates
             + [bnd_spec]  # y left boundary
+            + ([tm_spec] * n_wx + [vec_spec] * n_wx if affine else [])
             + [mat_spec] * m["n_v"]
         ),
         out_specs=(
-            tuple([tm_spec] * m["n_wx"])
+            tuple([tm_spec] * n_wx)
             + tuple([mat_spec] * m["n_v"])
+            + tuple([vec_spec] * n_aff_out)
             + (state_spec,)
         ),
         out_shape=(
             tuple(
                 jax.ShapeDtypeStruct((T, Bp, Hp), sdt)
-                for _ in range(m["n_wx"])
+                for _ in range(n_wx)
             )
             + tuple(
                 jax.ShapeDtypeStruct((Hp, Hp), dtype)
                 for _ in range(m["n_v"])
+            )
+            + tuple(
+                jax.ShapeDtypeStruct((1, Hp), dtype)
+                for _ in range(n_aff_out)
             )
             + (jax.ShapeDtypeStruct((Bp, Hp), dtype),)
         ),
         scratch_shapes=[pltpu.VMEM((bt, Hp), jnp.float32)],
         interpret=_interpret(),
         compiler_params=_compiler_params(),
-    )(g_p, y_seq, *gate_seqs, yb, *vs_p)
+    )(g_p, y_seq, *gate_seqs, yb, *aff_ops, *vs_p)
 
-    dwxs = [
-        jnp.swapaxes(o[:, :B, :H], 0, 1) for o in outs[: m["n_wx"]]
-    ]
-    dvs = [o[:H, :H] for o in outs[m["n_wx"] : m["n_wx"] + m["n_v"]]]
+    dwxs = [jnp.swapaxes(o[:, :B, :H], 0, 1) for o in outs[:n_wx]]
+    dvs = [o[:H, :H] for o in outs[n_wx : n_wx + m["n_v"]]]
+    if affine:
+        aff = outs[n_wx + m["n_v"] : n_wx + m["n_v"] + n_aff_out]
+        dscales = [o[0, :H] for o in aff[:n_wx]]
+        dshifts = [o[0, :H] for o in aff[n_wx:]]
+    else:
+        dscales = dshifts = None
     dy0 = outs[-1][:B, :H]
-    return dwxs, dvs, dy0
+    return dwxs, dvs, dscales, dshifts, dy0
 
 
 # ---------------------------------------------------------------------------
@@ -435,52 +522,86 @@ def _ann_backward(g, residuals, vs, *, mode, mxu_bf16):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_ann_op(mode: str, mxu_bf16: bool):
+def _make_ann_op(mode: str, affine: bool, mxu_bf16: bool):
     m = _MODES[mode]
     n_wx, n_v = m["n_wx"], m["n_v"]
 
+    def split(args):
+        i = n_wx
+        wxs = args[:n_wx]
+        scales = shifts = None
+        if affine:
+            scales = args[i : i + n_wx]
+            shifts = args[i + n_wx : i + 2 * n_wx]
+            i += 2 * n_wx
+        vs = args[i : i + n_v]
+        return wxs, scales, shifts, vs, args[-1]
+
     @jax.custom_vjp
     def op(*args):
-        wxs, vs, y0 = args[:n_wx], args[n_wx : n_wx + n_v], args[-1]
+        wxs, scales, shifts, vs, y0 = split(args)
         return _ann_forward(
-            list(wxs), list(vs), y0, mode=mode, save_residuals=False,
+            list(wxs), scales and list(scales), shifts and list(shifts),
+            list(vs), y0, mode=mode, save_residuals=False,
             mxu_bf16=mxu_bf16,
         )
 
     def fwd(*args):
-        wxs, vs, y0 = args[:n_wx], args[n_wx : n_wx + n_v], args[-1]
+        wxs, scales, shifts, vs, y0 = split(args)
         y, residuals = _ann_forward(
-            list(wxs), list(vs), y0, mode=mode, save_residuals=True,
+            list(wxs), scales and list(scales), shifts and list(shifts),
+            list(vs), y0, mode=mode, save_residuals=True,
             mxu_bf16=mxu_bf16,
         )
-        # zero-length tokens keep the primal dtypes reachable for the
-        # tangent casts without holding the big arrays alive
-        return y, (vs, residuals, args[0][:0], y0[:0])
+        # on the affine path the raw Wx streams feed dscale; otherwise a
+        # zero-length token keeps the primal dtype reachable
+        wx_saved = tuple(wxs) if affine else (args[0][:0],)
+        return y, (wx_saved, scales, vs, residuals, y0[:0])
 
     def bwd(res, g):
-        vs, residuals, wx_tok, y0_tok = res
-        dwxs, dvs, dy0 = _ann_backward(
-            g, residuals, list(vs), mode=mode, mxu_bf16=mxu_bf16
+        wx_saved, scales, vs, residuals, y0_tok = res
+        dwxs, dvs, dscales, dshifts, dy0 = _ann_backward(
+            g, list(wx_saved), residuals, scales and list(scales),
+            list(vs), mode=mode, mxu_bf16=mxu_bf16,
         )
         # tangent dtypes must match the primals (custom_vjp contract)
-        dwxs = [d.astype(wx_tok.dtype) for d in dwxs]
+        dwxs = [d.astype(wx_saved[0].dtype) for d in dwxs]
         dvs = [d.astype(v.dtype) for d, v in zip(dvs, vs)]
-        return (*dwxs, *dvs, dy0.astype(y0_tok.dtype))
+        aff_grads = ()
+        if affine:
+            aff_grads = (*dscales, *dshifts)
+        return (*dwxs, *aff_grads, *dvs, dy0.astype(y0_tok.dtype))
 
     op.defvjp(fwd, bwd)
     return op
 
 
-def rnn_pallas(Wx, V, y0, mxu_bf16: bool = False):
-    """Fused sigmoid-RNN recurrence (drop-in for cells.rnn_scan)."""
-    return _make_ann_op("rnn", mxu_bf16)(Wx, V, y0)
+def _aff_args(scales, shifts):
+    if scales is None:
+        return False, ()
+    return True, (*scales, *shifts)
 
 
-def ligru_pallas(Wx, Wzx, V, Vz, y0, mxu_bf16: bool = False):
+def rnn_pallas(Wx, V, y0, mxu_bf16: bool = False, scales=None, shifts=None):
+    """Fused sigmoid-RNN recurrence (drop-in for cells.rnn_scan). With
+    ``scales``/``shifts`` (one (H,) pair per gate) the per-gate
+    normalization affine is applied on load and their gradients are
+    returned."""
+    affine, aff = _aff_args(scales, shifts)
+    return _make_ann_op("rnn", affine, mxu_bf16)(Wx, *aff, V, y0)
+
+
+def ligru_pallas(Wx, Wzx, V, Vz, y0, mxu_bf16: bool = False,
+                 scales=None, shifts=None):
     """Fused LiGRU recurrence (drop-in for cells.ligru_scan)."""
-    return _make_ann_op("ligru", mxu_bf16)(Wx, Wzx, V, Vz, y0)
+    affine, aff = _aff_args(scales, shifts)
+    return _make_ann_op("ligru", affine, mxu_bf16)(Wx, Wzx, *aff, V, Vz, y0)
 
 
-def gru_pallas(Wx, Wzx, Wrx, V, Vz, Vr, y0, mxu_bf16: bool = False):
+def gru_pallas(Wx, Wzx, Wrx, V, Vz, Vr, y0, mxu_bf16: bool = False,
+               scales=None, shifts=None):
     """Fused GRU recurrence (drop-in for cells.gru_scan)."""
-    return _make_ann_op("gru", mxu_bf16)(Wx, Wzx, Wrx, V, Vz, Vr, y0)
+    affine, aff = _aff_args(scales, shifts)
+    return _make_ann_op("gru", affine, mxu_bf16)(
+        Wx, Wzx, Wrx, *aff, V, Vz, Vr, y0
+    )

@@ -124,3 +124,88 @@ def test_ann_model_pallas_impl_matches_scan(data):
         out, _ = model.apply(variables, x)
         outs[impl] = np.asarray(out)
     np.testing.assert_allclose(outs["pallas"], outs["scan"], atol=2e-5)
+
+
+def test_affine_fold_matches_prenormalized(data):
+    """scales/shifts applied in-kernel == normalizing Wx before the call,
+    values and every gradient (incl. dscale/dshift vs autodiff)."""
+    d = data
+    ks = jax.random.split(jax.random.PRNGKey(11), 4)
+    sc = [1.0 + 0.2 * jax.random.normal(ks[0], (H,)),
+          1.0 + 0.2 * jax.random.normal(ks[1], (H,))]
+    sh = [0.1 * jax.random.normal(ks[2], (H,)),
+          0.1 * jax.random.normal(ks[3], (H,))]
+
+    def folded(Wx, Wzx, V, Vz, s0, s1, h0, h1):
+        return pallas_ann.ligru_pallas(
+            Wx, Wzx, V, Vz, d["y0"], scales=[s0, s1], shifts=[h0, h1]
+        )
+
+    def prenorm(Wx, Wzx, V, Vz, s0, s1, h0, h1):
+        return cells.ligru_scan(
+            s0 * Wx + h0, s1 * Wzx + h1, V, Vz, d["y0"]
+        )
+
+    args = (d["Wx"], d["Wzx"], d["V"], d["Vz"], sc[0], sc[1], sh[0], sh[1])
+    np.testing.assert_allclose(
+        np.asarray(folded(*args)), np.asarray(prenorm(*args)), atol=2e-5
+    )
+
+    def loss(fn):
+        def inner(*a):
+            y = fn(*a)
+            w = jnp.arange(y.size, dtype=y.dtype).reshape(y.shape) / y.size
+            return (y * w).sum()
+        return inner
+
+    g_f = jax.grad(loss(folded), argnums=tuple(range(8)))(*args)
+    g_p = jax.grad(loss(prenorm), argnums=tuple(range(8)))(*args)
+    names = ("Wx", "Wzx", "V", "Vz", "scale0", "scale1", "shift0", "shift1")
+    for n, a, b in zip(names, g_f, g_p):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=3e-5, rtol=1e-4,
+            err_msg=f"affine grad {n}",
+        )
+
+
+@pytest.mark.parametrize("ann_type", ["RNN", "LiGRU", "GRU"])
+def test_ann_model_train_grads_pallas_vs_scan(ann_type):
+    """Model-level gradient parity between impls in TRAIN mode with
+    batchnorm (exercises the per-gate affine fold end to end)."""
+    import optax
+
+    from sparch_tpu.models import build_model
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (4, 19, 13))
+    y = jnp.arange(4) % 6
+    grads = {}
+    for impl in ("scan", "pallas"):
+        model = build_model(
+            ann_type, (4, 19, 13), [24, 6], dropout=0.0,
+            normalization="batchnorm", cell_impl=impl,
+        )
+        variables = model.init({"params": jax.random.PRNGKey(1)}, x)
+
+        def loss_fn(params):
+            (out, _), _mut = model.apply(
+                {"params": params,
+                 "batch_stats": variables["batch_stats"]},
+                x, train=True, mutable=["batch_stats"],
+            )
+            return optax.softmax_cross_entropy_with_integer_labels(
+                out, y
+            ).mean()
+
+        grads[impl] = jax.grad(loss_fn)(variables["params"])
+    for (kp_a, a), (kp_b, b) in zip(
+        jax.tree_util.tree_leaves_with_path(grads["pallas"]),
+        jax.tree_util.tree_leaves_with_path(grads["scan"]),
+    ):
+        assert kp_a == kp_b
+        # the fold changes f32 evaluation order (scale*wx+shift inside the
+        # kernel vs a pre-normalized stream), amplified through the
+        # recurrence: tolerate accumulation noise
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-4, rtol=2e-3,
+            err_msg=f"{ann_type} {jax.tree_util.keystr(kp_a)}",
+        )
