@@ -105,10 +105,27 @@ class _ANNLayerBase(nn.Module):
             return wxs, None, None
         return wxs, scales, shifts
 
-    def _post(self, y, train):
+    def _post(self, y, train, fused_drop: bool = False):
         if self.bidirectional:
             y = bidir_split(y)
+        if fused_drop:
+            return y  # dropout already applied inside the kernel
         return nn.Dropout(self.dropout, deterministic=not train)(y)
+
+    def _fused_dropout(self, train):
+        """(drop_rate, seed) for in-kernel dropout on the fused path;
+        (0.0, None) when XLA-side nn.Dropout should run instead. Drawn
+        per element before the bidirectional split — iid, so
+        distributionally identical to split-then-dropout."""
+        if not (train and self.dropout > 0 and self._use_pallas()):
+            return 0.0, None
+        import jax
+
+        key = self.make_rng("dropout")
+        seed = jax.random.randint(
+            key, (2,), 0, jnp.iinfo(jnp.int32).max, jnp.int32
+        )
+        return float(self.dropout), seed
 
     def _V(self, name="V"):
         import jax
@@ -142,14 +159,16 @@ class RNNLayer(_ANNLayerBase):
 
             (Wx,), scales, shifts = self._gate_projections(x, train, ["W"])
             y0 = jnp.zeros((Wx.shape[0], Wx.shape[2]), jnp.float32)
+            drop_rate, drop_seed = self._fused_dropout(train)
             y = pallas_ann.rnn_pallas(
                 Wx, self._V(), y0, mxu_bf16=self._mxu_bf16(),
                 scales=scales, shifts=shifts,
+                drop_rate=drop_rate, drop_seed=drop_seed,
             )
-        else:
-            Wx = self._proj(x, train, "W")
-            y0 = jnp.zeros((Wx.shape[0], Wx.shape[2]), Wx.dtype)
-            y = cells.rnn_scan(Wx, self._V(), y0)
+            return self._post(y, train, fused_drop=drop_rate > 0)
+        Wx = self._proj(x, train, "W")
+        y0 = jnp.zeros((Wx.shape[0], Wx.shape[2]), Wx.dtype)
+        y = cells.rnn_scan(Wx, self._V(), y0)
         return self._post(y, train)
 
 
@@ -169,15 +188,17 @@ class LiGRULayer(_ANNLayerBase):
                 x, train, ["W", "Wz"]
             )
             y0 = jnp.zeros((Wx.shape[0], Wx.shape[2]), jnp.float32)
+            drop_rate, drop_seed = self._fused_dropout(train)
             y = pallas_ann.ligru_pallas(
                 Wx, Wzx, self._V("V"), self._V("Vz"), y0,
                 mxu_bf16=self._mxu_bf16(), scales=scales, shifts=shifts,
+                drop_rate=drop_rate, drop_seed=drop_seed,
             )
-        else:
-            Wx = self._proj(x, train, "W")
-            Wzx = self._proj(x, train, "Wz")
-            y0 = jnp.zeros((Wx.shape[0], Wx.shape[2]), Wx.dtype)
-            y = cells.ligru_scan(Wx, Wzx, self._V("V"), self._V("Vz"), y0)
+            return self._post(y, train, fused_drop=drop_rate > 0)
+        Wx = self._proj(x, train, "W")
+        Wzx = self._proj(x, train, "Wz")
+        y0 = jnp.zeros((Wx.shape[0], Wx.shape[2]), Wx.dtype)
+        y = cells.ligru_scan(Wx, Wzx, self._V("V"), self._V("Vz"), y0)
         return self._post(y, train)
 
 
@@ -195,19 +216,21 @@ class GRULayer(_ANNLayerBase):
                 x, train, ["W", "Wz", "Wr"]
             )
             y0 = jnp.zeros((Wx.shape[0], Wx.shape[2]), jnp.float32)
+            drop_rate, drop_seed = self._fused_dropout(train)
             y = pallas_ann.gru_pallas(
                 Wx, Wzx, Wrx,
                 self._V("V"), self._V("Vz"), self._V("Vr"), y0,
                 mxu_bf16=self._mxu_bf16(), scales=scales, shifts=shifts,
+                drop_rate=drop_rate, drop_seed=drop_seed,
             )
-        else:
-            Wx = self._proj(x, train, "W")
-            Wzx = self._proj(x, train, "Wz")
-            Wrx = self._proj(x, train, "Wr")
-            y0 = jnp.zeros((Wx.shape[0], Wx.shape[2]), Wx.dtype)
-            y = cells.gru_scan(
-                Wx, Wzx, Wrx, self._V("V"), self._V("Vz"), self._V("Vr"), y0
-            )
+            return self._post(y, train, fused_drop=drop_rate > 0)
+        Wx = self._proj(x, train, "W")
+        Wzx = self._proj(x, train, "Wz")
+        Wrx = self._proj(x, train, "Wr")
+        y0 = jnp.zeros((Wx.shape[0], Wx.shape[2]), Wx.dtype)
+        y = cells.gru_scan(
+            Wx, Wzx, Wrx, self._V("V"), self._V("Vz"), self._V("Vr"), y0
+        )
         return self._post(y, train)
 
 

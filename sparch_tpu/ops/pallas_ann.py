@@ -55,8 +55,10 @@ from jax.experimental.pallas import tpu as pltpu
 from sparch_tpu.ops.pallas_cells import (
     _compiler_params,
     _interpret,
+    _keep_u32,
     _mxu_colsum,
     _pick_tc,
+    _random_keep,
     _round_up,
     _tile_plan,
     _LANE,
@@ -107,7 +109,8 @@ def _outer_acc(a, b, mxu_bf16):
 # ---------------------------------------------------------------------------
 
 
-def _ann_fwd_kernel(*refs, tc, T, mode, affine, save_residuals, mxu_bf16):
+def _ann_fwd_kernel(*refs, tc, T, mode, affine, drop_rate, use_hw_prng,
+                    save_residuals, mxu_bf16):
     m = _MODES[mode]
     refs = list(refs)
     wx_refs = refs[: m["n_wx"]]
@@ -121,10 +124,19 @@ def _ann_fwd_kernel(*refs, tc, T, mode, affine, save_residuals, mxu_bf16):
     v_refs = refs[: m["n_v"]]
     del refs[: m["n_v"]]
     y0_ref = refs.pop(0)
-    n_out = 1 + (len(m["gates"]) + 1 if save_residuals else 0)
+    has_dropout = drop_rate > 0.0
+    seed_ref = refs.pop(0) if has_dropout else None
+    # with fused dropout the y OUTPUT stream is dropped, but the backward
+    # needs the raw y history: an extra raw residual stream rides along
+    n_raw = 1 if (save_residuals and has_dropout) else 0
+    n_out = 1 + n_raw + (len(m["gates"]) + 1 if save_residuals else 0)
     outs = refs[:n_out]
     y_out_ref = outs[0]
-    gate_out_refs = outs[1 : 1 + len(m["gates"])] if save_residuals else []
+    yraw_out_ref = outs[1] if n_raw else None
+    gate_out_refs = (
+        outs[1 + n_raw : 1 + n_raw + len(m["gates"])]
+        if save_residuals else []
+    )
     yb_out_ref = outs[-1] if save_residuals else None
     scrs = refs[n_out:]
     y_scr = scrs[0]
@@ -189,7 +201,19 @@ def _ann_fwd_kernel(*refs, tc, T, mode, affine, save_residuals, mxu_bf16):
             carries[0] = _dot(y, v_mats[1], mxu_bf16)
             carries[1] = _dot(y, v_mats[2], mxu_bf16)
             gate_vals = (z, r, c)
-        y_out_ref[k, :, :] = y.astype(y_out_ref.dtype)
+        if has_dropout:
+            # raw y stays in the recurrence; only the OUTPUT is dropped
+            keep = _random_keep(
+                y.shape, seed_ref[0], seed_ref[1], pl.program_id(0),
+                t * tc + k, _keep_u32(drop_rate), use_hw_prng,
+            )
+            y_out_ref[k, :, :] = jnp.where(
+                keep, y * (1.0 / (1.0 - drop_rate)), 0.0
+            ).astype(y_out_ref.dtype)
+            if yraw_out_ref is not None:
+                yraw_out_ref[k, :, :] = y.astype(yraw_out_ref.dtype)
+        else:
+            y_out_ref[k, :, :] = y.astype(y_out_ref.dtype)
         if save_residuals:
             for gref, gval in zip(gate_out_refs, gate_vals):
                 gref[k, :, :] = gval.astype(gref.dtype)
@@ -199,10 +223,11 @@ def _ann_fwd_kernel(*refs, tc, T, mode, affine, save_residuals, mxu_bf16):
         scr[:, :] = val
 
 
-def _ann_forward(wxs, scales, shifts, vs, y0, *, mode, save_residuals,
-                 mxu_bf16):
+def _ann_forward(wxs, scales, shifts, vs, y0, seed, *, mode, drop_rate,
+                 save_residuals, mxu_bf16):
     m = _MODES[mode]
     affine = scales is not None
+    has_dropout = drop_rate > 0.0
     B, T, H = wxs[0].shape
     dtype = jnp.float32
     # bf16 output/gate residual streams in the bf16-MXU mode: y and the
@@ -232,8 +257,14 @@ def _ann_forward(wxs, scales, shifts, vs, y0, *, mode, save_residuals,
     grid = (Bp // bt, n_chunks)
     kernel = functools.partial(
         _ann_fwd_kernel, tc=tc, T=T, mode=mode, affine=affine,
+        drop_rate=drop_rate, use_hw_prng=not _interpret(),
         save_residuals=save_residuals, mxu_bf16=mxu_bf16,
     )
+    seed_ops = ()
+    seed_specs = []
+    if has_dropout:
+        seed_ops = (jnp.asarray(seed, jnp.int32),)
+        seed_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     bh = lambda i, t: (i, 0)  # noqa: E731
     tbh = lambda i, t: (t, i, 0)  # noqa: E731
     bnd_map = lambda i, t: (i, t)  # noqa: E731
@@ -245,10 +276,11 @@ def _ann_forward(wxs, scales, shifts, vs, y0, *, mode, save_residuals,
     bnd_spec = pl.BlockSpec((bt, Hp), bnd_map, memory_space=pltpu.VMEM)
 
     n_gates = len(m["gates"])
+    n_raw = 1 if (save_residuals and has_dropout) else 0
     if save_residuals:
-        out_specs = (tm_spec,) * (1 + n_gates) + (bnd_spec,)
+        out_specs = (tm_spec,) * (1 + n_raw + n_gates) + (bnd_spec,)
         out_shape = tuple(
-            [jax.ShapeDtypeStruct((T, Bp, Hp), rdt)] * (1 + n_gates)
+            [jax.ShapeDtypeStruct((T, Bp, Hp), rdt)] * (1 + n_raw + n_gates)
             + [jax.ShapeDtypeStruct((Bp, n_chunks * Hp), dtype)]
         )
     else:
@@ -264,20 +296,22 @@ def _ann_forward(wxs, scales, shifts, vs, y0, *, mode, save_residuals,
             + [vec_spec] * (2 * m["n_wx"] if affine else 0)
             + [mat_spec] * m["n_v"]
             + [state_spec]
+            + seed_specs
         ),
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((bt, Hp), jnp.float32)] * (1 + n_carry),
         interpret=_interpret(),
         compiler_params=_compiler_params(),
-    )(*wxs_p, *aff_ops, *vs_p, y0_p)
+    )(*wxs_p, *aff_ops, *vs_p, y0_p, *seed_ops)
 
-    y_seq = outs[0]
-    y_logical = jnp.swapaxes(y_seq[:, :B, :H], 0, 1)
+    y_logical = jnp.swapaxes(outs[0][:, :B, :H], 0, 1)
     if not save_residuals:
         return y_logical
-    # residuals stay padded time-major for the backward kernel
-    return y_logical, tuple(outs)
+    # residuals stay padded time-major for the backward kernel; slot 0 is
+    # the RAW y history (the dropped output when no dropout is fused)
+    residuals = tuple(outs[1:]) if n_raw else tuple(outs)
+    return y_logical, residuals
 
 
 # ---------------------------------------------------------------------------
@@ -285,12 +319,15 @@ def _ann_forward(wxs, scales, shifts, vs, y0, *, mode, save_residuals,
 # ---------------------------------------------------------------------------
 
 
-def _ann_bwd_kernel(*refs, tc, T, mode, affine, mxu_bf16):
+def _ann_bwd_kernel(*refs, tc, T, mode, affine, drop_rate, use_hw_prng,
+                    mxu_bf16):
     m = _MODES[mode]
     n_gates = len(m["gates"])
     n_wx = m["n_wx"]
+    has_dropout = drop_rate > 0.0
     refs = list(refs)
     g_ref = refs.pop(0)
+    seed_ref = refs.pop(0) if has_dropout else None
     y_ref = refs.pop(0)
     gate_refs = refs[:n_gates]
     del refs[:n_gates]
@@ -359,6 +396,15 @@ def _ann_bwd_kernel(*refs, tc, T, mode, affine, mxu_bf16):
 
     for k in range(tc - 1, -1, -1):
         g_t = g_ref[k, :, :].astype(jnp.float32)
+        if has_dropout:
+            # the cotangent arrives w.r.t. the DROPPED output: regenerate
+            # the forward's keep mask from the same seeds
+            keep = _random_keep(
+                g_t.shape, seed_ref[0], seed_ref[1], pl.program_id(0),
+                (n_chunks - 1 - kc) * tc + k, _keep_u32(drop_rate),
+                use_hw_prng,
+            )
+            g_t = jnp.where(keep, g_t * (1.0 / (1.0 - drop_rate)), 0.0)
         y_t = y_ref[k, :, :].astype(jnp.float32)
         y_p = (
             y_ref[k - 1, :, :].astype(jnp.float32)
@@ -422,11 +468,13 @@ def _ann_bwd_kernel(*refs, tc, T, mode, affine, mxu_bf16):
         dy0_ref[:, :] = D_scr[:, :]
 
 
-def _ann_backward(g, wxs, residuals, scales, vs, *, mode, mxu_bf16):
+def _ann_backward(g, wxs, residuals, scales, vs, seed, *, mode, drop_rate,
+                  mxu_bf16):
     m = _MODES[mode]
     n_gates = len(m["gates"])
     n_wx = m["n_wx"]
     affine = scales is not None
+    has_dropout = drop_rate > 0.0
     y_seq = residuals[0]
     gate_seqs = residuals[1 : 1 + n_gates]
     yb = residuals[-1]
@@ -455,8 +503,14 @@ def _ann_backward(g, wxs, residuals, scales, vs, *, mode, mxu_bf16):
     grid = (Bp // bt, n_chunks)
     kernel = functools.partial(
         _ann_bwd_kernel, tc=tc, T=T, mode=mode, affine=affine,
+        drop_rate=drop_rate, use_hw_prng=not _interpret(),
         mxu_bf16=mxu_bf16,
     )
+    seed_ops = ()
+    seed_specs = []
+    if has_dropout:
+        seed_ops = (jnp.asarray(seed, jnp.int32),)
+        seed_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
     rev_tm = lambda i, t: (n_chunks - 1 - t, i, 0)  # noqa: E731
     rev_bnd = lambda i, t: (i, n_chunks - 1 - t)  # noqa: E731
     bh = lambda i, t: (i, 0)  # noqa: E731
@@ -473,7 +527,8 @@ def _ann_backward(g, wxs, residuals, scales, vs, *, mode, mxu_bf16):
         grid=grid,
         in_specs=(
             [tm_spec]  # g
-            + [tm_spec] * (1 + n_gates)  # y + gates
+            + seed_specs  # dropout seed scalars (SMEM)
+            + [tm_spec] * (1 + n_gates)  # raw y + gates
             + [bnd_spec]  # y left boundary
             + ([tm_spec] * n_wx + [vec_spec] * n_wx if affine else [])
             + [mat_spec] * m["n_v"]
@@ -502,7 +557,7 @@ def _ann_backward(g, wxs, residuals, scales, vs, *, mode, mxu_bf16):
         scratch_shapes=[pltpu.VMEM((bt, Hp), jnp.float32)],
         interpret=_interpret(),
         compiler_params=_compiler_params(),
-    )(g_p, y_seq, *gate_seqs, yb, *aff_ops, *vs_p)
+    )(g_p, *seed_ops, y_seq, *gate_seqs, yb, *aff_ops, *vs_p)
 
     dwxs = [jnp.swapaxes(o[:, :B, :H], 0, 1) for o in outs[:n_wx]]
     dvs = [o[:H, :H] for o in outs[n_wx : n_wx + m["n_v"]]]
@@ -522,7 +577,8 @@ def _ann_backward(g, wxs, residuals, scales, vs, *, mode, mxu_bf16):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_ann_op(mode: str, affine: bool, mxu_bf16: bool):
+def _make_ann_op(mode: str, affine: bool, drop_rate: float,
+                 mxu_bf16: bool):
     m = _MODES[mode]
     n_wx, n_v = m["n_wx"], m["n_v"]
 
@@ -535,34 +591,35 @@ def _make_ann_op(mode: str, affine: bool, mxu_bf16: bool):
             shifts = args[i + n_wx : i + 2 * n_wx]
             i += 2 * n_wx
         vs = args[i : i + n_v]
-        return wxs, scales, shifts, vs, args[-1]
+        return wxs, scales, shifts, vs, args[-2], args[-1]
 
     @jax.custom_vjp
     def op(*args):
-        wxs, scales, shifts, vs, y0 = split(args)
+        wxs, scales, shifts, vs, y0, seed = split(args)
         return _ann_forward(
             list(wxs), scales and list(scales), shifts and list(shifts),
-            list(vs), y0, mode=mode, save_residuals=False,
-            mxu_bf16=mxu_bf16,
+            list(vs), y0, seed, mode=mode, drop_rate=drop_rate,
+            save_residuals=False, mxu_bf16=mxu_bf16,
         )
 
     def fwd(*args):
-        wxs, scales, shifts, vs, y0 = split(args)
+        wxs, scales, shifts, vs, y0, seed = split(args)
         y, residuals = _ann_forward(
             list(wxs), scales and list(scales), shifts and list(shifts),
-            list(vs), y0, mode=mode, save_residuals=True,
-            mxu_bf16=mxu_bf16,
+            list(vs), y0, seed, mode=mode, drop_rate=drop_rate,
+            save_residuals=True, mxu_bf16=mxu_bf16,
         )
         # on the affine path the raw Wx streams feed dscale; otherwise a
         # zero-length token keeps the primal dtype reachable
         wx_saved = tuple(wxs) if affine else (args[0][:0],)
-        return y, (wx_saved, scales, vs, residuals, y0[:0])
+        return y, (wx_saved, scales, vs, residuals, y0[:0], seed)
 
     def bwd(res, g):
-        wx_saved, scales, vs, residuals, y0_tok = res
+        wx_saved, scales, vs, residuals, y0_tok, seed = res
         dwxs, dvs, dscales, dshifts, dy0 = _ann_backward(
             g, list(wx_saved), residuals, scales and list(scales),
-            list(vs), mode=mode, mxu_bf16=mxu_bf16,
+            list(vs), seed, mode=mode, drop_rate=drop_rate,
+            mxu_bf16=mxu_bf16,
         )
         # tangent dtypes must match the primals (custom_vjp contract)
         dwxs = [d.astype(wx_saved[0].dtype) for d in dwxs]
@@ -570,7 +627,10 @@ def _make_ann_op(mode: str, affine: bool, mxu_bf16: bool):
         aff_grads = ()
         if affine:
             aff_grads = (*dscales, *dshifts)
-        return (*dwxs, *aff_grads, *dvs, dy0.astype(y0_tok.dtype))
+        import numpy as _np
+
+        dseed = _np.zeros(seed.shape, jax.dtypes.float0)
+        return (*dwxs, *aff_grads, *dvs, dy0.astype(y0_tok.dtype), dseed)
 
     op.defvjp(fwd, bwd)
     return op
@@ -582,26 +642,43 @@ def _aff_args(scales, shifts):
     return True, (*scales, *shifts)
 
 
-def rnn_pallas(Wx, V, y0, mxu_bf16: bool = False, scales=None, shifts=None):
+def _drop_args(drop_rate, drop_seed):
+    if drop_seed is None:
+        drop_seed = jnp.zeros((2,), jnp.int32)
+    return float(drop_rate), drop_seed
+
+
+def rnn_pallas(Wx, V, y0, mxu_bf16: bool = False, scales=None, shifts=None,
+               drop_rate: float = 0.0, drop_seed=None):
     """Fused sigmoid-RNN recurrence (drop-in for cells.rnn_scan). With
     ``scales``/``shifts`` (one (H,) pair per gate) the per-gate
     normalization affine is applied on load and their gradients are
-    returned."""
+    returned; with ``drop_rate``/``drop_seed`` the layer-output dropout
+    is fused (masks regenerate from the seed in the backward)."""
     affine, aff = _aff_args(scales, shifts)
-    return _make_ann_op("rnn", affine, mxu_bf16)(Wx, *aff, V, y0)
+    drop_rate, seed = _drop_args(drop_rate, drop_seed)
+    return _make_ann_op("rnn", affine, drop_rate, mxu_bf16)(
+        Wx, *aff, V, y0, seed
+    )
 
 
 def ligru_pallas(Wx, Wzx, V, Vz, y0, mxu_bf16: bool = False,
-                 scales=None, shifts=None):
+                 scales=None, shifts=None, drop_rate: float = 0.0,
+                 drop_seed=None):
     """Fused LiGRU recurrence (drop-in for cells.ligru_scan)."""
     affine, aff = _aff_args(scales, shifts)
-    return _make_ann_op("ligru", affine, mxu_bf16)(Wx, Wzx, *aff, V, Vz, y0)
+    drop_rate, seed = _drop_args(drop_rate, drop_seed)
+    return _make_ann_op("ligru", affine, drop_rate, mxu_bf16)(
+        Wx, Wzx, *aff, V, Vz, y0, seed
+    )
 
 
 def gru_pallas(Wx, Wzx, Wrx, V, Vz, Vr, y0, mxu_bf16: bool = False,
-               scales=None, shifts=None):
+               scales=None, shifts=None, drop_rate: float = 0.0,
+               drop_seed=None):
     """Fused GRU recurrence (drop-in for cells.gru_scan)."""
     affine, aff = _aff_args(scales, shifts)
-    return _make_ann_op("gru", affine, mxu_bf16)(
-        Wx, Wzx, Wrx, *aff, V, Vz, Vr, y0
+    drop_rate, seed = _drop_args(drop_rate, drop_seed)
+    return _make_ann_op("gru", affine, drop_rate, mxu_bf16)(
+        Wx, Wzx, Wrx, *aff, V, Vz, Vr, y0, seed
     )

@@ -209,3 +209,44 @@ def test_ann_model_train_grads_pallas_vs_scan(ann_type):
             np.asarray(a), np.asarray(b), atol=5e-4, rtol=2e-3,
             err_msg=f"{ann_type} {jax.tree_util.keystr(kp_a)}",
         )
+
+
+def test_fused_ann_dropout_semantics(data):
+    """Fused output dropout: deterministic per seed, values are
+    {0, y/(1-p)} of the undropped output, gradients match an explicit
+    post-mask oracle (the raw recurrence is never dropped)."""
+    d = data
+    seed = jnp.array([13, 29], jnp.int32)
+    p = 0.25
+    raw = pallas_ann.rnn_pallas(d["Wx"], d["V"], d["y0"])
+    drp = pallas_ann.rnn_pallas(
+        d["Wx"], d["V"], d["y0"], drop_rate=p, drop_seed=seed
+    )
+    drp2 = pallas_ann.rnn_pallas(
+        d["Wx"], d["V"], d["y0"], drop_rate=p, drop_seed=seed
+    )
+    np.testing.assert_array_equal(np.asarray(drp), np.asarray(drp2))
+    a, b = np.asarray(drp), np.asarray(raw)
+    mask = a != 0.0
+    np.testing.assert_allclose(a[mask], b[mask] / (1.0 - p), rtol=1e-6)
+    frac = float((~mask).mean())
+    assert abs(frac - p) < 0.03, frac  # sigmoid outputs never exactly 0
+
+    # gradient equals the explicit-mask formulation
+    mask_f = jnp.asarray(mask, jnp.float32)
+
+    def loss_fused(Wx, V):
+        y = pallas_ann.rnn_pallas(Wx, V, d["y0"], drop_rate=p,
+                                  drop_seed=seed)
+        return (y * jnp.arange(H)).sum()
+
+    def loss_oracle(Wx, V):
+        y = pallas_ann.rnn_pallas(Wx, V, d["y0"])
+        return (y * mask_f / (1.0 - p) * jnp.arange(H)).sum()
+
+    gf = jax.grad(loss_fused, argnums=(0, 1))(d["Wx"], d["V"])
+    go = jax.grad(loss_oracle, argnums=(0, 1))(d["Wx"], d["V"])
+    for a_, b_ in zip(gf, go):
+        np.testing.assert_allclose(
+            np.asarray(a_), np.asarray(b_), atol=3e-5, rtol=1e-4
+        )
