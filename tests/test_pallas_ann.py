@@ -176,7 +176,12 @@ def test_ann_model_train_grads_pallas_vs_scan(ann_type):
 
     from sparch_tpu.models import build_model
 
-    x = jax.random.normal(jax.random.PRNGKey(3), (4, 19, 13))
+    # pin the PRNG impl via typed keys: other tests flip the global
+    # default to 'rbg', whose different init draws land this comparison
+    # in a noisier region
+    key_x = jax.random.key(3, impl="threefry2x32")
+    key_p = jax.random.key(1, impl="threefry2x32")
+    x = jax.random.normal(key_x, (4, 19, 13))
     y = jnp.arange(4) % 6
     grads = {}
     for impl in ("scan", "pallas"):
@@ -184,7 +189,7 @@ def test_ann_model_train_grads_pallas_vs_scan(ann_type):
             ann_type, (4, 19, 13), [24, 6], dropout=0.0,
             normalization="batchnorm", cell_impl=impl,
         )
-        variables = model.init({"params": jax.random.PRNGKey(1)}, x)
+        variables = model.init({"params": key_p}, x)
 
         def loss_fn(params):
             (out, _), _mut = model.apply(
