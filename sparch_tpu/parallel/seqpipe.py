@@ -43,17 +43,31 @@ __all__ = ["make_seq_mesh", "seq_batch_sharding", "make_seqpipe_train_step"]
 _EPS = 1e-5
 
 
-def make_seq_mesh(devices=None) -> Mesh:
-    """1-D mesh over the time axis."""
+def make_seq_mesh(devices=None, data: int = 1) -> Mesh:
+    """Mesh with a time ('seq') axis, optionally composed with a batch
+    ('data') axis: ``data > 1`` gives a ('data', 'seq') mesh where the
+    batch shards over 'data' and each data group runs its own time
+    pipeline over 'seq'."""
     import numpy as np
 
     if devices is None:
         devices = jax.devices()
-    return Mesh(np.asarray(devices), axis_names=("seq",))
+    devices = np.asarray(devices)
+    if data == 1:
+        return Mesh(devices, axis_names=("seq",))
+    if devices.size % data != 0:
+        raise ValueError(f"{devices.size} devices not divisible by {data}")
+    return Mesh(
+        devices.reshape(data, devices.size // data),
+        axis_names=("data", "seq"),
+    )
 
 
 def seq_batch_sharding(mesh: Mesh) -> NamedSharding:
-    """(B, T, F) batches shard on the TIME axis."""
+    """(B, T, F) batches shard on the TIME axis (and the batch axis when
+    the mesh has one)."""
+    if "data" in mesh.axis_names:
+        return NamedSharding(mesh, P("data", "seq", None))
     return NamedSharding(mesh, P(None, "seq", None))
 
 
@@ -137,18 +151,20 @@ def _pipelined_recurrence(neuron, cp, threshold, Wx, axis, n_micro):
     return results.reshape(B, Tl, H)
 
 
-def _norm(kind, p, stats, flat_n_global, wx, axis, train):
+def _norm(kind, p, stats, flat_n_global, wx, stat_axes, train):
     """Normalization over the globally-flattened (B*T, H) sequence; batch
-    statistics reduce with one psum over the seq axis. Returns
-    (normalized wx, updated running stats or None)."""
+    statistics reduce with one psum over the mesh axes the sequence is
+    sharded on ('seq', plus 'data' on a composite mesh — global-batch
+    stats like the jit path). Returns (normalized wx, updated running
+    stats or None)."""
     if kind == "batchnorm":
         bn_p = p["norm"]["BatchNorm_0"]
         bn_s = stats["norm"]["BatchNorm_0"]
         if train:
             flat = wx.reshape(-1, wx.shape[-1])
-            ssum = jax.lax.psum(jnp.sum(flat, axis=0), axis)
+            ssum = jax.lax.psum(jnp.sum(flat, axis=0), stat_axes)
             ssum2 = jax.lax.psum(
-                jnp.sum(jax.lax.square(flat), axis=0), axis
+                jnp.sum(jax.lax.square(flat), axis=0), stat_axes
             )
             mean = ssum / flat_n_global
             var = ssum2 / flat_n_global - jax.lax.square(mean)
@@ -180,13 +196,16 @@ def _project(p, h):
     return wx
 
 
-def _pipelined_readout(p, stats, kind, flat_n_global, h, axis, train):
+def _pipelined_readout(p, stats, kind, flat_n_global, h, axis, stat_axes,
+                       train):
     """Leaky readout across the sharded time axis in closed form: the
     membrane recurrence is linear, so each device only needs its chunk's
     start state — an S-step scan over all_gather'ed per-chunk boundary
     drives — and the softmax time-sum reduces with one psum."""
     wx = _project(p, h)
-    wx, new_stats = _norm(kind, p, stats, flat_n_global, wx, axis, train)
+    wx, new_stats = _norm(
+        kind, p, stats, flat_n_global, wx, stat_axes, train
+    )
     alpha = jnp.clip(p["alpha"], *cells.ALPHA_LIM)
     B, Tl, C = wx.shape
     intra = cells.leaky_cumsum(wx, alpha, jnp.zeros((B, C), wx.dtype))
@@ -238,7 +257,8 @@ def make_seqpipe_train_step(
     threshold = model.threshold
     n_hidden = model.num_layers - 1
 
-    def forward_local(params, batch_stats, x_local, train, flat_n_global):
+    def forward_local(params, batch_stats, x_local, train, flat_n_global,
+                      stat_axes):
         h = x_local
         rate_sums = []
         new_stats = {}
@@ -248,7 +268,7 @@ def make_seqpipe_train_step(
             stats = batch_stats.get(name, {})
             wx = _project(p, h)
             wx, ns = _norm(
-                kind, p, stats, flat_n_global, wx, "seq", train
+                kind, p, stats, flat_n_global, wx, stat_axes, train
             )
             if ns is not None:
                 new_stats[name] = {"norm": {"BatchNorm_0": ns}}
@@ -257,11 +277,12 @@ def make_seqpipe_train_step(
                 neuron, cp, threshold, wx, "seq", n_micro
             )
             rate_sums.append(
-                jax.lax.psum(jnp.sum(h, axis=(0, 1)), "seq") / flat_n_global
+                jax.lax.psum(jnp.sum(h, axis=(0, 1)), stat_axes)
+                / flat_n_global
             )
         out, ns = _pipelined_readout(
             params["readout"], batch_stats.get("readout", {}), kind,
-            flat_n_global, h, "seq", train,
+            flat_n_global, h, "seq", stat_axes, train,
         )
         if ns is not None:
             new_stats["readout"] = {"norm": {"BatchNorm_0": ns}}
@@ -269,16 +290,24 @@ def make_seqpipe_train_step(
 
     from jax import shard_map
 
+    has_data_axis = "data" in mesh.axis_names
+    stat_axes = ("data", "seq") if has_data_axis else "seq"
+    x_spec = (
+        P("data", "seq", None) if has_data_axis else P(None, "seq", None)
+    )
+    out_spec = P("data") if has_data_axis else P()
+
     def loss_and_metrics(params, batch_stats, x, y):
         fwd = shard_map(
             functools.partial(
                 forward_local,
                 train=True,
                 flat_n_global=float(x.shape[0] * x.shape[1]),
+                stat_axes=stat_axes,
             ),
             mesh=mesh,
-            in_specs=(P(), P(), P(None, "seq", None)),
-            out_specs=(P(), P(), P()),
+            in_specs=(P(), P(), x_spec),
+            out_specs=(out_spec, P(), P()),
             check_vma=False,
         )
         out, rates, new_stats = fwd(params, batch_stats, x)

@@ -107,3 +107,35 @@ def test_seqpipe_rejects_unsupported():
     ann = build_model("LiGRU", (B, T, F), [H, C])
     with pytest.raises(ValueError, match="SNN"):
         make_seqpipe_train_step(ann, mesh)
+
+
+def test_seqpipe_composite_data_seq_mesh():
+    """dp x sp: batch shards over 'data' while each data group pipelines
+    the time axis over 'seq' (2x4 over 8 CPU devices); loss/grads match
+    the single-device step (global-batch BN stats included)."""
+    model, state, _, x, y = _build("RadLIF", "batchnorm", 4)
+    mesh = make_seq_mesh(jax.devices()[:8], data=2)
+    ref_step = make_train_step(model, donate=False, use_regularizers=True)
+    pipe_step = make_seqpipe_train_step(
+        model, mesh, n_micro=2, use_regularizers=True
+    )
+    ref_state, ref_metrics = ref_step(state, x, y)
+    xs = jax.device_put(x, seq_batch_sharding(mesh))
+    new_state, metrics = pipe_step(state, xs, y)
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(metrics["spike_rate"]), float(ref_metrics["spike_rate"]),
+        rtol=1e-5,
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(new_state.params),
+        jax.tree_util.tree_leaves(ref_state.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(new_state.batch_stats),
+        jax.tree_util.tree_leaves(ref_state.batch_stats),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
