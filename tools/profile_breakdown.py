@@ -88,22 +88,24 @@ def main():
     y = jnp.arange(B) % C
     state = create_train_state(model, xs, lr=1e-2, rng=ks[9])
     step = make_train_step(model, donate=False)
+    # return the updated params too: returning only the loss would let
+    # XLA dead-code-eliminate the whole backward pass
     report("full train step", time_fn(
-        lambda x: step(state, x, y)[1]["loss"], xs))
+        lambda x: (step(state, x, y)[0].params, ), xs))
     # no-dropout variant isolates the in-kernel PRNG cost
     model0 = build_model("RadLIF", (B, T, F), [H, H, C], dropout=0.0,
                          normalization="batchnorm", state_init="uniform")
     state0 = create_train_state(model0, xs, lr=1e-2, rng=ks[9])
     step0 = make_train_step(model0, donate=False)
     report("full train step (no dropout)", time_fn(
-        lambda x: step0(state0, x, y)[1]["loss"], xs))
+        lambda x: (step0(state0, x, y)[0].params, ), xs))
     # zeros state init isolates the per-step uniform state draws
     model_z = build_model("RadLIF", (B, T, F), [H, H, C], dropout=0.1,
                           normalization="batchnorm", state_init="zeros")
     state_z = create_train_state(model_z, xs, lr=1e-2, rng=ks[9])
     step_z = make_train_step(model_z, donate=False)
     report("full train step (zeros init)", time_fn(
-        lambda x: step_z(state_z, x, y)[1]["loss"], xs))
+        lambda x: (step_z(state_z, x, y)[0].params, ), xs))
 
 
 if __name__ == "__main__":
