@@ -17,9 +17,12 @@ crosses chunk boundaries in closed form (an ``all_gather`` of one (B, C)
 boundary drive per device plus a tiny S-step scan), so it needs no
 pipelining at all.
 
-Scope: unidirectional SNNs with a readout layer, zero state init, no
-dropout (this is the long-sequence scaling/validation path, not the
-default single-chip trainer — ``train/steps.py`` remains that). Gradients
+Scope: unidirectional models (the whole SNN family AND the ANN family —
+the ANN readout's time collapse is a plain reduction, and MLP layers are
+stateless so only the recurrent cells pipeline) with a readout layer,
+zero state init, no dropout (this is the long-sequence
+scaling/validation path, not the default single-chip trainer —
+``train/steps.py`` remains that). Gradients
 flow through the pipeline (``ppermute``/``psum``/``all_gather`` are all
 differentiable), so the full training step works; numerical agreement
 with the single-device step is pinned by tests/test_seqpipe.py on an
@@ -82,13 +85,13 @@ def _clamped(p, neuron):
     return out
 
 
-def _chunk_scan(neuron, cp, threshold, wx_m, state):
-    """Run one (mb, Tl, H) chunk from ``state``; returns (state, spikes)."""
+def _snn_chunk_scan(neuron, cp, threshold, wxs, state):
+    """One SNN (mb, Tl, H) chunk from ``state``; returns (state, spikes)."""
     alpha = cp["alpha"]
 
     def stepf(carry, wx_t):
         u, w, sp = carry
-        drive = wx_t
+        drive = wx_t[0]
         if neuron in ("RLIF", "RadLIF"):
             drive = drive + jnp.dot(sp, cp["V"])
         if neuron in ("adLIF", "RadLIF"):
@@ -98,27 +101,58 @@ def _chunk_scan(neuron, cp, threshold, wx_m, state):
         sp = spike_boxcar(u - threshold)
         return (u, w, sp), sp
 
-    state, spikes = jax.lax.scan(stepf, state, jnp.swapaxes(wx_m, 0, 1))
+    state, spikes = jax.lax.scan(
+        stepf, state, tuple(jnp.swapaxes(w, 0, 1) for w in wxs)
+    )
     return state, jnp.swapaxes(spikes, 0, 1)
 
 
-def _pipelined_recurrence(neuron, cp, threshold, Wx, axis, n_micro):
-    """State-passing pipeline over the ``axis`` mesh dimension.
+def _ann_chunk_scan(ann_type, p, wxs, state):
+    """One ANN (mb, Tl, H) chunk; state is ``(y,)`` (reference
+    anns.py:328-339,449-462,581-595 recurrences)."""
 
-    ``Wx``: (B, Tl, H) local time chunk of the normalized drive. Device s
-    runs microbatch ``m = tick - s``; boundary states hop right after every
-    tick. ``ppermute`` delivers zeros to device 0, which is exactly the
-    fresh (zeros) initial state each new microbatch needs.
+    def stepf(carry, wx_t):
+        (y,) = carry
+        if ann_type == "RNN":
+            y = jax.nn.sigmoid(wx_t[0] + jnp.dot(y, p["V"]))
+        elif ann_type == "LiGRU":
+            z = jax.nn.sigmoid(wx_t[1] + jnp.dot(y, p["Vz"]))
+            c = jax.nn.relu(wx_t[0] + jnp.dot(y, p["V"]))
+            y = z * y + (1.0 - z) * c
+        else:  # GRU
+            z = jax.nn.sigmoid(wx_t[1] + jnp.dot(y, p["Vz"]))
+            r = jax.nn.sigmoid(wx_t[2] + jnp.dot(y, p["Vr"]))
+            c = jnp.tanh(wx_t[0] + jnp.dot(r * y, p["V"]))
+            y = z * y + (1.0 - z) * c
+        return (y,), y
+
+    state, ys = jax.lax.scan(
+        stepf, state, tuple(jnp.swapaxes(w, 0, 1) for w in wxs)
+    )
+    return state, jnp.swapaxes(ys, 0, 1)
+
+
+def _pipelined_recurrence(chunk_fn, n_state, wxs, axis, n_micro):
+    """State-passing pipeline over the ``axis`` mesh dimension, generic
+    over the cell (``chunk_fn(wxs_chunk, state) -> (state, outputs)``
+    with ``n_state`` zero-initialised (mb, H) state slots).
+
+    ``wxs``: per-gate (B, Tl, H) local time chunks of the normalized
+    drive. Device s runs microbatch ``m = tick - s``; boundary states hop
+    right after every tick. ``ppermute`` delivers zeros to device 0,
+    which is exactly the fresh (zeros) initial state each new microbatch
+    needs.
     """
     S = jax.lax.psum(1, axis)
     s_idx = jax.lax.axis_index(axis)
-    B, Tl, H = Wx.shape
+    B, Tl, H = wxs[0].shape
     M = n_micro
     assert B % M == 0, f"batch {B} not divisible by microbatches {M}"
     mb = B // M
-    Wxm = Wx.reshape(M, mb, Tl, H)
-    zeros_state = tuple(jnp.zeros((mb, H), Wx.dtype) for _ in range(3))
-    results0 = jnp.zeros((M, mb, Tl, H), Wx.dtype)
+    dtype = wxs[0].dtype
+    Wxm = tuple(w.reshape(M, mb, Tl, H) for w in wxs)
+    zeros_state = tuple(jnp.zeros((mb, H), dtype) for _ in range(n_state))
+    results0 = jnp.zeros((M, mb, Tl, H), dtype)
     perm = [(i, i + 1) for i in range(S - 1)]
 
     def tick(carry, t):
@@ -127,14 +161,14 @@ def _pipelined_recurrence(neuron, cp, threshold, Wx, axis, n_micro):
         active = jnp.logical_and(m >= 0, m < M)
         m_c = jnp.clip(m, 0, M - 1)
         # zeroed drive on inactive ticks keeps the throwaway compute finite
-        wx_m = jnp.where(active, Wxm[m_c], 0.0)
-        st_out, spikes = _chunk_scan(neuron, cp, threshold, wx_m, inbox)
+        wx_m = tuple(jnp.where(active, W[m_c], 0.0) for W in Wxm)
+        st_out, outs = chunk_fn(wx_m, inbox)
         cur = jax.lax.dynamic_slice(
             results, (m_c, 0, 0, 0), (1, mb, Tl, H)
         )
         results = jax.lax.dynamic_update_slice(
             results,
-            jnp.where(active, spikes[None], cur),
+            jnp.where(active, outs[None], cur),
             (m_c, 0, 0, 0),
         )
         # the right neighbor consumes this state at tick t+1 for the same
@@ -151,19 +185,26 @@ def _pipelined_recurrence(neuron, cp, threshold, Wx, axis, n_micro):
     return results.reshape(B, Tl, H)
 
 
-def _norm(kind, p, stats, flat_n_global, wx, stat_axes, train):
+def _psum(v, axes):
+    if not axes:
+        return v
+    return jax.lax.psum(v, axes)
+
+
+def _norm(kind, p, stats, flat_n_global, wx, stat_axes, train,
+          norm_key="norm"):
     """Normalization over the globally-flattened (B*T, H) sequence; batch
     statistics reduce with one psum over the mesh axes the sequence is
     sharded on ('seq', plus 'data' on a composite mesh — global-batch
     stats like the jit path). Returns (normalized wx, updated running
     stats or None)."""
     if kind == "batchnorm":
-        bn_p = p["norm"]["BatchNorm_0"]
-        bn_s = stats["norm"]["BatchNorm_0"]
+        bn_p = p[norm_key]["BatchNorm_0"]
+        bn_s = stats[norm_key]["BatchNorm_0"]
         if train:
             flat = wx.reshape(-1, wx.shape[-1])
-            ssum = jax.lax.psum(jnp.sum(flat, axis=0), stat_axes)
-            ssum2 = jax.lax.psum(
+            ssum = _psum(jnp.sum(flat, axis=0), stat_axes)
+            ssum2 = _psum(
                 jnp.sum(jax.lax.square(flat), axis=0), stat_axes
             )
             mean = ssum / flat_n_global
@@ -178,7 +219,7 @@ def _norm(kind, p, stats, flat_n_global, wx, stat_axes, train):
         inv = jax.lax.rsqrt(var + _EPS)
         return (wx - mean) * inv * bn_p["scale"] + bn_p["bias"], new_stats
     if kind == "layernorm":
-        ln = p["norm"]["LayerNorm_0"]
+        ln = p[norm_key]["LayerNorm_0"]
         mean = wx.mean(axis=-1, keepdims=True)
         var = ((wx - mean) ** 2).mean(axis=-1, keepdims=True)
         return (
@@ -189,10 +230,10 @@ def _norm(kind, p, stats, flat_n_global, wx, stat_axes, train):
     return wx, None
 
 
-def _project(p, h):
-    wx = jnp.dot(h, p["W"]["kernel"])
-    if "bias" in p["W"]:
-        wx = wx + p["W"]["bias"]
+def _project(p, h, w_key="W"):
+    wx = jnp.dot(h, p[w_key]["kernel"])
+    if "bias" in p[w_key]:
+        wx = wx + p[w_key]["bias"]
     return wx
 
 
@@ -229,6 +270,22 @@ def _pipelined_readout(p, stats, kind, flat_n_global, h, axis, stat_axes,
     )
 
 
+def _ann_readout(p, stats, kind, batch_n_global, h, axis, stat_axes,
+                 train):
+    """ANN readout across the sharded time axis: the time collapse
+    (``sum_t softmax(h_t)``, reference anns.py:644-665) is a plain
+    per-step reduction — local partial sums + one psum over 'seq' — and
+    the linear + 2-D norm then run on the tiny (B, out) accumulator.
+    The 2-D batchnorm statistics reduce over the batch shards only."""
+    acc = jax.lax.psum(
+        jnp.sum(jax.nn.softmax(h, axis=-1), axis=1), axis
+    )
+    out = _project(p, acc)
+    batch_axes = tuple(a for a in (stat_axes if isinstance(
+        stat_axes, tuple) else (stat_axes,)) if a != "seq")
+    return _norm(kind, p, stats, batch_n_global, out, batch_axes, train)
+
+
 def make_seqpipe_train_step(
     model,
     mesh: Mesh,
@@ -243,50 +300,92 @@ def make_seqpipe_train_step(
 
     Same contract as ``train.steps.make_train_step`` (state, x, y) ->
     (state, metrics), with x placed via :func:`seq_batch_sharding`.
-    Restrictions (asserted): unidirectional SNN, readout layer on, zero
-    state init semantics, dropout ignored.
+    Restrictions (asserted): unidirectional, readout layer on, zero
+    state init semantics, dropout ignored. Supports all eight model
+    types (SNN and ANN families).
     """
-    if not model.is_snn:
-        raise ValueError("seq-pipeline step supports the SNN family")
     if model.bidirectional:
         raise ValueError("bidirectional models cannot shard the time axis")
     if not model.use_readout_layer:
         raise ValueError("seq-pipeline step requires the readout layer")
-    neuron = model.neuron_type
+    is_snn = model.is_snn
     kind = model.normalization
-    threshold = model.threshold
     n_hidden = model.num_layers - 1
+    if is_snn:
+        neuron = model.neuron_type
+        threshold = model.threshold
+    else:
+        ann_type = model.ann_type
+        gate_keys = {
+            "MLP": ["W"], "RNN": ["W"], "LiGRU": ["W", "Wz"],
+            "GRU": ["W", "Wz", "Wr"],
+        }[ann_type]
+
+    def _snn_layer(p, stats, h, flat_n_global, stat_axes, train, new_stats,
+                   name):
+        wx, ns = _norm(
+            kind, p, stats, flat_n_global, _project(p, h), stat_axes, train
+        )
+        if ns is not None:
+            new_stats[name] = {"norm": {"BatchNorm_0": ns}}
+        cp = _clamped(p, neuron)
+        return _pipelined_recurrence(
+            functools.partial(_snn_chunk_scan, neuron, cp, threshold),
+            3, (wx,), "seq", n_micro,
+        )
+
+    def _ann_layer(p, stats, h, flat_n_global, stat_axes, train, new_stats,
+                   name):
+        wxs = []
+        for gk in gate_keys:
+            wx, ns = _norm(
+                kind, p, stats, flat_n_global, _project(p, h, gk),
+                stat_axes, train, norm_key=f"norm_{gk}",
+            )
+            if ns is not None:
+                new_stats.setdefault(name, {})[f"norm_{gk}"] = {
+                    "BatchNorm_0": ns
+                }
+            wxs.append(wx)
+        if ann_type == "MLP":
+            return jax.nn.sigmoid(wxs[0])  # stateless: no pipeline needed
+        return _pipelined_recurrence(
+            functools.partial(_ann_chunk_scan, ann_type, p),
+            1, tuple(wxs), "seq", n_micro,
+        )
 
     def forward_local(params, batch_stats, x_local, train, flat_n_global,
-                      stat_axes):
+                      stat_axes, batch_n_global):
         h = x_local
         rate_sums = []
         new_stats = {}
+        layer_fn = _snn_layer if is_snn else _ann_layer
         for i in range(n_hidden):
             name = f"layer_{i}"
-            p = params[name]
-            stats = batch_stats.get(name, {})
-            wx = _project(p, h)
-            wx, ns = _norm(
-                kind, p, stats, flat_n_global, wx, stat_axes, train
+            h = layer_fn(
+                params[name], batch_stats.get(name, {}), h, flat_n_global,
+                stat_axes, train, new_stats, name,
             )
-            if ns is not None:
-                new_stats[name] = {"norm": {"BatchNorm_0": ns}}
-            cp = _clamped(p, neuron)
-            h = _pipelined_recurrence(
-                neuron, cp, threshold, wx, "seq", n_micro
+            if is_snn:
+                rate_sums.append(
+                    _psum(jnp.sum(h, axis=(0, 1)), stat_axes)
+                    / flat_n_global
+                )
+        if is_snn:
+            out, ns = _pipelined_readout(
+                params["readout"], batch_stats.get("readout", {}), kind,
+                flat_n_global, h, "seq", stat_axes, train,
             )
-            rate_sums.append(
-                jax.lax.psum(jnp.sum(h, axis=(0, 1)), stat_axes)
-                / flat_n_global
+            rates = jnp.concatenate(rate_sums)
+        else:
+            out, ns = _ann_readout(
+                params["readout"], batch_stats.get("readout", {}), kind,
+                batch_n_global, h, "seq", stat_axes, train,
             )
-        out, ns = _pipelined_readout(
-            params["readout"], batch_stats.get("readout", {}), kind,
-            flat_n_global, h, "seq", stat_axes, train,
-        )
+            rates = jnp.zeros((1,), jnp.float32)
         if ns is not None:
             new_stats["readout"] = {"norm": {"BatchNorm_0": ns}}
-        return out, jnp.concatenate(rate_sums), new_stats
+        return out, rates, new_stats
 
     from jax import shard_map
 
@@ -304,6 +403,7 @@ def make_seqpipe_train_step(
                 train=True,
                 flat_n_global=float(x.shape[0] * x.shape[1]),
                 stat_axes=stat_axes,
+                batch_n_global=float(x.shape[0]),
             ),
             mesh=mesh,
             in_specs=(P(), P(), x_spec),
@@ -313,7 +413,7 @@ def make_seqpipe_train_step(
         out, rates, new_stats = fwd(params, batch_stats, x)
         ce = optax.softmax_cross_entropy_with_integer_labels(out, y).mean()
         loss = ce
-        if use_regularizers:
+        if use_regularizers and model.is_snn:
             loss = loss + reg_factor * (
                 jax.nn.relu(reg_fmin - rates).sum()
                 + jax.nn.relu(rates - reg_fmax).sum()
@@ -335,7 +435,7 @@ def make_seqpipe_train_step(
         metrics = {
             "loss": ce,
             "acc": jnp.mean((pred == y).astype(jnp.float32)),
-            "spike_rate": rates.mean(),
+            "spike_rate": rates.mean() if model.is_snn else jnp.zeros(()),
         }
         return new_state, metrics
 
@@ -344,12 +444,14 @@ def make_seqpipe_train_step(
 
 def _merge_stats(old, new):
     """Overlay updated running stats onto the full batch_stats tree."""
-    merged = jax.tree.map(lambda x: x, old)  # shallow copy via rebuild
-    for lname, sub in new.items():
-        merged[lname]["norm"]["BatchNorm_0"]["mean"] = (
-            sub["norm"]["BatchNorm_0"]["mean"]
-        )
-        merged[lname]["norm"]["BatchNorm_0"]["var"] = (
-            sub["norm"]["BatchNorm_0"]["var"]
-        )
+    merged = jax.tree.map(lambda x: x, old)  # fresh dicts, same leaves
+
+    def overlay(dst, src):
+        for k, v in src.items():
+            if isinstance(v, dict) and isinstance(dst.get(k), dict):
+                overlay(dst[k], v)
+            else:
+                dst[k] = v
+
+    overlay(merged, new)
     return merged

@@ -104,9 +104,46 @@ def test_seqpipe_rejects_unsupported():
     mesh = make_seq_mesh(jax.devices()[:2])
     with pytest.raises(ValueError, match="bidirectional"):
         make_seqpipe_train_step(model, mesh)
-    ann = build_model("LiGRU", (B, T, F), [H, C])
-    with pytest.raises(ValueError, match="SNN"):
-        make_seqpipe_train_step(ann, mesh)
+
+
+@pytest.mark.parametrize("ann_type", ["MLP", "RNN", "LiGRU", "GRU"])
+def test_seqpipe_ann_matches_single_device(ann_type):
+    """ANN family under the time pipeline: loss + post-update params match
+    the single-device step (4 time shards, 2 microbatches)."""
+    model = build_model(
+        ann_type, (B, T, F), [H, H, C], dropout=0.0,
+        normalization="batchnorm", cell_impl="scan",
+    )
+    x = np.random.default_rng(1).random((B, T, F)).astype(np.float32)
+    y = (np.arange(B) % C).astype(np.int64)
+    state = create_train_state(model, x, lr=1e-2, rng=jax.random.PRNGKey(0))
+    mesh = make_seq_mesh(jax.devices()[:4])
+    ref_step = make_train_step(model, donate=False)
+    pipe_step = make_seqpipe_train_step(model, mesh, n_micro=2)
+    ref_state, ref_metrics = ref_step(state, x, y)
+    xs = jax.device_put(x, seq_batch_sharding(mesh))
+    new_state, metrics = pipe_step(state, xs, y)
+    # f32 reduction-order noise (chunked + psum'd BN stats) propagates
+    # through the smooth ANN activations — slightly looser than the SNN
+    # comparisons, whose spike quantisation absorbs it
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(ref_metrics["loss"]), rtol=2e-4,
+        err_msg=ann_type,
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(new_state.params),
+        jax.tree_util.tree_leaves(ref_state.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, err_msg=ann_type
+        )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(new_state.batch_stats),
+        jax.tree_util.tree_leaves(ref_state.batch_stats),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-5, err_msg=ann_type
+        )
 
 
 def test_seqpipe_composite_data_seq_mesh():
