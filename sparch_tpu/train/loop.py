@@ -91,6 +91,14 @@ class Experiment:
         self.compute_dtype = getattr(args, "compute_dtype", "float32")
         self.profile_dir = getattr(args, "profile_dir", None)
         self.prng_impl = getattr(args, "prng_impl", "rbg")
+        self.compile_cache = getattr(args, "compile_cache", None)
+        if self.compile_cache:
+            jax.config.update(
+                "jax_compilation_cache_dir", self.compile_cache
+            )
+            jax.config.update(
+                "jax_persistent_cache_min_compile_time_secs", 1.0
+            )
         self.frontend = getattr(args, "frontend", "host")
         if self.frontend == "device" and self.dataset_name not in ("hd", "sc"):
             logging.warning(
