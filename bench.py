@@ -42,6 +42,9 @@ def _diff_time(run):
 def bench_train_step(cell_impl="scan"):
     import jax
 
+    from sparch_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     jax.config.update("jax_default_prng_impl", "rbg")
 
     from sparch_tpu.models import build_model
@@ -92,6 +95,9 @@ def bench_matmul_roofline():
     import jax
     import jax.numpy as jnp
 
+    from sparch_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 6)
     W0 = jax.random.normal(ks[0], (F, H)) * 0.02

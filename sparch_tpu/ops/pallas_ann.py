@@ -237,7 +237,10 @@ def _ann_forward(wxs, scales, shifts, vs, y0, seed, *, mode, drop_rate,
     Hp = _round_up(H, _LANE)
     Bp = _round_up(B, _SUBLANE)
     tc = _pick_tc(T)
-    bt = _tile_plan(Bp, Hp, streams=2 * m["n_wx"] + 2, tc=tc)
+    # streams must MATCH the backward's plan exactly so both kernels pick
+    # the same batch tile: the fused-dropout mask regeneration keys on the
+    # batch-tile index (same invariant as the SNN kernels' streams=4)
+    bt = _tile_plan(Bp, Hp, streams=3 * m["n_wx"] + 2, tc=tc)
     n_chunks = (T + tc - 1) // tc
 
     def pad_stream(x):
@@ -483,6 +486,8 @@ def _ann_backward(g, wxs, residuals, scales, vs, seed, *, mode, drop_rate,
     sdt = jnp.bfloat16 if mxu_bf16 else dtype  # g/dWx stream dtype
     _, Bp, Hp = y_seq.shape
     tc = _pick_tc(T)
+    # same stream count as the forward: fwd/bwd batch tiles must align
+    # for the dropout mask regeneration (see _ann_forward)
     bt = _tile_plan(Bp, Hp, streams=3 * n_wx + 2, tc=tc)
     n_chunks = (T + tc - 1) // tc
 

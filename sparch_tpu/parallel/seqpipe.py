@@ -308,6 +308,16 @@ def make_seqpipe_train_step(
         raise ValueError("bidirectional models cannot shard the time axis")
     if not model.use_readout_layer:
         raise ValueError("seq-pipeline step requires the readout layer")
+    if model.dropout > 0:
+        raise ValueError(
+            "seq-pipeline step does not implement dropout; build the "
+            "model with dropout=0"
+        )
+    if getattr(model, "state_init", "zeros") == "uniform":
+        raise ValueError(
+            "seq-pipeline step uses zero state init; build the model "
+            "with state_init='zeros'"
+        )
     is_snn = model.is_snn
     kind = model.normalization
     n_hidden = model.num_layers - 1

@@ -93,12 +93,9 @@ class Experiment:
         self.prng_impl = getattr(args, "prng_impl", "rbg")
         self.compile_cache = getattr(args, "compile_cache", None)
         if self.compile_cache:
-            jax.config.update(
-                "jax_compilation_cache_dir", self.compile_cache
-            )
-            jax.config.update(
-                "jax_persistent_cache_min_compile_time_secs", 1.0
-            )
+            from sparch_tpu.utils.cache import enable_compile_cache
+
+            enable_compile_cache(self.compile_cache)
         self.frontend = getattr(args, "frontend", "host")
         if self.frontend == "device" and self.dataset_name not in ("hd", "sc"):
             logging.warning(

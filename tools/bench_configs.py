@@ -30,6 +30,9 @@ CONFIGS = [
 def bench_one(model_type, layer_sizes, B, T, F, bidirectional):
     import jax
 
+    from sparch_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     jax.config.update("jax_default_prng_impl", "rbg")
     from sparch_tpu.models import build_model
     from sparch_tpu.train.state import create_train_state

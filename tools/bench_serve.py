@@ -17,6 +17,9 @@ T, F, H, C = 100, 700, 512, 35
 
 
 def main():
+    from sparch_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     jax.config.update("jax_default_prng_impl", "rbg")
     rng = np.random.default_rng(0)
 

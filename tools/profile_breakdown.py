@@ -23,6 +23,9 @@ def report(name, t):
 
 
 def main():
+    from sparch_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
     jax.config.update("jax_default_prng_impl", "rbg")
     ks = jax.random.split(jax.random.PRNGKey(0), 10)
     Wx = jax.random.normal(ks[0], (B, T, H))
