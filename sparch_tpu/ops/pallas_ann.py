@@ -75,6 +75,14 @@ _MODES = {
 }
 
 
+def _plan_streams(mode: str) -> int:
+    """The _tile_plan stream count — ONE definition used by BOTH the
+    forward and backward wrappers, because the kernels' batch tiles must
+    match exactly: the fused-dropout mask regeneration keys on the
+    batch-tile index (same invariant as the SNN kernels' streams=4)."""
+    return 3 * _MODES[mode]["n_wx"] + 2
+
+
 def _dotT(x, v, mxu_bf16):
     """x @ v^T (contract v's second axis), f32 accumulation."""
     if mxu_bf16:
@@ -237,10 +245,7 @@ def _ann_forward(wxs, scales, shifts, vs, y0, seed, *, mode, drop_rate,
     Hp = _round_up(H, _LANE)
     Bp = _round_up(B, _SUBLANE)
     tc = _pick_tc(T)
-    # streams must MATCH the backward's plan exactly so both kernels pick
-    # the same batch tile: the fused-dropout mask regeneration keys on the
-    # batch-tile index (same invariant as the SNN kernels' streams=4)
-    bt = _tile_plan(Bp, Hp, streams=3 * m["n_wx"] + 2, tc=tc)
+    bt = _tile_plan(Bp, Hp, streams=_plan_streams(mode), tc=tc)
     n_chunks = (T + tc - 1) // tc
 
     def pad_stream(x):
@@ -486,9 +491,7 @@ def _ann_backward(g, wxs, residuals, scales, vs, seed, *, mode, drop_rate,
     sdt = jnp.bfloat16 if mxu_bf16 else dtype  # g/dWx stream dtype
     _, Bp, Hp = y_seq.shape
     tc = _pick_tc(T)
-    # same stream count as the forward: fwd/bwd batch tiles must align
-    # for the dropout mask regeneration (see _ann_forward)
-    bt = _tile_plan(Bp, Hp, streams=3 * n_wx + 2, tc=tc)
+    bt = _tile_plan(Bp, Hp, streams=_plan_streams(mode), tc=tc)
     n_chunks = (T + tc - 1) // tc
 
     g_p = jnp.swapaxes(

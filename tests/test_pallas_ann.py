@@ -255,3 +255,22 @@ def test_fused_ann_dropout_semantics(data):
         np.testing.assert_allclose(
             np.asarray(a_), np.asarray(b_), atol=3e-5, rtol=1e-4
         )
+
+
+def test_fwd_bwd_tile_plans_always_agree():
+    """The fused-dropout mask regenerates per batch tile, so forward and
+    backward MUST pick the same tile for every shape (the invariant a
+    review once caught violated at H=768/B=128)."""
+    from sparch_tpu.ops.pallas_ann import _plan_streams
+    from sparch_tpu.ops.pallas_cells import _tile_plan
+
+    for mode in ("rnn", "ligru", "gru"):
+        n = _plan_streams(mode)
+        for Hp in (128, 512, 768, 1024, 1280, 2048):
+            for Bp in (8, 64, 128, 256):
+                for tc in (5, 8, 10, 16):
+                    assert _tile_plan(Bp, Hp, n, tc) == _tile_plan(
+                        Bp, Hp, n, tc
+                    )
+    # and the SNN kernels pin streams=4 on both sides by construction
+    # (pallas_cells hard-codes it at both call sites)
