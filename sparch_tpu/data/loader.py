@@ -96,9 +96,16 @@ class DataLoader:
         self._epoch = 0
         self._pool = None
 
+    def _drop_last(self) -> bool:
+        # Multi-host sharding REQUIRES full batches: a ragged final batch
+        # would give hosts unequal (possibly empty) slices, making the
+        # SPMD processes assemble different global shapes — a crash or
+        # hang at the end of the first epoch. Standard DDP-style drop_last.
+        return self.drop_last or self.num_shards > 1
+
     def __len__(self) -> int:
         n = len(self.dataset)
-        if self.drop_last:
+        if self._drop_last():
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
@@ -108,18 +115,19 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
             rng.shuffle(order)
-        end = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        end = (
+            (n // self.batch_size) * self.batch_size
+            if self._drop_last() else n
+        )
         per_shard = self.batch_size // self.num_shards
         for i in range(0, end, self.batch_size):
             batch = order[i : i + self.batch_size]
             if self.num_shards == 1:
                 yield batch
                 continue
-            # this host's slice of the global batch (ragged final batch:
-            # split as evenly as contiguous slicing allows)
-            lo = min(self.shard_index * per_shard, len(batch))
-            hi = min(lo + per_shard, len(batch))
-            yield batch[lo:hi]
+            # this host's slice of the (always full) global batch
+            lo = self.shard_index * per_shard
+            yield batch[lo : lo + per_shard]
 
     # per-batch wait bound: a crashed worker pool otherwise blocks get()
     # forever (observed when the spawning __main__ cannot be re-imported,
@@ -199,23 +207,44 @@ class DataLoader:
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         sentinel = object()
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            # bounded put that gives up when the consumer abandoned the
+            # epoch (otherwise the producer thread blocks on the full
+            # queue forever, leaking a thread + pinned batches per
+            # aborted iteration)
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def produce():
             try:
                 for idxs in self._batches():
-                    q.put(self.collate_fn([self.dataset[int(i)] for i in idxs]))
-            except BaseException as e:  # surface worker errors to the consumer
-                q.put(e)
+                    batch = self.collate_fn(
+                        [self.dataset[int(i)] for i in idxs]
+                    )
+                    if not put(batch):
+                        return
+            except BaseException as e:  # surface errors to the consumer
+                put(e)
             finally:
-                q.put(sentinel)
+                put(sentinel)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is sentinel:
-                break
-            if isinstance(item, BaseException):
-                raise item
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is sentinel:
+                    break
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+            t.join()
+        finally:
+            stop.set()

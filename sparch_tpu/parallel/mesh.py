@@ -26,11 +26,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = [
     "make_mesh",
     "replicate",
-    "shard_batch",
     "batch_sharding",
     "model_param_pspecs",
     "shard_state",
-    "pad_batch_to_multiple",
 ]
 
 
@@ -60,23 +58,6 @@ def replicate(tree, mesh: Mesh):
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Batch tensors are sharded on the leading (batch) axis across 'data'."""
     return NamedSharding(mesh, P("data"))
-
-
-def shard_batch(batch, mesh: Mesh):
-    """Shard each array of a batch pytree along axis 0 over the 'data' axis."""
-    return jax.device_put(batch, batch_sharding(mesh))
-
-
-def pad_batch_to_multiple(x: np.ndarray, y: np.ndarray, multiple: int):
-    """Pad a final ragged batch (and labels) up to ``multiple`` rows so the
-    per-device shard shapes stay static; returns (x, y, n_real)."""
-    n = x.shape[0]
-    if n % multiple == 0:
-        return x, y, n
-    pad = multiple - n % multiple
-    x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)], axis=0)
-    y = np.concatenate([y, np.zeros((pad,) + y.shape[1:], y.dtype)], axis=0)
-    return x, y, n
 
 
 def _pspec_for_param(path: str, shape) -> P:

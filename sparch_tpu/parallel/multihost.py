@@ -21,7 +21,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["maybe_initialize", "global_batch", "is_multihost"]
+__all__ = ["maybe_initialize", "global_batch"]
 
 _initialized = False
 
@@ -47,10 +47,6 @@ def maybe_initialize() -> bool:
             # already initialized by the launcher
             pass
         _initialized = True
-    return jax.process_count() > 1
-
-
-def is_multihost() -> bool:
     return jax.process_count() > 1
 
 

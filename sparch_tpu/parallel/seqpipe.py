@@ -449,7 +449,10 @@ def make_seqpipe_train_step(
         }
         return new_state, metrics
 
-    return jax.jit(train_step)
+    # donate the input state like train.steps.make_train_step: without it
+    # every step holds a second full copy of params + Adam moments on the
+    # very path that exists for memory-constrained long sequences
+    return jax.jit(train_step, donate_argnums=(0,))
 
 
 def _merge_stats(old, new):

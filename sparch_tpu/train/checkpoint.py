@@ -40,8 +40,14 @@ def save_checkpoint(checkpoint_dir: str, state: TrainState, meta: dict) -> None:
     }
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, tree, force=True)
-    with open(os.path.join(checkpoint_dir, _META_FILE), "w") as f:
-        json.dump(meta, f, indent=2)
+    # the Orbax save is collective, but the metadata write must not be:
+    # N hosts truncating the same file concurrently can leave partial
+    # JSON that breaks the next --auto_resume
+    if jax.process_index() == 0:
+        tmp = os.path.join(checkpoint_dir, _META_FILE + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f, indent=2)
+        os.replace(tmp, os.path.join(checkpoint_dir, _META_FILE))
 
 
 def restore_checkpoint(

@@ -382,11 +382,18 @@ class Experiment:
 
     def _eval_epoch(self, loader):
         losses, accs, rates = [], [], []
-        for x, xlens, y in loader:
+        # ONE host dispatch for the whole epoch's state-init keys: a
+        # per-batch jax.random.split would pay the tunnel dispatch
+        # latency (tens of ms) on every eval batch
+        keys = np.asarray(
+            jax.device_get(jax.random.split(self._eval_rng, len(loader) + 1))
+        )
+        self._eval_rng = keys[0]
+        for bi, (x, xlens, y) in enumerate(loader):
             if self.frontend == "device":
                 x = (x, xlens.astype(np.int32))
             x, y = self._put_batch(x, y)
-            self._eval_rng, step_rng = jax.random.split(self._eval_rng)
+            step_rng = keys[bi + 1] if bi + 1 < len(keys) else keys[-1]
             metrics = self._eval_step(self.state, x, y, step_rng)
             losses.append(metrics["loss"])
             accs.append(metrics["acc"])
@@ -457,9 +464,10 @@ class Experiment:
 
             from sparch_tpu.utils.profiling import trace
 
+            first_epoch = best_epoch + 1  # best_epoch mutates in the loop
             for e in range(best_epoch + 1, best_epoch + self.nb_epochs + 1):
                 # capture a profiler trace of the first epoch if requested
-                with trace(self.profile_dir if e == best_epoch + 1 else None):
+                with trace(self.profile_dir if e == first_epoch else None):
                     self.train_one_epoch(e)
                 best_epoch, best_acc = self.valid_one_epoch(e, best_epoch, best_acc)
 

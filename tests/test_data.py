@@ -245,3 +245,48 @@ def test_workers_match_single_process_audio(tmp_path):
                 assert x.shape[0] == len(y) == len(lens)
     finally:
         c.close()
+
+
+def test_sharded_loader_drops_ragged_final_batch(shd_folder):
+    """Multi-host sharding forces drop_last: a ragged final batch would
+    give hosts unequal (possibly empty) slices and desynchronize the
+    SPMD processes. Every yielded shard slice is exactly batch/shards."""
+    from sparch_tpu.data.spiking import SpikingDataset
+
+    ds = SpikingDataset("shd", shd_folder, "train")
+    n = len(ds)
+    bs = 10  # 12 items -> one full batch + a ragged remainder of 2
+    assert n % bs != 0
+    loaders = [
+        DataLoader(ds, bs, ds.generate_batch, shuffle=False,
+                   num_shards=2, shard_index=i)
+        for i in range(2)
+    ]
+    counts = []
+    for ld in loaders:
+        batches = list(ld)
+        assert len(batches) == n // bs == len(ld)
+        assert all(len(b[2]) == bs // 2 for b in batches)
+        counts.append(len(batches))
+    assert counts[0] == counts[1]
+
+
+def test_prefetch_producer_exits_on_abandoned_epoch(shd_folder):
+    """Breaking out of an epoch mid-iteration must not leak a producer
+    thread blocked on the bounded queue."""
+    import threading
+    import time
+
+    from sparch_tpu.data.spiking import SpikingDataset
+
+    ds = SpikingDataset("shd", shd_folder, "train")
+    loader = DataLoader(ds, 2, ds.generate_batch, prefetch=1)
+    before = threading.active_count()
+    for _ in range(3):
+        it = iter(loader)
+        next(it)
+        it.close()  # abandon mid-epoch
+    deadline = time.time() + 5.0
+    while threading.active_count() > before and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before
