@@ -365,6 +365,13 @@ class SNN(nn.Module):
     def __call__(self, x, train: bool = False):
         if self.neuron_type not in _LAYER_CLASSES:
             raise ValueError(f"Invalid neuron type {self.neuron_type}")
+        if self.use_readout_layer and len(self.layer_sizes) < 2:
+            # the reference crashes on torch.cat([]) here (snns.py:174);
+            # fail with an actionable message instead
+            raise ValueError(
+                "use_readout_layer=True needs at least one hidden layer "
+                "(nb_layers >= 2)"
+            )
 
         # Flatten 4d (B,T,F,C) -> (B,T,F*C) (reference snns.py:160-164)
         if x.ndim == 4:

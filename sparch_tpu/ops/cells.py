@@ -389,4 +389,4 @@ def cumulative_softmax(x: jax.Array) -> jax.Array:
     fused ANN cells emit bf16 streams in the bf16-MXU mode, and a bf16 sum
     over T softmaxes loses ~1e-2."""
     x32 = x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x
-    return jnp.sum(jax.nn.softmax(x32, axis=-1), axis=1).astype(x32.dtype)
+    return jnp.sum(jax.nn.softmax(x32, axis=-1), axis=1)

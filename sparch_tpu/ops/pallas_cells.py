@@ -435,10 +435,12 @@ def _forward_pallas(
     beta_p = pad_h(beta) if adaptive else jnp.zeros((1, Hp), dtype)
     a_p = pad_h(a) if adaptive else jnp.zeros((1, Hp), dtype)
     b_p = pad_h(b) if adaptive else jnp.zeros((1, Hp), dtype)
+    # non-recurrent cells never read V: a (1,1) dummy avoids building,
+    # streaming, and holding an HxH zero block resident in VMEM
     V_p = (
         jnp.pad(V.astype(dtype), ((0, Hp - H), (0, Hp - H)))
         if recurrent
-        else jnp.zeros((Hp, Hp), dtype)
+        else jnp.zeros((1, 1), dtype)
     )
     u0_p = pad_bh(u0, fill=-1e9)
     s0_p = pad_bh(s0)
@@ -474,7 +476,11 @@ def _forward_pallas(
     # free.
     tm_spec = pl.BlockSpec((tc, bt, Hp), tbh, memory_space=pltpu.VMEM)
     vec_spec = pl.BlockSpec((1, Hp), rep2, memory_space=pltpu.VMEM)
-    mat_spec = pl.BlockSpec((Hp, Hp), rep2, memory_space=pltpu.VMEM)
+    mat_spec = (
+        pl.BlockSpec((Hp, Hp), rep2, memory_space=pltpu.VMEM)
+        if recurrent
+        else pl.BlockSpec((1, 1), rep2, memory_space=pltpu.VMEM)
+    )
     state_spec = pl.BlockSpec((bt, Hp), bh, memory_space=pltpu.VMEM)
     bnd_spec = pl.BlockSpec((bt, Hp), bnd_map, memory_space=pltpu.VMEM)
 
@@ -828,7 +834,7 @@ def _backward_pallas(
     V_p = (
         jnp.pad(V.astype(dtype), ((0, Hp - H), (0, Hp - H)))
         if recurrent
-        else jnp.zeros((Hp, Hp), dtype)
+        else jnp.zeros((1, 1), dtype)  # never read (see forward)
     )
 
     grid = (Bp // bt, n_chunks)
@@ -857,7 +863,11 @@ def _backward_pallas(
     rep2 = lambda i, t: (0, 0)  # noqa: E731
     tm_spec = pl.BlockSpec((tc, bt, Hp), rev_tm, memory_space=pltpu.VMEM)
     vec_spec = pl.BlockSpec((1, Hp), rep2, memory_space=pltpu.VMEM)
-    mat_spec = pl.BlockSpec((Hp, Hp), rep2, memory_space=pltpu.VMEM)
+    mat_spec = (
+        pl.BlockSpec((Hp, Hp), rep2, memory_space=pltpu.VMEM)
+        if recurrent
+        else pl.BlockSpec((1, 1), rep2, memory_space=pltpu.VMEM)
+    )
     state_spec = pl.BlockSpec((bt, Hp), bh, memory_space=pltpu.VMEM)
     bnd_spec = pl.BlockSpec((bt, Hp), rev_bnd, memory_space=pltpu.VMEM)
 
@@ -887,7 +897,7 @@ def _backward_pallas(
         ),
         out_shape=(
             jax.ShapeDtypeStruct((T, Bp, Hp), sdt),  # dWx
-            jax.ShapeDtypeStruct((Hp, Hp), dtype),
+            jax.ShapeDtypeStruct((Hp, Hp) if recurrent else (1, 1), dtype),
             jax.ShapeDtypeStruct((1, Hp), dtype),
             jax.ShapeDtypeStruct((1, Hp), dtype),
             jax.ShapeDtypeStruct((1, Hp), dtype),
@@ -1081,7 +1091,7 @@ def adlif_pallas(Wx, alpha, beta, a, b, threshold, u0, w0, s0,
                  scale=None, shift=None, drop_rate: float = 0.0,
                  drop_seed=None):
     """Fused adLIF layer recurrence (drop-in for cells.adlif_scan)."""
-    V = jnp.zeros((Wx.shape[-1], Wx.shape[-1]), Wx.dtype)
+    V = jnp.zeros((1, 1), Wx.dtype)  # never read (non-recurrent)
     return _call_op(Wx, scale, shift, alpha, beta, a, b, V, threshold,
                     u0, w0, s0, recurrent=False, adaptive=True,
                     mxu_bf16=False, drop_rate=drop_rate,
@@ -1093,7 +1103,7 @@ def lif_pallas(Wx, alpha, threshold, u0, s0, scale=None, shift=None,
     """Fused LIF layer recurrence (drop-in for cells.lif_scan)."""
     z = jnp.zeros_like(alpha)
     zs = jnp.zeros_like(u0)
-    V = jnp.zeros((Wx.shape[-1], Wx.shape[-1]), Wx.dtype)
+    V = jnp.zeros((1, 1), Wx.dtype)  # never read (non-recurrent)
     return _call_op(Wx, scale, shift, alpha, z, z, z, V, threshold,
                     u0, zs, s0, recurrent=False, adaptive=False,
                     mxu_bf16=False, drop_rate=drop_rate,

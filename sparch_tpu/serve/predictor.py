@@ -2,8 +2,9 @@
 
 The reference has only a test-epoch loop (exp.py:469-518); this adds a
 deployment-ready predictor: one jit-compiled eval program per padded batch
-shape, deterministic zero state init by default, label/probability
-outputs, and fixed-shape padding so repeated calls never recompile.
+shape, deterministic outputs (models with ``state_init='uniform'`` get a
+fixed state key per predictor), faithful label/probability outputs, and
+fixed-shape padding so repeated calls never recompile.
 """
 from __future__ import annotations
 
@@ -24,13 +25,28 @@ class Predictor:
         labels, probs = predictor(x)          # x: (n, T, F) any n
     """
 
-    def __init__(self, model, variables, batch_size: int = 128):
+    def __init__(self, model, variables, batch_size: int = 128, seed: int = 0):
         self.model = model
         self.variables = variables
         self.batch_size = batch_size
+        # models built with state_init='uniform' (the training default,
+        # reference snns.py:286-287) need a 'state' RNG even in eval; a
+        # fixed key keeps inference deterministic call-to-call
+        rngs = (
+            {"state": jax.random.PRNGKey(seed)}
+            if getattr(model, "state_init", None) == "uniform"
+            else None
+        )
+        is_snn = getattr(model, "is_snn", False)
 
         def fwd(variables, x):
-            out, _ = model.apply(variables, x, train=False)
+            out, _ = model.apply(variables, x, train=False, rngs=rngs)
+            if is_snn:
+                # the SNN readout already emits a sum of per-step softmax
+                # posteriors (reference snns.py:808-825): normalising by
+                # its own mass IS the class probability; a second softmax
+                # would saturate on the O(T) score range
+                return out / jnp.sum(out, axis=-1, keepdims=True)
             return jax.nn.softmax(out, axis=-1)
 
         self._fwd = jax.jit(fwd)

@@ -197,3 +197,18 @@ def test_batchnorm_running_stats_update_only_in_train():
     out_flat = None  # (implicitly checked by value below)
     # eval pass does not mutate
     model.apply(variables, x, train=False)
+
+
+def test_readout_only_model_rejected():
+    """nb_layers=1 with a readout has no hidden layers; the reference
+    crashes on torch.cat([]) — we fail with an actionable message."""
+    import pytest
+
+    from sparch_tpu.models import build_model
+
+    model = build_model("LIF", (2, 5, 4), [3])
+    with pytest.raises(ValueError, match="at least one hidden layer"):
+        model.init(
+            {"params": jax.random.PRNGKey(0), "state": jax.random.PRNGKey(1)},
+            jnp.zeros((2, 5, 4)),
+        )

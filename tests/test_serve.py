@@ -36,11 +36,12 @@ def test_predictor_batching_and_padding():
     assert probs.shape == (B, C)
     np.testing.assert_allclose(probs.sum(axis=-1), np.ones(B), atol=1e-5)
 
-    # agrees with a direct full-batch forward
+    # agrees with a direct full-batch forward: the SNN readout already
+    # emits a sum of per-step softmax posteriors, so the predictor
+    # normalises by its mass rather than re-softmaxing the O(T) scores
     out, _ = model.apply(variables, x, train=False)
-    np.testing.assert_allclose(
-        np.asarray(jax.nn.softmax(out, -1)), probs, atol=1e-5
-    )
+    want = np.asarray(out) / np.asarray(out).sum(-1, keepdims=True)
+    np.testing.assert_allclose(want, probs, atol=1e-5)
 
 
 @pytest.mark.parametrize("neuron_type", ["LIF", "adLIF", "RLIF", "RadLIF"])
@@ -92,3 +93,20 @@ def test_ann_streaming_matches_batch(ann_type, normalization):
         np.asarray(out), np.asarray(out_batch), atol=2e-4,
         err_msg=f"{ann_type}/{normalization}",
     )
+
+
+def test_predictor_uniform_state_init():
+    """The training default state_init='uniform' needs a 'state' RNG even
+    in eval; the predictor supplies a fixed key (deterministic outputs)."""
+    model = build_model(
+        "LIF", (B, T, F), [16, C], dropout=0.0, state_init="uniform",
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, F))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(1), "state": jax.random.PRNGKey(2)}, x
+    )
+    pred = Predictor(model, variables, batch_size=B)
+    labels1, probs1 = pred(np.asarray(x))
+    labels2, probs2 = pred(np.asarray(x))
+    np.testing.assert_array_equal(probs1, probs2)
+    assert labels1.shape == (B,)
