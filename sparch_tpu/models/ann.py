@@ -20,7 +20,12 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from sparch_tpu.ops import cells
-from sparch_tpu.models.common import Dense, SeqNorm, bidir_concat, bidir_split
+from sparch_tpu.models.common import (
+    Dense,
+    FusedCellPolicy,
+    SeqNorm,
+    bidir_concat,
+)
 
 __all__ = [
     "ANN",
@@ -35,7 +40,10 @@ __all__ = [
 ANN_TYPES = ("MLP", "RNN", "LiGRU", "GRU")
 
 
-class _ANNLayerBase(nn.Module):
+class _ANNLayerBase(FusedCellPolicy, nn.Module):
+    """Fused-path policy (_use_pallas etc.) comes from FusedCellPolicy,
+    shared with the SNN layers."""
+
     hidden_size: int
     dropout: float = 0.0
     normalization: str = "batchnorm"
@@ -45,32 +53,6 @@ class _ANNLayerBase(nn.Module):
     bn_axis_name: Optional[str] = None
     cell_impl: str = "auto"
     mxu_precision: str = "default"
-
-    def _use_pallas(self) -> bool:
-        """Same policy as the SNN layers: fused kernels on TPU (scan in
-        interpret-unfriendly environments), scan fallback for very wide
-        layers whose V matrices don't fit VMEM."""
-        if self.cell_impl == "pallas":
-            return True
-        if self.cell_impl == "auto":
-            import jax
-
-            return (
-                jax.default_backend() == "tpu" and self.hidden_size <= 1280
-            )
-        return False
-
-    def _mxu_bf16(self) -> bool:
-        """bf16 MXU inputs for the recurrent products (f32 accumulation);
-        see _SpikingLayerBase._mxu_bf16 for the rationale."""
-        import jax
-
-        if self.compute_dtype == jnp.bfloat16:
-            return True
-        return (
-            self.mxu_precision == "default"
-            and jax.default_backend() == "tpu"
-        )
 
     def _proj(self, x, train, name):
         """Hoisted input projection + flattened-sequence norm for one gate."""
@@ -104,28 +86,6 @@ class _ANNLayerBase(nn.Module):
         if scales[0] is None:  # 'none': nothing to fold
             return wxs, None, None
         return wxs, scales, shifts
-
-    def _post(self, y, train, fused_drop: bool = False):
-        if self.bidirectional:
-            y = bidir_split(y)
-        if fused_drop:
-            return y  # dropout already applied inside the kernel
-        return nn.Dropout(self.dropout, deterministic=not train)(y)
-
-    def _fused_dropout(self, train):
-        """(drop_rate, seed) for in-kernel dropout on the fused path;
-        (0.0, None) when XLA-side nn.Dropout should run instead. Drawn
-        per element before the bidirectional split — iid, so
-        distributionally identical to split-then-dropout."""
-        if not (train and self.dropout > 0 and self._use_pallas()):
-            return 0.0, None
-        import jax
-
-        key = self.make_rng("dropout")
-        seed = jax.random.randint(
-            key, (2,), 0, jnp.iinfo(jnp.int32).max, jnp.int32
-        )
-        return float(self.dropout), seed
 
     def _V(self, name="V"):
         import jax

@@ -28,6 +28,7 @@ __all__ = [
     "Dense",
     "SeqNorm",
     "SeqNormAffine",
+    "FusedCellPolicy",
     "bidir_concat",
     "bidir_split",
 ]
@@ -201,3 +202,74 @@ def bidir_split(s: jax.Array) -> jax.Array:
     b = s.shape[0] // 2
     s_f, s_b = s[:b], s[b:]
     return jnp.concatenate([s_f, jnp.flip(s_b, axis=1)], axis=-1)
+
+
+class FusedCellPolicy:
+    """Shared fused-Pallas-path policy for the SNN and ANN layer bases.
+
+    A plain mixin (no dataclass fields): the inheriting flax module must
+    define ``hidden_size``, ``dropout``, ``bidirectional``, ``cell_impl``,
+    ``compute_dtype`` and ``mxu_precision`` fields, plus flax's
+    ``make_rng``. Keeping the pallas cutoff, the bf16-MXU policy, the
+    fused-dropout seed derivation, and the post-processing in ONE place
+    prevents the two model families drifting apart.
+    """
+
+    def _use_pallas(self) -> bool:
+        """'auto' picks the fused Pallas kernels on TPU, lax.scan
+        elsewhere (off-TPU the kernels would run interpreted — correct
+        but slow). Very wide layers fall back to scan: the kernels keep
+        V (and the adjoint products) resident in VMEM, which caps H at
+        ~1.3k for f32."""
+        if self.cell_impl == "pallas":
+            return True
+        if self.cell_impl == "auto":
+            import jax
+
+            return (
+                jax.default_backend() == "tpu" and self.hidden_size <= 1280
+            )
+        return False
+
+    def _mxu_bf16(self) -> bool:
+        """bf16 inputs for the MXU products inside the fused kernels
+        (f32 accumulation via preferred_element_type).
+
+        ``mxu_precision='default'`` matches XLA's default matmul
+        precision on TPU — every ``jnp.dot`` in the scan path and the
+        hoisted projections already feeds the MXU bf16-truncated inputs
+        unless the user raises ``jax.default_matmul_precision`` — and
+        the reference itself trains with torch's TF32-by-default CUDA
+        matmuls. ``'highest'`` keeps full-f32 (multi-pass) products."""
+        import jax
+
+        if self.compute_dtype == jnp.bfloat16:
+            return True
+        return (
+            self.mxu_precision == "default"
+            and jax.default_backend() == "tpu"
+        )
+
+    def _fused_dropout(self, train):
+        """(drop_rate, seed) for the in-kernel dropout on the fused path;
+        (0.0, None) when XLA-side nn.Dropout should run instead. The mask
+        is drawn per element before the bidirectional split — iid, so
+        distributionally identical to the reference's split-then-dropout
+        order."""
+        if not (train and self.dropout > 0 and self._use_pallas()):
+            return 0.0, None
+        import jax
+
+        key = self.make_rng("dropout")
+        seed = jax.random.randint(
+            key, (2,), 0, jnp.iinfo(jnp.int32).max, jnp.int32
+        )
+        return float(self.dropout), seed
+
+    def _post(self, out, train, fused_drop: bool = False):
+        """Bidirectional re-merge + (unless fused in-kernel) dropout."""
+        if self.bidirectional:
+            out = bidir_split(out)
+        if fused_drop:
+            return out  # dropout already applied inside the kernel
+        return nn.Dropout(self.dropout, deterministic=not train)(out)

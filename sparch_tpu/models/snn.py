@@ -31,10 +31,10 @@ import jax.numpy as jnp
 from sparch_tpu.ops import cells
 from sparch_tpu.models.common import (
     Dense,
+    FusedCellPolicy,
     SeqNorm,
     SeqNormAffine,
     bidir_concat,
-    bidir_split,
     uniform_range_init,
 )
 
@@ -51,8 +51,10 @@ __all__ = [
 SNN_NEURON_TYPES = ("LIF", "adLIF", "RLIF", "RadLIF")
 
 
-class _SpikingLayerBase(nn.Module):
-    """Shared scaffolding: bidir trick, hoisted matmul, norm, cell, dropout."""
+class _SpikingLayerBase(FusedCellPolicy, nn.Module):
+    """Shared scaffolding: bidir trick, hoisted matmul, norm, cell,
+    dropout. The fused-path policy (_use_pallas/_mxu_bf16/_fused_dropout/
+    _post) comes from FusedCellPolicy, shared with the ANN layers."""
 
     hidden_size: int
     threshold: float = 1.0
@@ -65,41 +67,6 @@ class _SpikingLayerBase(nn.Module):
     compute_dtype: Optional[jnp.dtype] = None
     bn_axis_name: Optional[str] = None
     mxu_precision: str = "default"
-
-    def _mxu_bf16(self) -> bool:
-        """bf16 inputs for the MXU multiplies inside the fused kernels
-        (f32 accumulation via preferred_element_type).
-
-        ``mxu_precision='default'`` matches XLA's default matmul precision
-        on TPU — every ``jnp.dot`` in the scan path and in the hoisted
-        projections already feeds the MXU bf16-truncated inputs unless the
-        user raises ``jax.default_matmul_precision`` — and the reference
-        itself trains with torch 1.12's TF32-by-default CUDA matmuls.
-        Spikes are exactly representable in bf16; V truncation costs ~1e-3
-        relative error on the recurrent drive / adjoint matmuls.
-        ``mxu_precision='highest'`` keeps full-f32 (3-pass) MXU products.
-        """
-        if self.compute_dtype == jnp.bfloat16:
-            return True
-        return (
-            self.mxu_precision == "default"
-            and jax.default_backend() == "tpu"
-        )
-
-    def _use_pallas(self) -> bool:
-        """'auto' picks the fused Pallas kernels on TPU, lax.scan elsewhere
-        (off-TPU the kernels would run interpreted — correct but slow).
-        Very wide layers fall back to scan: the kernels keep V (and V^T in
-        the backward) resident in VMEM, which caps H at ~1.3k for f32."""
-        if self.cell_impl == "pallas":
-            return True
-        if self.cell_impl == "auto":
-            import jax as _jax
-
-            return (
-                _jax.default_backend() == "tpu" and self.hidden_size <= 1280
-            )
-        return False
 
     def _fold_norm(self) -> bool:
         """On the fused-kernel path, batchnorm/none are folded into the
@@ -127,27 +94,6 @@ class _SpikingLayerBase(nn.Module):
         Wx = SeqNorm(self.normalization, use_running_average=not train,
                      axis_name=self.bn_axis_name, name="norm")(Wx)
         return Wx, None, None
-
-    def _fused_dropout(self, train):
-        """(drop_rate, seed) for the in-kernel dropout on the fused path;
-        (0.0, None) when XLA-side nn.Dropout should run instead. The mask
-        is drawn per element before the bidirectional split — iid, so
-        distributionally identical to the reference's split-then-dropout
-        order."""
-        if not (train and self.dropout > 0 and self._use_pallas()):
-            return 0.0, None
-        key = self.make_rng("dropout")
-        seed = jax.random.randint(
-            key, (2,), 0, jnp.iinfo(jnp.int32).max, jnp.int32
-        )
-        return float(self.dropout), seed
-
-    def _post(self, s, train, fused_drop: bool = False):
-        if self.bidirectional:
-            s = bidir_split(s)
-        if fused_drop:
-            return s  # dropout already applied inside the kernel
-        return nn.Dropout(self.dropout, deterministic=not train)(s)
 
     def _init_states(self, Wx, n):
         shape = (Wx.shape[0], Wx.shape[2])
