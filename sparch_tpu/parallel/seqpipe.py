@@ -41,7 +41,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from sparch_tpu.ops import cells
 from sparch_tpu.ops.surrogate import spike_boxcar
 
-__all__ = ["make_seq_mesh", "seq_batch_sharding", "make_seqpipe_train_step"]
+__all__ = [
+    "make_seq_mesh",
+    "seq_batch_sharding",
+    "make_seqpipe_train_step",
+    "make_seqpipe_eval_step",
+]
 
 _EPS = 1e-5
 
@@ -286,7 +291,7 @@ def _ann_readout(p, stats, kind, batch_n_global, h, axis, stat_axes,
     return _norm(kind, p, stats, batch_n_global, out, batch_axes, train)
 
 
-def make_seqpipe_train_step(
+def _build_seqpipe(
     model,
     mesh: Mesh,
     n_micro: int = 4,
@@ -295,8 +300,8 @@ def make_seqpipe_train_step(
     reg_fmin: float = 0.01,
     reg_fmax: float = 0.5,
 ):
-    """Build a train step whose forward runs time-sharded over ``mesh``'s
-    ``seq`` axis with pipelined recurrences.
+    """Build the (train, eval) step pair whose forwards run time-sharded
+    over ``mesh``'s ``seq`` axis with pipelined recurrences.
 
     Same contract as ``train.steps.make_train_step`` (state, x, y) ->
     (state, metrics), with x placed via :func:`seq_batch_sharding`.
@@ -449,10 +454,45 @@ def make_seqpipe_train_step(
         }
         return new_state, metrics
 
+    def eval_step(state, x, y):
+        fwd = shard_map(
+            functools.partial(
+                forward_local,
+                train=False,  # running BN statistics, no stat updates
+                flat_n_global=float(x.shape[0] * x.shape[1]),
+                stat_axes=stat_axes,
+                batch_n_global=float(x.shape[0]),
+            ),
+            mesh=mesh,
+            in_specs=(P(), P(), x_spec),
+            out_specs=(out_spec, P(), P()),
+            check_vma=False,
+        )
+        out, rates, _ = fwd(state.params, state.batch_stats, x)
+        ce = optax.softmax_cross_entropy_with_integer_labels(out, y).mean()
+        pred = jnp.argmax(out, axis=-1)
+        return {
+            "loss": ce,
+            "acc": jnp.mean((pred == y).astype(jnp.float32)),
+            "spike_rate": rates.mean() if model.is_snn else jnp.zeros(()),
+        }
+
     # donate the input state like train.steps.make_train_step: without it
     # every step holds a second full copy of params + Adam moments on the
     # very path that exists for memory-constrained long sequences
-    return jax.jit(train_step, donate_argnums=(0,))
+    return jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step)
+
+
+def make_seqpipe_train_step(model, mesh: Mesh, n_micro: int = 4, **kw):
+    """Time-pipelined train step; see :func:`_build_seqpipe`."""
+    return _build_seqpipe(model, mesh, n_micro, **kw)[0]
+
+
+def make_seqpipe_eval_step(model, mesh: Mesh, n_micro: int = 4):
+    """Time-pipelined eval step: ``(state, x, y) -> metrics`` with
+    running BatchNorm statistics (the eval counterpart of
+    :func:`make_seqpipe_train_step`)."""
+    return _build_seqpipe(model, mesh, n_micro)[1]
 
 
 def _merge_stats(old, new):

@@ -176,3 +176,24 @@ def test_seqpipe_composite_data_seq_mesh():
         jax.tree_util.tree_leaves(ref_state.batch_stats),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_seqpipe_eval_step_matches_single_device():
+    """Pipelined eval (running BN stats) matches make_eval_step."""
+    from sparch_tpu.parallel.seqpipe import make_seqpipe_eval_step
+    from sparch_tpu.train.steps import make_eval_step
+
+    model, state, mesh, x, y = _build("RadLIF", "batchnorm", 4)
+    # one train step first so the running stats are non-trivial
+    state, _ = make_train_step(model, donate=False)(state, x, y)
+    ref_eval = make_eval_step(model)
+    ref_metrics = ref_eval(state, x, y, jax.random.PRNGKey(0))
+    pipe_eval = make_seqpipe_eval_step(model, mesh, n_micro=2)
+    xs = jax.device_put(x, seq_batch_sharding(mesh))
+    metrics = pipe_eval(state, xs, y)
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(metrics["acc"]), float(ref_metrics["acc"]), rtol=1e-6
+    )
