@@ -2,8 +2,11 @@
 """Experiment runner CLI (drop-in parity with the reference run_exp.py).
 
 Run ``python run_exp.py -h`` for the full flag surface: the reference's 26
-flags plus TPU-native extensions (--seed, --state_init, --cell_impl,
---compute_dtype, --mesh_model, --pad_multiple).
+flags (same names, choices, and defaults) plus the TPU-native extensions
+--threshold, --nb_steps, --seed, --state_init, --cell_impl,
+--compute_dtype, --mxu_precision, --mesh_model, --pad_multiple,
+--workers, --frontend, --prng_impl, --compile_cache, --profile_dir and
+--auto_resume (none of which exist in the reference CLI).
 """
 import argparse
 import logging

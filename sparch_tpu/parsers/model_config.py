@@ -18,6 +18,8 @@ _MODEL_OPTION_KEYS = [
     "normalization",
     "use_bias",
     "bidirectional",
+    # TPU-native extensions
+    "threshold",
 ]
 
 

@@ -32,6 +32,22 @@ _TRAINING_OPTION_KEYS = [
     "reg_fmin",
     "reg_fmax",
     "use_augm",
+    # TPU-native extensions — logged too, so a run can be reconstructed
+    # from <exp>/log/exp.log alone
+    "nb_steps",
+    "seed",
+    "state_init",
+    "cell_impl",
+    "compute_dtype",
+    "mxu_precision",
+    "mesh_model",
+    "pad_multiple",
+    "workers",
+    "frontend",
+    "prng_impl",
+    "compile_cache",
+    "profile_dir",
+    "auto_resume",
 ]
 
 

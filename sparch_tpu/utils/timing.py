@@ -29,17 +29,39 @@ import jax.numpy as jnp
 __all__ = ["time_fn"]
 
 
+def _tiny_for(dtype):
+    # below any real value's ULP (no value change) but not flushed to
+    # zero in the target dtype (f16's min normal is ~6e-8; 1e-30 there
+    # would constant-fold the perturbation away)
+    return 1e-7 if dtype == jnp.float16 else 1e-30
+
+
 def _build_loop(fn, args, iters):
+    # Serialise iterations by perturbing the smallest TOP-LEVEL floating
+    # array argument (usually the data input, which the whole computation
+    # is downstream of). Callers must pass that array as a direct
+    # positional arg — inputs hidden inside pytrees are not threaded.
+    # (A variant that perturbed every pytree leaf was tried and measurably
+    # CHANGED what the compiled loop measures — the bench roofline dropped
+    # ~30% — so the exact known-good formulation is kept.)
     float_idx = [
         i
         for i, a in enumerate(args)
         if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating)
     ]
-    target = min(float_idx, key=lambda i: args[i].size) if float_idx else None
+    if not float_idx:
+        raise ValueError(
+            "time_fn needs at least one floating-point array as a direct "
+            "positional argument to thread the loop token through "
+            "(otherwise XLA hoists the body out of the timing loop)"
+        )
+    target = min(float_idx, key=lambda i: args[i].size)
 
     def body(i, tok):
         perturbed = [
-            a + tok * 1e-30 if j == target else a for j, a in enumerate(args)
+            a + (tok * _tiny_for(a.dtype)).astype(a.dtype)
+            if j == target else a
+            for j, a in enumerate(args)
         ]
         out = fn(*perturbed)
         acc = tok

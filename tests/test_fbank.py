@@ -11,29 +11,9 @@ import pytest
 
 from sparch_tpu.ops import fbank as fb
 
-from .kaldi_fbank_oracle import oracle_fbank
+from .kaldi_fbank_oracle import golden_signals, oracle_fbank
 
 
-def golden_signals():
-    """Diverse waveforms for oracle/golden comparisons (float in [-1, 1],
-    16 kHz). Shared with tools/gen_fbank_goldens.py."""
-    sr = 16000
-    t = np.arange(sr) / sr
-    rng = np.random.default_rng(1234)
-    speechish = (
-        0.4 * np.sin(2 * np.pi * 180 * t) * (0.6 + 0.4 * np.sin(2 * np.pi * 3 * t))
-        + 0.2 * np.sin(2 * np.pi * 720 * t)
-        + 0.05 * rng.standard_normal(sr)
-    )
-    chirp = 0.5 * np.sin(2 * np.pi * (200 * t + 1900 * t**2))
-    return {
-        "tone_1k": (0.5 * np.sin(2 * np.pi * 1000 * t)).astype(np.float32),
-        "tone_7k": (0.3 * np.sin(2 * np.pi * 7000 * t)).astype(np.float32),
-        "noise": rng.uniform(-0.8, 0.8, sr).astype(np.float32),
-        "speechish": np.clip(speechish, -1, 1).astype(np.float32),
-        "chirp": chirp.astype(np.float32),
-        "short_clip": rng.uniform(-0.5, 0.5, 450).astype(np.float32),
-    }
 
 
 @pytest.mark.parametrize("name", sorted(golden_signals()))

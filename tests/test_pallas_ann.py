@@ -257,20 +257,29 @@ def test_fused_ann_dropout_semantics(data):
         )
 
 
-def test_fwd_bwd_tile_plans_always_agree():
+def test_fwd_bwd_tile_plans_agree_by_construction():
     """The fused-dropout mask regenerates per batch tile, so forward and
     backward MUST pick the same tile for every shape (the invariant a
-    review once caught violated at H=768/B=128)."""
-    from sparch_tpu.ops.pallas_ann import _plan_streams
-    from sparch_tpu.ops.pallas_cells import _tile_plan
+    review once caught violated at H=768/B=128, where only the backward's
+    plan shrank the tile). Guarded at the source level: every _tile_plan
+    call in the ANN kernels must draw its stream count from the single
+    _plan_streams definition, and the SNN kernels must pin the same
+    literal on both sides."""
+    import inspect
+    import re
 
-    for mode in ("rnn", "ligru", "gru"):
-        n = _plan_streams(mode)
-        for Hp in (128, 512, 768, 1024, 1280, 2048):
-            for Bp in (8, 64, 128, 256):
-                for tc in (5, 8, 10, 16):
-                    assert _tile_plan(Bp, Hp, n, tc) == _tile_plan(
-                        Bp, Hp, n, tc
-                    )
-    # and the SNN kernels pin streams=4 on both sides by construction
-    # (pallas_cells hard-codes it at both call sites)
+    from sparch_tpu.ops import pallas_ann, pallas_cells
+
+    ann_src = inspect.getsource(pallas_ann)
+    ann_calls = re.findall(r"_tile_plan\(Bp, Hp, streams=([^,]+), tc=tc\)",
+                           ann_src)
+    assert len(ann_calls) == 2, ann_calls  # forward + backward
+    assert all(c == "_plan_streams(mode)" for c in ann_calls), ann_calls
+
+    snn_src = inspect.getsource(pallas_cells)
+    snn_calls = re.findall(r"_tile_plan\(Bp, Hp, streams=(\d+), tc=tc\)",
+                           snn_src)
+    # cell fwd/bwd pair must match; the readout pair likewise
+    assert len(snn_calls) == 4, snn_calls
+    assert snn_calls[0] == snn_calls[1], snn_calls  # cell fwd == cell bwd
+    assert snn_calls[2] == snn_calls[3], snn_calls  # readout fwd == bwd

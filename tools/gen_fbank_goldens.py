@@ -2,7 +2,9 @@
 """Generate torchaudio-kaldi fbank golden fixtures into tests/data/.
 
 Run this wherever torchaudio IS installed (it cannot be installed in the
-zero-egress build image) and commit the resulting
+zero-egress build image) — only numpy + torch/torchaudio are needed (the
+signal table lives in the dependency-light tests/kaldi_fbank_oracle.py,
+not the pytest/jax-importing test module) — and commit the resulting
 ``tests/data/fbank_golden.npz``; ``tests/test_fbank.py`` picks it up
 automatically and pins ``fbank_np`` against the true oracle. Until then
 the suite validates against the independent clean-room float64 oracle
@@ -14,7 +16,7 @@ import sys
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-from tests.test_fbank import golden_signals  # noqa: E402
+from tests.kaldi_fbank_oracle import golden_signals  # noqa: E402
 
 
 def main():

@@ -104,7 +104,7 @@ def run_reference(args):
         sched.step(acc)
         print(f"[reference] epoch {e+1}: test acc {acc:.4f} "
               f"({time.time()-t0:.1f}s)", flush=True)
-    return evaluate()
+    return acc  # last epoch's evaluation — no redundant extra test pass
 
 
 def run_ours(args):

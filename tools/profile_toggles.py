@@ -15,11 +15,11 @@ from sparch_tpu.utils.timing import time_fn
 B, T, F, H, C = 128, 100, 700, 512, 35
 
 
-def step_time(**kw):
+def step_time(model_type="RadLIF", **kw):
     defaults = dict(dropout=0.1, normalization="batchnorm",
                     state_init="uniform", use_readout_layer=True)
     defaults.update(kw)
-    model = build_model("RadLIF", (B, T, F), [H, H, C], **defaults)
+    model = build_model(model_type, (B, T, F), [H, H, C], **defaults)
     ks = jax.random.split(jax.random.PRNGKey(0), 3)
     x = (jax.random.uniform(ks[0], (B, T, F)) < 0.02).astype(jnp.float32)
     y = jnp.arange(B) % C
@@ -40,22 +40,12 @@ def main():
         ("no dropout", dict(dropout=0.0)),
         ("no norm", dict(normalization="none")),
         ("zeros state init", dict(state_init="zeros")),
-        ("LIF instead of RadLIF", {}),
+        # parameterized through the SAME harness as every other row
+        # (a copy-pasted variant here once timed only the loss, letting
+        # XLA dead-code-eliminate the whole backward pass)
+        ("LIF instead of RadLIF", dict(model_type="LIF")),
     ]:
-        if name == "LIF instead of RadLIF":
-            model_kw = {}
-            import sparch_tpu.models as M
-            m = M.build_model("LIF", (B, T, F), [H, H, C], dropout=0.1,
-                              normalization="batchnorm", state_init="uniform")
-            ks = jax.random.split(jax.random.PRNGKey(0), 3)
-            x = (jax.random.uniform(ks[0], (B, T, F)) < 0.02).astype(jnp.float32)
-            y = jnp.arange(B) % C
-            state = create_train_state(m, x, lr=1e-2, rng=ks[1])
-            step = make_train_step(m, donate=False)
-            t = time_fn(lambda x: step(state, x, y)[1]["loss"], x,
-                        iters=32, repeats=4)
-        else:
-            t = step_time(**kw)
+        t = step_time(**kw)
         print(f"{name:28s}: {t*1e3:8.3f} ms", flush=True)
 
 
