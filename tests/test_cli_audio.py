@@ -128,3 +128,26 @@ def test_device_frontend_matches_host_pipeline(sc_folder):
     np.testing.assert_allclose(
         np.asarray(out_dev), np.asarray(out_host), atol=2e-2, rtol=1e-3
     )
+
+
+def test_sc_bidirectional_device_frontend(sc_folder, tmp_path):
+    """The SC flagship shape: bidirectional RadLIF with the on-device
+    fbank frontend and augmentation — full train/valid/test flow."""
+    e = run_exp.main(
+        [
+            "--dataset_name", "sc",
+            "--data_folder", sc_folder,
+            "--new_exp_folder", str(tmp_path / "exp_sc_bdir_dev"),
+            "--model_type", "RadLIF",
+            "--nb_layers", "2",
+            "--nb_hiddens", "12",
+            "--batch_size", "4",
+            "--nb_epochs", "1",
+            "--bidirectional", "true",
+            "--use_augm", "true",
+            "--pdrop", "0.1",
+            "--pad_multiple", "20",
+            "--frontend", "device",
+        ]
+    )
+    assert 0.0 <= e.test_acc <= 1.0
