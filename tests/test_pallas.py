@@ -411,3 +411,62 @@ def test_fused_dropout_gradients_match_masked_oracle():
             np.asarray(x), np.asarray(y), atol=1e-4, rtol=1e-5,
             err_msg=f"fused-dropout grad {name}",
         )
+
+
+def test_prime_T_tail_chunk(data):
+    """T=19 -> tc=8 with a 3-step tail: the out-of-bounds sanitisation
+    in both kernels (dead when tc | T) must keep values and every
+    gradient exact vs the scan."""
+    ks = jax.random.split(jax.random.PRNGKey(21), 7)
+    Bp_, Tp_, Hp_ = 8, 19, 24
+    Wx = jax.random.normal(ks[0], (Bp_, Tp_, Hp_)) * 2.0
+    alpha = jax.random.uniform(ks[1], (Hp_,), minval=0.82, maxval=0.95)
+    beta = jax.random.uniform(ks[2], (Hp_,), minval=0.97, maxval=0.99)
+    a = jax.random.uniform(ks[3], (Hp_,), minval=-1, maxval=1)
+    b = jax.random.uniform(ks[4], (Hp_,), minval=0, maxval=2)
+    V = jax.random.orthogonal(ks[5], Hp_)
+    z = jnp.zeros((Bp_, Hp_))
+    sc = 1.0 + 0.1 * jax.random.normal(ks[6], (Hp_,))
+    sh = jnp.zeros((Hp_,))
+
+    from sparch_tpu.ops.pallas_cells import _pick_tc
+
+    assert Tp_ % _pick_tc(Tp_) != 0  # really exercises the tail
+
+    def scan_fn(Wx, V):
+        return cells.radlif_scan(
+            sc * Wx + sh, alpha, beta, a, b, V, 1.0, z, z, z
+        )
+
+    def pallas_fn(Wx, V):
+        return pallas_cells.radlif_pallas(
+            Wx, alpha, beta, a, b, V, 1.0, z, z, z, scale=sc, shift=sh
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(pallas_fn(Wx, V)), np.asarray(scan_fn(Wx, V)), atol=1e-5
+    )
+
+    def loss(fn):
+        return lambda Wx, V: (
+            fn(Wx, V) * jnp.arange(Hp_, dtype=jnp.float32)
+        ).sum()
+
+    gs = jax.grad(loss(scan_fn), argnums=(0, 1))(Wx, V)
+    gp = jax.grad(loss(pallas_fn), argnums=(0, 1))(Wx, V)
+    for s_, p_ in zip(gs, gp):
+        np.testing.assert_allclose(
+            np.asarray(p_), np.asarray(s_), atol=2e-4, rtol=1e-4
+        )
+
+    # fused dropout across the tail: deterministic + raw-value set
+    seed = jnp.array([5, 9], jnp.int32)
+    d1 = pallas_cells.radlif_pallas(
+        Wx, alpha, beta, a, b, V, 1.0, z, z, z,
+        drop_rate=0.3, drop_seed=seed,
+    )
+    d2 = pallas_cells.radlif_pallas(
+        Wx, alpha, beta, a, b, V, 1.0, z, z, z,
+        drop_rate=0.3, drop_seed=seed,
+    )
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))

@@ -283,3 +283,37 @@ def test_fwd_bwd_tile_plans_agree_by_construction():
     assert len(snn_calls) == 4, snn_calls
     assert snn_calls[0] == snn_calls[1], snn_calls  # cell fwd == cell bwd
     assert snn_calls[2] == snn_calls[3], snn_calls  # readout fwd == bwd
+
+
+def test_prime_T_tail_chunk_ann():
+    """T=19 -> tc=8 with a 3-step tail (dead when tc | T): LiGRU values
+    and gradients must stay exact vs the scan through the sanitised
+    out-of-bounds steps."""
+    from sparch_tpu.ops.pallas_cells import _pick_tc
+
+    ks = jax.random.split(jax.random.PRNGKey(23), 5)
+    Bq, Tq, Hq = 8, 19, 24
+    assert Tq % _pick_tc(Tq) != 0
+    Wx = jax.random.normal(ks[0], (Bq, Tq, Hq)) * 0.8
+    Wzx = jax.random.normal(ks[1], (Bq, Tq, Hq)) * 0.8
+    V = jax.random.orthogonal(ks[2], Hq)
+    Vz = jax.random.orthogonal(ks[3], Hq)
+    y0 = jax.random.uniform(ks[4], (Bq, Hq))
+
+    want = cells.ligru_scan(Wx, Wzx, V, Vz, y0)
+    got = pallas_ann.ligru_pallas(Wx, Wzx, V, Vz, y0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def loss(fn):
+        return lambda *a: (fn(*a) * jnp.arange(Hq, dtype=jnp.float32)).sum()
+
+    gs = jax.grad(loss(cells.ligru_scan), argnums=(0, 1, 2, 3))(
+        Wx, Wzx, V, Vz, y0
+    )
+    gp = jax.grad(loss(pallas_ann.ligru_pallas), argnums=(0, 1, 2, 3))(
+        Wx, Wzx, V, Vz, y0
+    )
+    for s_, p_ in zip(gs, gp):
+        np.testing.assert_allclose(
+            np.asarray(p_), np.asarray(s_), atol=3e-5, rtol=1e-4
+        )
