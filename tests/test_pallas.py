@@ -470,3 +470,61 @@ def test_prime_T_tail_chunk(data):
         drop_rate=0.3, drop_seed=seed,
     )
     np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+
+def test_multiple_batch_tiles(data):
+    """B=136 -> Bp=136, bt=8 (17 batch tiles): exercises the cross-tile
+    accumulator paths (dV/dalpha init at tile 0 only, += across tiles)
+    and per-tile dropout keying that single-tile shapes never hit."""
+    from sparch_tpu.ops.pallas_cells import _round_up, _tile_plan, _pick_tc
+
+    ks = jax.random.split(jax.random.PRNGKey(31), 6)
+    Bq, Tq, Hq = 136, 12, 24
+    Bp_ = _round_up(Bq, 8)
+    tc = _pick_tc(Tq)
+    assert Bp_ // _tile_plan(Bp_, _round_up(Hq, 128), 4, tc) > 1
+
+    Wx = jax.random.normal(ks[0], (Bq, Tq, Hq)) * 2.0
+    alpha = jax.random.uniform(ks[1], (Hq,), minval=0.82, maxval=0.95)
+    beta = jax.random.uniform(ks[2], (Hq,), minval=0.97, maxval=0.99)
+    a = jax.random.uniform(ks[3], (Hq,), minval=-1, maxval=1)
+    b = jax.random.uniform(ks[4], (Hq,), minval=0, maxval=2)
+    V = jax.random.orthogonal(ks[5], Hq)
+    z = jnp.zeros((Bq, Hq))
+
+    def scan_fn(Wx, V):
+        return cells.radlif_scan(Wx, alpha, beta, a, b, V, 1.0, z, z, z)
+
+    def pallas_fn(Wx, V):
+        return pallas_cells.radlif_pallas(
+            Wx, alpha, beta, a, b, V, 1.0, z, z, z
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(pallas_fn(Wx, V)), np.asarray(scan_fn(Wx, V)), atol=1e-5
+    )
+
+    def loss(fn):
+        return lambda Wx, V: (
+            fn(Wx, V) * jnp.arange(Hq, dtype=jnp.float32)
+        ).sum()
+
+    gs = jax.grad(loss(scan_fn), argnums=(0, 1))(Wx, V)
+    gp = jax.grad(loss(pallas_fn), argnums=(0, 1))(Wx, V)
+    for s_, p_ in zip(gs, gp):
+        np.testing.assert_allclose(
+            np.asarray(p_), np.asarray(s_), atol=2e-4, rtol=1e-4
+        )
+
+    # fused dropout keys on the batch-tile index: deterministic repeat,
+    # and different tiles draw different masks
+    seed = jnp.array([3, 11], jnp.int32)
+    d1 = pallas_cells.radlif_pallas(
+        Wx, alpha, beta, a, b, V, 1.0, z, z, z,
+        drop_rate=0.4, drop_seed=seed,
+    )
+    d2 = pallas_cells.radlif_pallas(
+        Wx, alpha, beta, a, b, V, 1.0, z, z, z,
+        drop_rate=0.4, drop_seed=seed,
+    )
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
