@@ -413,7 +413,33 @@ def test_fused_dropout_gradients_match_masked_oracle():
         )
 
 
-def test_prime_T_tail_chunk(data):
+
+
+def _reconstruct_keep(Bq, Tq, Hq, seed, drop_rate):
+    """Rebuild the fused-dropout keep mask OUTSIDE the kernel from the
+    same hash the interpret path uses (per batch-tile, per step), giving
+    a position-exact oracle — spike outputs can be 0 for kept positions,
+    so the mask cannot be recovered from outputs alone."""
+    from sparch_tpu.ops.pallas_cells import (
+        _keep_u32, _pick_tc, _random_keep, _round_up, _tile_plan,
+    )
+
+    Bp = _round_up(Bq, 8)
+    Hp = _round_up(Hq, 128)
+    tc = _pick_tc(Tq)
+    bt = _tile_plan(Bp, Hp, streams=4, tc=tc)
+    ku = _keep_u32(drop_rate)
+    mask = np.zeros((Bp, Tq, Hp), bool)
+    for tile in range(Bp // bt):
+        for t in range(Tq):
+            blk = _random_keep(
+                (bt, Hp), seed[0], seed[1], tile, t, ku, use_hw_prng=False
+            )
+            mask[tile * bt : (tile + 1) * bt, t] = np.asarray(blk)
+    return mask[:Bq, :, :Hq]
+
+
+def test_prime_T_tail_chunk():
     """T=19 -> tc=8 with a 3-step tail: the out-of-bounds sanitisation
     in both kernels (dead when tc | T) must keep values and every
     gradient exact vs the scan."""
@@ -459,20 +485,51 @@ def test_prime_T_tail_chunk(data):
             np.asarray(p_), np.asarray(s_), atol=2e-4, rtol=1e-4
         )
 
-    # fused dropout across the tail: deterministic + raw-value set
+    # fused dropout across the tail: values AND gradients must equal the
+    # explicit-mask oracle built from the kernel's own hash (the backward
+    # regenerates masks per (tile, step) — wrong tail indexing would
+    # corrupt the adjoints)
     seed = jnp.array([5, 9], jnp.int32)
+    p_ = 0.3
+    mask = jnp.asarray(_reconstruct_keep(Bp_, Tp_, Hp_, [5, 9], p_))
+    raw = pallas_cells.radlif_pallas(
+        Wx, alpha, beta, a, b, V, 1.0, z, z, z
+    )
     d1 = pallas_cells.radlif_pallas(
         Wx, alpha, beta, a, b, V, 1.0, z, z, z,
-        drop_rate=0.3, drop_seed=seed,
+        drop_rate=p_, drop_seed=seed,
     )
-    d2 = pallas_cells.radlif_pallas(
-        Wx, alpha, beta, a, b, V, 1.0, z, z, z,
-        drop_rate=0.3, drop_seed=seed,
+    np.testing.assert_allclose(
+        np.asarray(d1),
+        np.asarray(jnp.where(mask, raw / (1.0 - p_), 0.0)),
+        atol=1e-6,
     )
-    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+    def loss_fused(Wx, V):
+        d = pallas_cells.radlif_pallas(
+            Wx, alpha, beta, a, b, V, 1.0, z, z, z,
+            drop_rate=p_, drop_seed=seed,
+        )
+        return (d * jnp.arange(Hp_, dtype=jnp.float32)).sum()
+
+    def loss_oracle(Wx, V):
+        r = pallas_cells.radlif_pallas(
+            Wx, alpha, beta, a, b, V, 1.0, z, z, z
+        )
+        return (
+            jnp.where(mask, r / (1.0 - p_), 0.0)
+            * jnp.arange(Hp_, dtype=jnp.float32)
+        ).sum()
+
+    gf = jax.grad(loss_fused, argnums=(0, 1))(Wx, V)
+    go = jax.grad(loss_oracle, argnums=(0, 1))(Wx, V)
+    for f_, o_ in zip(gf, go):
+        np.testing.assert_allclose(
+            np.asarray(f_), np.asarray(o_), atol=2e-4, rtol=1e-4
+        )
 
 
-def test_multiple_batch_tiles(data):
+def test_multiple_batch_tiles():
     """B=136 -> Bp=136, bt=8 (17 batch tiles): exercises the cross-tile
     accumulator paths (dV/dalpha init at tile 0 only, += across tiles)
     and per-tile dropout keying that single-tile shapes never hit."""
@@ -516,15 +573,41 @@ def test_multiple_batch_tiles(data):
             np.asarray(p_), np.asarray(s_), atol=2e-4, rtol=1e-4
         )
 
-    # fused dropout keys on the batch-tile index: deterministic repeat,
-    # and different tiles draw different masks
+    # fused dropout keys on the batch-tile index: the dropped output must
+    # equal the explicit-mask oracle across ALL tiles (fwd + grads), and
+    # different tiles must draw different masks
     seed = jnp.array([3, 11], jnp.int32)
+    p_ = 0.4
+    mask = _reconstruct_keep(Bq, Tq, Hq, [3, 11], p_)
+    assert not np.array_equal(mask[:8], mask[8:16])  # tile keying
+    mask_j = jnp.asarray(mask)
+    raw = pallas_fn(Wx, V)
     d1 = pallas_cells.radlif_pallas(
         Wx, alpha, beta, a, b, V, 1.0, z, z, z,
-        drop_rate=0.4, drop_seed=seed,
+        drop_rate=p_, drop_seed=seed,
     )
-    d2 = pallas_cells.radlif_pallas(
-        Wx, alpha, beta, a, b, V, 1.0, z, z, z,
-        drop_rate=0.4, drop_seed=seed,
+    np.testing.assert_allclose(
+        np.asarray(d1),
+        np.asarray(jnp.where(mask_j, raw / (1.0 - p_), 0.0)),
+        atol=1e-6,
     )
-    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+
+    def loss_fused(Wx, V):
+        d = pallas_cells.radlif_pallas(
+            Wx, alpha, beta, a, b, V, 1.0, z, z, z,
+            drop_rate=p_, drop_seed=seed,
+        )
+        return (d * jnp.arange(Hq, dtype=jnp.float32)).sum()
+
+    def loss_oracle(Wx, V):
+        return (
+            jnp.where(mask_j, pallas_fn(Wx, V) / (1.0 - p_), 0.0)
+            * jnp.arange(Hq, dtype=jnp.float32)
+        ).sum()
+
+    gf = jax.grad(loss_fused, argnums=(0, 1))(Wx, V)
+    go = jax.grad(loss_oracle, argnums=(0, 1))(Wx, V)
+    for f_, o_ in zip(gf, go):
+        np.testing.assert_allclose(
+            np.asarray(f_), np.asarray(o_), atol=2e-4, rtol=1e-4
+        )
