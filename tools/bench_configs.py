@@ -61,6 +61,13 @@ def bench_one(model_type, layer_sizes, B, T, F, bidirectional):
         s2, m = step(state, x, y)
         return (s2.params, m["loss"])
 
+    # numerics guard: a compiled-kernel bug (e.g. a garbage tail read
+    # poisoning the adjoints) would otherwise be invisible to a pure
+    # timing harness
+    _, loss0 = jax.jit(fn)(x)
+    loss0 = float(loss0)
+    assert np.isfinite(loss0), f"non-finite loss {loss0} for {model_type}"
+
     t = time_fn(fn, x, iters=32, repeats=3)
     return t
 
