@@ -19,14 +19,18 @@ pipelining at all.
 
 Scope: unidirectional models (the whole SNN family AND the ANN family —
 the ANN readout's time collapse is a plain reduction, and MLP layers are
-stateless so only the recurrent cells pipeline) with a readout layer,
-zero state init, no dropout (this is the long-sequence
-scaling/validation path, not the default single-chip trainer —
-``train/steps.py`` remains that). Gradients
-flow through the pipeline (``ppermute``/``psum``/``all_gather`` are all
-differentiable), so the full training step works; numerical agreement
-with the single-device step is pinned by tests/test_seqpipe.py on an
-8-device CPU mesh.
+stateless so only the recurrent cells pipeline) with a readout layer.
+The default training recipe is fully covered: dropout and the uniform
+per-forward state init draw their stochastic inputs OUTSIDE the
+``shard_map`` at global shape (:func:`draw_noise` — deterministic in the
+key and independent of the mesh size, so any two shardings of the same
+step agree bit-for-bit), and the pipeline consumes them as explicit
+arrays: keep masks shard with the time axis, initial states feed device
+0's inbox per microbatch. Gradients flow through the pipeline
+(``ppermute``/``psum``/``all_gather`` are all differentiable), so the
+full training step works; numerical agreement with the single-device
+step and an explicit-noise scan oracle is pinned by
+tests/test_seqpipe.py on an 8-device CPU mesh.
 """
 from __future__ import annotations
 
@@ -44,6 +48,7 @@ from sparch_tpu.ops.surrogate import spike_boxcar
 __all__ = [
     "make_seq_mesh",
     "seq_batch_sharding",
+    "draw_noise",
     "make_seqpipe_train_step",
     "make_seqpipe_eval_step",
 ]
@@ -77,6 +82,56 @@ def seq_batch_sharding(mesh: Mesh) -> NamedSharding:
     if "data" in mesh.axis_names:
         return NamedSharding(mesh, P("data", "seq", None))
     return NamedSharding(mesh, P(None, "seq", None))
+
+
+def draw_noise(model, rng, batch_shape, train: bool = True):
+    """Per-forward stochastic inputs for the seq-pipeline step, drawn at
+    GLOBAL shape: per-hidden-layer scaled keep masks (train-mode dropout,
+    reference snns.py:278) and, for 'uniform' SNN state init, the
+    per-forward U[0,1) initial states (snns.py:286-287 — drawn even in
+    eval) plus the readout membrane start. Deterministic in ``rng`` and
+    independent of the mesh, so the same key yields bit-identical noise
+    under any sharding; the steps shard the arrays via their in_specs
+    (masks follow the time axis, states the batch axis).
+
+    Returns a (possibly empty) dict:
+    ``{"layer_i": {"mask": (B,T,H), "states": ((B,H),)*3}, "readout":
+    {"u0": (B,C)}}`` with only the entries the model needs.
+    """
+    B, T = batch_shape[0], batch_shape[1]
+    n_hidden = model.num_layers - 1
+    uniform = (
+        model.is_snn and getattr(model, "state_init", "zeros") == "uniform"
+    )
+    adaptive = model.is_snn and model.neuron_type in ("adLIF", "RadLIF")
+    p = float(model.dropout) if train else 0.0
+    noise = {}
+    for i in range(n_hidden):
+        h = model.layer_sizes[i]
+        rng, k_m, k_s = jax.random.split(rng, 3)
+        entry = {}
+        if p > 0:
+            keep = jax.random.bernoulli(k_m, 1.0 - p, (B, T, h))
+            entry["mask"] = keep.astype(jnp.float32) / (1.0 - p)
+        if uniform:
+            # state slot order matches the chunk scan carry (u, w, s);
+            # non-adaptive cells have no w (slot stays zero), mirroring
+            # the model's _init_states draw count
+            ks = jax.random.split(k_s, 3)
+            entry["states"] = (
+                jax.random.uniform(ks[0], (B, h)),
+                jax.random.uniform(ks[1], (B, h)) if adaptive
+                else jnp.zeros((B, h), jnp.float32),
+                jax.random.uniform(ks[2], (B, h)),
+            )
+        if entry:
+            noise[f"layer_{i}"] = entry
+    if uniform:
+        rng, k_r = jax.random.split(rng)
+        noise["readout"] = {
+            "u0": jax.random.uniform(k_r, (B, model.layer_sizes[-1]))
+        }
+    return noise
 
 
 def _clamped(p, neuron):
@@ -137,16 +192,18 @@ def _ann_chunk_scan(ann_type, p, wxs, state):
     return state, jnp.swapaxes(ys, 0, 1)
 
 
-def _pipelined_recurrence(chunk_fn, n_state, wxs, axis, n_micro):
+def _pipelined_recurrence(chunk_fn, n_state, wxs, axis, n_micro,
+                          init_state=None):
     """State-passing pipeline over the ``axis`` mesh dimension, generic
     over the cell (``chunk_fn(wxs_chunk, state) -> (state, outputs)``
-    with ``n_state`` zero-initialised (mb, H) state slots).
+    with ``n_state`` (mb, H) state slots).
 
     ``wxs``: per-gate (B, Tl, H) local time chunks of the normalized
     drive. Device s runs microbatch ``m = tick - s``; boundary states hop
-    right after every tick. ``ppermute`` delivers zeros to device 0,
-    which is exactly the fresh (zeros) initial state each new microbatch
-    needs.
+    right after every tick. ``ppermute`` delivers zeros to device 0 —
+    the fresh initial state each new microbatch needs — unless
+    ``init_state`` (tuple of ``n_state`` (B, H) arrays, e.g. the uniform
+    per-forward draw) supplies device 0's inbox per microbatch instead.
     """
     S = jax.lax.psum(1, axis)
     s_idx = jax.lax.axis_index(axis)
@@ -157,6 +214,9 @@ def _pipelined_recurrence(chunk_fn, n_state, wxs, axis, n_micro):
     dtype = wxs[0].dtype
     Wxm = tuple(w.reshape(M, mb, Tl, H) for w in wxs)
     zeros_state = tuple(jnp.zeros((mb, H), dtype) for _ in range(n_state))
+    init_m = None
+    if init_state is not None:
+        init_m = tuple(s.reshape(M, mb, H) for s in init_state)
     results0 = jnp.zeros((M, mb, Tl, H), dtype)
     perm = [(i, i + 1) for i in range(S - 1)]
 
@@ -165,6 +225,13 @@ def _pipelined_recurrence(chunk_fn, n_state, wxs, axis, n_micro):
         m = t - s_idx
         active = jnp.logical_and(m >= 0, m < M)
         m_c = jnp.clip(m, 0, M - 1)
+        if init_m is not None:
+            # device 0 starts microbatch m this tick: its inbox is the
+            # drawn initial state, not the ppermute-delivered zeros
+            inbox = tuple(
+                jnp.where(s_idx == 0, im[m_c], ib)
+                for im, ib in zip(init_m, inbox)
+            )
         # zeroed drive on inactive ticks keeps the throwaway compute finite
         wx_m = tuple(jnp.where(active, W[m_c], 0.0) for W in Wxm)
         st_out, outs = chunk_fn(wx_m, inbox)
@@ -243,11 +310,12 @@ def _project(p, h, w_key="W"):
 
 
 def _pipelined_readout(p, stats, kind, flat_n_global, h, axis, stat_axes,
-                       train):
+                       train, u0=None):
     """Leaky readout across the sharded time axis in closed form: the
     membrane recurrence is linear, so each device only needs its chunk's
     start state — an S-step scan over all_gather'ed per-chunk boundary
-    drives — and the softmax time-sum reduces with one psum."""
+    drives seeded with ``u0`` (the uniform per-forward membrane start, or
+    zeros) — and the softmax time-sum reduces with one psum."""
     wx = _project(p, h)
     wx, new_stats = _norm(
         kind, p, stats, flat_n_global, wx, stat_axes, train
@@ -262,9 +330,9 @@ def _pipelined_readout(p, stats, kind, flat_n_global, h, axis, stat_axes,
     def chain(u, d):
         return a_pow_T * u + d, u  # emit the state BEFORE the chunk
 
-    _, starts = jax.lax.scan(
-        chain, jnp.zeros((B, C), wx.dtype), all_drive
-    )
+    if u0 is None:
+        u0 = jnp.zeros((B, C), wx.dtype)
+    _, starts = jax.lax.scan(chain, u0, all_drive)
     u_start = starts[jax.lax.axis_index(axis)]
     j = jnp.arange(Tl, dtype=wx.dtype)[None, :, None]
     decay = jnp.exp((j + 1.0) * jnp.log(alpha)[None, None, :])
@@ -304,25 +372,17 @@ def _build_seqpipe(
     over ``mesh``'s ``seq`` axis with pipelined recurrences.
 
     Same contract as ``train.steps.make_train_step`` (state, x, y) ->
-    (state, metrics), with x placed via :func:`seq_batch_sharding`.
-    Restrictions (asserted): unidirectional, readout layer on, zero
-    state init semantics, dropout ignored. Supports all eight model
-    types (SNN and ANN families).
+    (state, metrics), with x placed via :func:`seq_batch_sharding`;
+    dropout masks and uniform initial states are drawn from ``state.rng``
+    per step (:func:`draw_noise` — the eval step takes the state key as
+    an explicit ``rng`` argument like ``make_eval_step``). Restrictions
+    (asserted): unidirectional, readout layer on. Supports all eight
+    model types (SNN and ANN families).
     """
     if model.bidirectional:
         raise ValueError("bidirectional models cannot shard the time axis")
     if not model.use_readout_layer:
         raise ValueError("seq-pipeline step requires the readout layer")
-    if model.dropout > 0:
-        raise ValueError(
-            "seq-pipeline step does not implement dropout; build the "
-            "model with dropout=0"
-        )
-    if getattr(model, "state_init", "zeros") == "uniform":
-        raise ValueError(
-            "seq-pipeline step uses zero state init; build the model "
-            "with state_init='zeros'"
-        )
     is_snn = model.is_snn
     kind = model.normalization
     n_hidden = model.num_layers - 1
@@ -337,7 +397,7 @@ def _build_seqpipe(
         }[ann_type]
 
     def _snn_layer(p, stats, h, flat_n_global, stat_axes, train, new_stats,
-                   name):
+                   name, states):
         wx, ns = _norm(
             kind, p, stats, flat_n_global, _project(p, h), stat_axes, train
         )
@@ -346,11 +406,11 @@ def _build_seqpipe(
         cp = _clamped(p, neuron)
         return _pipelined_recurrence(
             functools.partial(_snn_chunk_scan, neuron, cp, threshold),
-            3, (wx,), "seq", n_micro,
+            3, (wx,), "seq", n_micro, init_state=states,
         )
 
     def _ann_layer(p, stats, h, flat_n_global, stat_axes, train, new_stats,
-                   name):
+                   name, states):
         wxs = []
         for gk in gate_keys:
             wx, ns = _norm(
@@ -369,18 +429,24 @@ def _build_seqpipe(
             1, tuple(wxs), "seq", n_micro,
         )
 
-    def forward_local(params, batch_stats, x_local, train, flat_n_global,
-                      stat_axes, batch_n_global):
+    def forward_local(params, batch_stats, x_local, noise, train,
+                      flat_n_global, stat_axes, batch_n_global):
         h = x_local
         rate_sums = []
         new_stats = {}
         layer_fn = _snn_layer if is_snn else _ann_layer
         for i in range(n_hidden):
             name = f"layer_{i}"
+            nz = noise.get(name, {})
             h = layer_fn(
                 params[name], batch_stats.get(name, {}), h, flat_n_global,
-                stat_axes, train, new_stats, name,
+                stat_axes, train, new_stats, name, nz.get("states"),
             )
+            if "mask" in nz:
+                # layer-output dropout (scaled keep mask; the raw state
+                # recurrence is never dropped — reference snns.py:278);
+                # applied BEFORE the rate telemetry like the reference
+                h = h * nz["mask"]
             if is_snn:
                 rate_sums.append(
                     _psum(jnp.sum(h, axis=(0, 1)), stat_axes)
@@ -390,6 +456,7 @@ def _build_seqpipe(
             out, ns = _pipelined_readout(
                 params["readout"], batch_stats.get("readout", {}), kind,
                 flat_n_global, h, "seq", stat_axes, train,
+                u0=noise.get("readout", {}).get("u0"),
             )
             rates = jnp.concatenate(rate_sums)
         else:
@@ -409,23 +476,37 @@ def _build_seqpipe(
     x_spec = (
         P("data", "seq", None) if has_data_axis else P(None, "seq", None)
     )
+    b_spec = P("data", None) if has_data_axis else P(None, None)
     out_spec = P("data") if has_data_axis else P()
+    uniform_init = (
+        is_snn and getattr(model, "state_init", "zeros") == "uniform"
+    )
 
-    def loss_and_metrics(params, batch_stats, x, y):
+    def _noise_specs(noise):
+        # masks follow the time (and batch) axes like x; (B, H) state
+        # arrays follow the batch axis only
+        return jax.tree.map(
+            lambda v: x_spec if v.ndim == 3 else b_spec, noise
+        )
+
+    def _fwd(params, batch_stats, x, noise, train):
         fwd = shard_map(
             functools.partial(
                 forward_local,
-                train=True,
+                train=train,
                 flat_n_global=float(x.shape[0] * x.shape[1]),
                 stat_axes=stat_axes,
                 batch_n_global=float(x.shape[0]),
             ),
             mesh=mesh,
-            in_specs=(P(), P(), x_spec),
+            in_specs=(P(), P(), x_spec, _noise_specs(noise)),
             out_specs=(out_spec, P(), P()),
             check_vma=False,
         )
-        out, rates, new_stats = fwd(params, batch_stats, x)
+        return fwd(params, batch_stats, x, noise)
+
+    def loss_and_metrics(params, batch_stats, x, y, noise):
+        out, rates, new_stats = _fwd(params, batch_stats, x, noise, True)
         ce = optax.softmax_cross_entropy_with_integer_labels(out, y).mean()
         loss = ce
         if use_regularizers and model.is_snn:
@@ -436,8 +517,15 @@ def _build_seqpipe(
         return loss, (ce, out, rates, new_stats)
 
     def train_step(state, x, y):
+        # same key discipline as train.steps.make_train_step: one split of
+        # state.rng per step; the noise sub-key feeds draw_noise, whose
+        # global-shape draws make the step's numerics independent of the
+        # mesh layout
+        rng, noise_rng = jax.random.split(state.rng)
+        noise = draw_noise(model, noise_rng, x.shape, train=True)
+
         def loss_fn(params):
-            return loss_and_metrics(params, state.batch_stats, x, y)
+            return loss_and_metrics(params, state.batch_stats, x, y, noise)
 
         grads, (ce, out, rates, new_stats) = jax.grad(
             loss_fn, has_aux=True
@@ -445,7 +533,7 @@ def _build_seqpipe(
         merged = jax.tree.map(lambda s: s, state.batch_stats)
         if new_stats:
             merged = _merge_stats(state.batch_stats, new_stats)
-        new_state = state.apply_gradients(grads, merged)
+        new_state = state.apply_gradients(grads, merged).replace(rng=rng)
         pred = jnp.argmax(out, axis=-1)
         metrics = {
             "loss": ce,
@@ -454,21 +542,19 @@ def _build_seqpipe(
         }
         return new_state, metrics
 
-    def eval_step(state, x, y):
-        fwd = shard_map(
-            functools.partial(
-                forward_local,
-                train=False,  # running BN statistics, no stat updates
-                flat_n_global=float(x.shape[0] * x.shape[1]),
-                stat_axes=stat_axes,
-                batch_n_global=float(x.shape[0]),
-            ),
-            mesh=mesh,
-            in_specs=(P(), P(), x_spec),
-            out_specs=(out_spec, P(), P()),
-            check_vma=False,
-        )
-        out, rates, _ = fwd(state.params, state.batch_stats, x)
+    def eval_step(state, x, y, rng=None):
+        # 'uniform' state init draws even in eval (reference
+        # snns.py:286-287); the key is explicit like make_eval_step's
+        if uniform_init:
+            if rng is None:
+                raise ValueError(
+                    "state_init='uniform' eval needs an rng argument"
+                )
+            noise = draw_noise(model, rng, x.shape, train=False)
+        else:
+            noise = {}
+        out, rates, _ = _fwd(state.params, state.batch_stats, x, noise,
+                             False)
         ce = optax.softmax_cross_entropy_with_integer_labels(out, y).mean()
         pred = jnp.argmax(out, axis=-1)
         return {

@@ -106,6 +106,241 @@ def test_seqpipe_rejects_unsupported():
         make_seqpipe_train_step(model, mesh)
 
 
+def _oracle_default_recipe_step(model, state, x, y, noise):
+    """Single-device scan oracle consuming the SAME explicit noise the
+    seq-pipeline step draws (draw_noise is deterministic in state.rng):
+    projection -> train-mode BN -> scan cell from the drawn states ->
+    scaled keep mask -> readout from the drawn membrane start. Entirely
+    free of shard_map/pipelining, so agreement pins the pipelined path's
+    dropout and uniform-init semantics."""
+    import optax
+
+    from sparch_tpu.ops import cells
+    from sparch_tpu.parallel.seqpipe import _merge_stats
+
+    eps = 1e-5
+
+    def bn_train(p, s, wx):
+        flat = wx.reshape(-1, wx.shape[-1])
+        mean = flat.mean(0)
+        var = (flat * flat).mean(0) - mean * mean
+        new = {
+            "mean": 0.95 * s["mean"] + 0.05 * mean,
+            "var": 0.95 * s["var"] + 0.05 * var,
+        }
+        wxn = (wx - mean) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+        return wxn, new
+
+    def loss_fn(params):
+        h = x
+        new_stats = {}
+        for i in range(model.num_layers - 1):
+            name = f"layer_{i}"
+            p = params[name]
+            wx = h @ p["W"]["kernel"]
+            wxn, ns = bn_train(
+                p["norm"]["BatchNorm_0"],
+                state.batch_stats[name]["norm"]["BatchNorm_0"], wx,
+            )
+            new_stats[name] = {"norm": {"BatchNorm_0": ns}}
+            u0, w0, s0 = noise[name]["states"]
+            h = cells.radlif_scan(
+                wxn, p["alpha"], p["beta"], p["a"], p["b"], p["V"],
+                model.threshold, u0, w0, s0,
+            )
+            h = h * noise[name]["mask"]
+        pr = params["readout"]
+        wxr = h @ pr["W"]["kernel"]
+        wxrn, ns = bn_train(
+            pr["norm"]["BatchNorm_0"],
+            state.batch_stats["readout"]["norm"]["BatchNorm_0"], wxr,
+        )
+        new_stats["readout"] = {"norm": {"BatchNorm_0": ns}}
+        out = cells.readout_sum(wxrn, pr["alpha"], noise["readout"]["u0"])
+        ce = optax.softmax_cross_entropy_with_integer_labels(out, y).mean()
+        return ce, new_stats
+
+    (loss, new_stats), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(state.params)
+    merged = _merge_stats(state.batch_stats, new_stats)
+    return state.apply_gradients(grads, merged), loss
+
+
+def test_seqpipe_default_recipe_matches_noise_oracle():
+    """The DEFAULT training recipe (dropout=0.1, state_init='uniform') on
+    an 8-way time pipeline: loss, gradients (via post-update params), and
+    batch-stat updates must match a single-device scan oracle consuming
+    the identical drawn noise."""
+    from sparch_tpu.parallel.seqpipe import draw_noise
+
+    model = build_model(
+        "RadLIF", (B, T, F), [H, H, C],
+        dropout=0.1, normalization="batchnorm",
+        state_init="uniform", cell_impl="scan",
+    )
+    x = (np.random.default_rng(3).random((B, T, F)) < 0.3).astype(np.float32)
+    y = (np.arange(B) % C).astype(np.int64)
+    state = create_train_state(model, x, lr=1e-2, rng=jax.random.PRNGKey(7))
+    mesh = make_seq_mesh(jax.devices()[:8])
+
+    # the noise the pipe step will draw internally from state.rng
+    _, noise_rng = jax.random.split(state.rng)
+    noise = draw_noise(model, noise_rng, x.shape, train=True)
+    assert "mask" in noise["layer_0"] and "states" in noise["layer_0"]
+    oracle_state, oracle_loss = _oracle_default_recipe_step(
+        model, state, x, y, noise
+    )
+
+    pipe_step = make_seqpipe_train_step(model, mesh, n_micro=2)
+    xs = jax.device_put(x, seq_batch_sharding(mesh))
+    new_state, metrics = pipe_step(state, xs, y)
+
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(oracle_loss), rtol=1e-5
+    )
+    for (kp_o, a), (kp_n, b) in zip(
+        jax.tree_util.tree_leaves_with_path(oracle_state.params),
+        jax.tree_util.tree_leaves_with_path(new_state.params),
+    ):
+        assert kp_o == kp_n
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-5,
+            err_msg=jax.tree_util.keystr(kp_o),
+        )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(oracle_state.batch_stats),
+        jax.tree_util.tree_leaves(new_state.batch_stats),
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+
+
+def test_seqpipe_noise_is_mesh_invariant():
+    """draw_noise runs at global shape outside shard_map, so the same
+    state.rng must give bit-identical losses and updates on a 2-way seq
+    mesh, an 8-way seq mesh, and a 2x4 data x seq composite."""
+    model = build_model(
+        "RadLIF", (B, T, F), [H, H, C],
+        dropout=0.1, normalization="batchnorm",
+        state_init="uniform", cell_impl="scan",
+    )
+    x = (np.random.default_rng(5).random((B, T, F)) < 0.3).astype(np.float32)
+    y = (np.arange(B) % C).astype(np.int64)
+
+    results = []
+    for mesh in (
+        make_seq_mesh(jax.devices()[:2]),
+        make_seq_mesh(jax.devices()[:8]),
+        make_seq_mesh(jax.devices()[:8], data=2),
+    ):
+        # fresh (deterministic) state per mesh: the pipe step donates it
+        state = create_train_state(
+            model, x, lr=1e-2, rng=jax.random.PRNGKey(11)
+        )
+        step = make_seqpipe_train_step(model, mesh, n_micro=2)
+        xs = jax.device_put(x, seq_batch_sharding(mesh))
+        new_state, metrics = step(state, xs, y)
+        results.append((float(metrics["loss"]),
+                        jax.tree_util.tree_leaves(new_state.params)))
+    for loss, params in results[1:]:
+        np.testing.assert_allclose(loss, results[0][0], rtol=1e-6)
+        for a, b in zip(params, results[0][1]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5
+            )
+
+
+def test_seqpipe_ann_dropout_mesh_invariant():
+    """ANN family with dropout: same rng, different time shardings agree
+    (masks shard with the time axis)."""
+    model = build_model(
+        "LiGRU", (B, T, F), [H, C], dropout=0.2,
+        normalization="batchnorm", cell_impl="scan",
+    )
+    x = np.random.default_rng(6).random((B, T, F)).astype(np.float32)
+    y = (np.arange(B) % C).astype(np.int64)
+
+    def fresh_state():  # the pipe step donates its state argument
+        return create_train_state(
+            model, x, lr=1e-2, rng=jax.random.PRNGKey(2)
+        )
+
+    losses = []
+    for n_seq in (2, 8):
+        mesh = make_seq_mesh(jax.devices()[:n_seq])
+        step = make_seqpipe_train_step(model, mesh, n_micro=2)
+        xs = jax.device_put(x, seq_batch_sharding(mesh))
+        _, metrics = step(fresh_state(), xs, y)
+        losses.append(float(metrics["loss"]))
+    # the masks are bit-identical across meshes; the residual is f32
+    # reduction-order noise through the smooth ANN activations (chunked +
+    # psum'd BN stats), same as the single-device comparison above
+    np.testing.assert_allclose(losses[1], losses[0], rtol=1e-4)
+    # dropout actually engaged: a dropout-free build differs materially
+    model0 = model.clone(dropout=0.0)
+    mesh = make_seq_mesh(jax.devices()[:2])
+    step0 = make_seqpipe_train_step(model0, mesh, n_micro=2)
+    xs = jax.device_put(x, seq_batch_sharding(mesh))
+    _, metrics0 = step0(fresh_state(), xs, y)
+    assert abs(float(metrics0["loss"]) - losses[0]) > 1e-3
+
+
+def test_seqpipe_eval_uniform_state_init():
+    """Pipelined eval with 'uniform' init: takes an explicit rng (like
+    make_eval_step), is mesh-invariant, and the key matters."""
+    from sparch_tpu.parallel.seqpipe import make_seqpipe_eval_step
+
+    model = build_model(
+        "RadLIF", (B, T, F), [H, C], dropout=0.1,
+        normalization="batchnorm", state_init="uniform", cell_impl="scan",
+    )
+    x = (np.random.default_rng(8).random((B, T, F)) < 0.3).astype(np.float32)
+    y = (np.arange(B) % C).astype(np.int64)
+    state = create_train_state(model, x, lr=1e-2, rng=jax.random.PRNGKey(4))
+    key = jax.random.PRNGKey(21)
+    losses = []
+    for n_seq in (2, 8):
+        mesh = make_seq_mesh(jax.devices()[:n_seq])
+        ev = make_seqpipe_eval_step(model, mesh, n_micro=2)
+        xs = jax.device_put(x, seq_batch_sharding(mesh))
+        losses.append(float(ev(state, xs, y, key)["loss"]))
+    np.testing.assert_allclose(losses[1], losses[0], rtol=1e-6)
+    mesh = make_seq_mesh(jax.devices()[:2])
+    ev = make_seqpipe_eval_step(model, mesh, n_micro=2)
+    xs = jax.device_put(x, seq_batch_sharding(mesh))
+    other = float(ev(state, xs, y, jax.random.PRNGKey(22))["loss"])
+    assert abs(other - losses[0]) > 1e-8  # states actually drawn
+    with pytest.raises(ValueError, match="rng"):
+        ev(state, xs, y)
+
+
+def test_draw_noise_distribution():
+    """Scaled keep masks: values in {0, 1/(1-p)}, keep fraction ~ 1-p,
+    independent across layers; uniform states in [0, 1)."""
+    from sparch_tpu.parallel.seqpipe import draw_noise
+
+    model = build_model(
+        "RadLIF", (64, 50, F), [H, H, C], dropout=0.25,
+        state_init="uniform", cell_impl="scan",
+    )
+    noise = draw_noise(model, jax.random.PRNGKey(0), (64, 50, F))
+    m0 = np.asarray(noise["layer_0"]["mask"])
+    m1 = np.asarray(noise["layer_1"]["mask"])
+    np.testing.assert_allclose(
+        np.unique(m0), [0.0, 1.0 / 0.75], rtol=1e-6
+    )
+    assert abs((m0 > 0).mean() - 0.75) < 0.02
+    assert not np.array_equal(m0 > 0, m1 > 0)
+    u0, w0, s0 = (np.asarray(s) for s in noise["layer_0"]["states"])
+    assert 0 <= u0.min() and u0.max() < 1 and u0.std() > 0.2
+    assert w0.std() > 0.2 and s0.std() > 0.2  # adaptive: all three drawn
+    ur = np.asarray(noise["readout"]["u0"])
+    assert ur.shape == (64, C) and ur.std() > 0.2
+    # eval: no masks, states still drawn
+    ev = draw_noise(model, jax.random.PRNGKey(0), (64, 50, F), train=False)
+    assert "mask" not in ev["layer_0"] and "states" in ev["layer_0"]
+
+
 @pytest.mark.parametrize("ann_type", ["MLP", "RNN", "LiGRU", "GRU"])
 def test_seqpipe_ann_matches_single_device(ann_type):
     """ANN family under the time pipeline: loss + post-update params match
