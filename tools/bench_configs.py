@@ -1,11 +1,22 @@
 #!/usr/bin/env python
-"""Full train-step benchmark across every BASELINE.json config.
+"""Full train-step benchmark across every BASELINE.json config, each with
+its own matmul-roofline ratio.
 
 One line per config: step time + utterances/sec/chip on the current
-device. Shapes follow BASELINE.json: SHD/SSC spike inputs are
-(B, 100, 700); SC runs on 40-bin fbank features (B, 100, 40) — the
-waveform->fbank frontend itself runs on the host loader (see
-tools/bench_loader.py for its throughput).
+device, plus ``roofline_ms``/``vs_roofline`` — the same differentiated
+matmul-skeleton recipe as bench.py (hoisted per-gate projections + the T
+sequential recurrent (B_eff,H)x(H,H) matmuls + readout, under jax.grad
+with a quadratic loss), generalised per config: gate counts (LiGRU 2,
+GRU 3), non-recurrent cells (LIF/adLIF skeletons have no in-scan
+matmul), and the bidirectional batch trick (2B batch through every
+layer, 2H features between layers). vs_roofline = roofline_time /
+step_time: 1.0 means the full train step costs no more than its matmul
+skeleton; BASELINE.md targets >= 1/1.2.
+
+Shapes follow BASELINE.json: SHD/SSC spike inputs are (B, 100, 700); SC
+runs on 40-bin fbank features (B, 100, 40) — the waveform->fbank
+frontend itself runs on the host loader (see tools/bench_loader.py for
+its throughput).
 """
 import os
 import sys
@@ -72,15 +83,87 @@ def bench_one(model_type, layer_sizes, B, T, F, bidirectional):
     return t
 
 
+# (projection gates, recurrent matmuls) per hidden layer
+_GATES = {
+    "LIF": (1, 0), "adLIF": (1, 0), "RLIF": (1, 1), "RadLIF": (1, 1),
+    "MLP": (1, 0), "RNN": (1, 1), "LiGRU": (2, 2), "GRU": (3, 3),
+}
+
+
+def bench_roofline(model_type, layer_sizes, B, T, F, bidirectional):
+    """Differentiated matmul skeleton of this config (bench.py recipe)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sparch_tpu.utils.cache import enable_compile_cache
+    from sparch_tpu.utils.timing import time_fn
+
+    enable_compile_cache()
+    n_proj, n_rec = _GATES[model_type]
+    hidden, C = list(layer_sizes[:-1]), layer_sizes[-1]
+    mult = 2 if bidirectional else 1
+
+    key = jax.random.PRNGKey(0)
+    params = []
+    fin = F
+    for h in hidden:
+        key, kw, kv = jax.random.split(key, 3)
+        Ws = jax.random.normal(kw, (n_proj, fin, h)) * 0.02
+        Vs = jax.random.normal(kv, (n_rec, h, h)) * 0.02
+        params.append((Ws, Vs))
+        fin = h * mult
+    key, kr, kx = jax.random.split(key, 3)
+    Wr = jax.random.normal(kr, (fin, C)) * 0.02
+    x = jax.random.normal(kx, (B, T, F))
+
+    def skeleton(params, x):
+        layers, Wr = params
+        h = x
+        for Ws, Vs in layers:
+            if bidirectional:
+                h = jnp.concatenate([h, jnp.flip(h, axis=1)], axis=0)
+            # hoisted per-gate projections (one big time-batched matmul each)
+            wxs = jnp.stack([jnp.dot(h, Ws[g]) for g in range(n_proj)])
+            if n_rec:
+                def step(c, wts):
+                    c = 0.9 * sum(
+                        jnp.dot(c, Vs[r]) for r in range(n_rec)
+                    ) + sum(wts)
+                    return c, c
+
+                c0 = jnp.zeros(wxs.shape[1:2] + wxs.shape[3:], wxs.dtype)
+                _, hs = jax.lax.scan(
+                    step, c0,
+                    tuple(jnp.swapaxes(wxs[g], 0, 1) for g in range(n_proj)),
+                )
+                h = jnp.swapaxes(hs, 0, 1)
+            else:
+                h = sum(wxs[g] for g in range(n_proj))
+            if bidirectional:
+                b = h.shape[0] // 2
+                h = jnp.concatenate(
+                    [h[:b], jnp.flip(h[b:], axis=1)], axis=-1
+                )
+        out = jnp.dot(h, Wr)
+        # quadratic loss -> data-dependent cotangents (see bench.py)
+        return 0.5 * jnp.sum(out * out)
+
+    grad_fn = jax.grad(skeleton)
+    return time_fn(grad_fn, (params, Wr), x, iters=32, repeats=3)
+
+
 def main():
     rows = []
     for name, mt, sizes, B, T, F, bidir in CONFIGS:
         t = bench_one(mt, sizes, B, T, F, bidir)
+        r = bench_roofline(mt, sizes, B, T, F, bidir)
         rows.append(
             {
                 "config": name,
                 "step_ms": round(t * 1e3, 3),
                 "utt_per_s": round(B / t, 1),
+                "roofline_ms": round(r * 1e3, 3),
+                "vs_roofline": round(r / t, 4),
             }
         )
         print(json.dumps(rows[-1]), flush=True)
