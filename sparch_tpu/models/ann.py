@@ -137,6 +137,8 @@ class LiGRULayer(_ANNLayerBase):
 
     Separate normalisation per gate path (anns.py:400-407)."""
 
+    _pallas_h_cap = 1536  # two resident (V, dV) pairs (see FusedCellPolicy)
+
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.bidirectional:
@@ -164,6 +166,10 @@ class LiGRULayer(_ANNLayerBase):
 
 class GRULayer(_ANNLayerBase):
     """Full GRU layer (Cho et al. 2014; reference anns.py:465-595)."""
+
+    # three resident (V, dV) pairs: H=1280 measured OOM (VMEM) on v5e,
+    # H=1024 compiles with full gradients (see FusedCellPolicy)
+    _pallas_h_cap = 1024
 
     @nn.compact
     def __call__(self, x, train: bool = False):

@@ -215,19 +215,28 @@ class FusedCellPolicy:
     prevents the two model families drifting apart.
     """
 
+    # Widest layer the fused kernels accept on the 'auto' path: they keep
+    # every recurrent matrix AND its dV accumulator resident in VMEM
+    # (2*H^2 f32 per gate = 33 MB at H=2048), so multi-gate ANN cells
+    # override this with lower caps (LiGRU 1536, GRU 1280). Wide layers
+    # unroll fewer steps per grid cell (_pick_tc caps tc at 4 for
+    # H >= 1536) so Mosaic compiles stay in seconds; measured v5e RadLIF
+    # fwd+bwd vs scan: 1.3x faster at H=1536, 1.5x at H=2048.
+    _pallas_h_cap = 2048
+
     def _use_pallas(self) -> bool:
         """'auto' picks the fused Pallas kernels on TPU, lax.scan
         elsewhere (off-TPU the kernels would run interpreted — correct
-        but slow). Very wide layers fall back to scan: the kernels keep
-        V (and the adjoint products) resident in VMEM, which caps H at
-        ~1.3k for f32."""
+        but slow). Layers wider than the per-cell VMEM cap fall back to
+        scan (see ``_pallas_h_cap``)."""
         if self.cell_impl == "pallas":
             return True
         if self.cell_impl == "auto":
             import jax
 
             return (
-                jax.default_backend() == "tpu" and self.hidden_size <= 1280
+                jax.default_backend() == "tpu"
+                and self.hidden_size <= self._pallas_h_cap
             )
         return False
 

@@ -244,7 +244,7 @@ def _ann_forward(wxs, scales, shifts, vs, y0, seed, *, mode, drop_rate,
     rdt = jnp.bfloat16 if mxu_bf16 else dtype
     Hp = _round_up(H, _LANE)
     Bp = _round_up(B, _SUBLANE)
-    tc = _pick_tc(T)
+    tc = _pick_tc(T, Hp)
     bt = _tile_plan(Bp, Hp, streams=_plan_streams(mode), tc=tc)
     n_chunks = (T + tc - 1) // tc
 
@@ -490,7 +490,7 @@ def _ann_backward(g, wxs, residuals, scales, vs, seed, *, mode, drop_rate,
     dtype = jnp.float32
     sdt = jnp.bfloat16 if mxu_bf16 else dtype  # g/dWx stream dtype
     _, Bp, Hp = y_seq.shape
-    tc = _pick_tc(T)
+    tc = _pick_tc(T, Hp)
     bt = _tile_plan(Bp, Hp, streams=_plan_streams(mode), tc=tc)
     n_chunks = (T + tc - 1) // tc
 

@@ -112,18 +112,26 @@ _SUBLANE = 8
 _TC = 8  # fallback timesteps per grid cell (statically unrolled)
 
 
-def _pick_tc(T: int) -> int:
+def _pick_tc(T: int, Hp: int = 0) -> int:
     """Timesteps per grid cell. Prefer a divisor of T so the tail chunk is
     full: the per-step out-of-bounds sanitisation (`k >= tail_len` selects)
     then compiles away entirely — for T=100 that removes 4 partially-dead
     unrolled steps and their `where` chains from EVERY chunk. Falls back to
-    8 (with the tail logic) for awkward (e.g. prime) T."""
-    if T <= 16:
+    8 (with the tail logic) for awkward (e.g. prime) T.
+
+    Wide layers (Hp >= 1536) cap the unroll at 4 steps: Mosaic compile
+    time grows superlinearly in unrolled-ops x lanes and hits multi-minute
+    builds at H=1536 with the default chunking (observed round 2), while
+    the shorter unroll compiles in tens of seconds and the extra grid
+    steps cost little — the per-step work at that width amortises the
+    loop overhead on its own."""
+    hi = 4 if Hp >= 1536 else 16
+    if T <= hi:
         return max(T, 1)
-    for cand in range(16, 5, -1):
+    for cand in range(hi, 2, -1):
         if T % cand == 0:
             return cand
-    return _TC
+    return min(_TC, hi)
 # v5e has 128 MiB of VMEM per TensorCore. The budget must be generous:
 # shrinking the batch tile below 128 rows starves the MXU (a (bt,H)@(H,H)
 # matmul feeds only bt of the systolic array's 128 rows, so bt=32 runs the
@@ -394,7 +402,7 @@ def _forward_pallas(
     udt = dtype
     Hp = _round_up(H, _LANE)
     Bp = _round_up(B, _SUBLANE)
-    tc = _pick_tc(T)
+    tc = _pick_tc(T, Hp)
     # streams=4 matches the backward's plan so both kernels always pick
     # the same batch tile — the fused-dropout mask regeneration keys on
     # the batch-tile index, so fwd/bwd tiles must align
@@ -802,7 +810,7 @@ def _backward_pallas(
     # that the mode hadn't already traded); the u residual stays f32.
     sdt = jnp.bfloat16 if mxu_bf16 else dtype
     _, Bp, Hp = u_pd.shape  # residuals are time-major (T, Bp, Hp)
-    tc = _pick_tc(T)
+    tc = _pick_tc(T, Hp)
     # streams: g, u, dwx out (+ Wx on the affine path); fixed at 4 so the
     # batch tile always matches the forward's (mask regeneration keys on
     # the tile index)
@@ -1227,7 +1235,7 @@ def _readout_forward(Wx, alpha, u0, *, save_residuals):
     dtype = jnp.float32
     Hp = _round_up(H, _LANE)
     Bp = _round_up(B, _SUBLANE)
-    tc = _pick_tc(T)
+    tc = _pick_tc(T, Hp)
     bt = _tile_plan(Bp, Hp, streams=2, tc=tc)
     n_chunks = (T + tc - 1) // tc
 
@@ -1289,7 +1297,7 @@ def _readout_backward(g, residuals, alpha, T):
     _, Bp, Hp = u_seq.shape  # residuals are time-major (T, Bp, Hp)
     B, H = g.shape
     dtype = jnp.float32
-    tc = _pick_tc(T)
+    tc = _pick_tc(T, Hp)
     bt = _tile_plan(Bp, Hp, streams=2, tc=tc)
     n_chunks = (T + tc - 1) // tc
 

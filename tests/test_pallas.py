@@ -415,6 +415,51 @@ def test_fused_dropout_gradients_match_masked_oracle():
 
 
 
+def test_wide_layer_short_unroll():
+    """H >= 1536 switches to the 4-step unroll (_pick_tc cap) that keeps
+    Mosaic compile time in seconds on real hardware; values and gradients
+    must stay exact vs the scan through the different chunking."""
+    from sparch_tpu.ops.pallas_cells import _pick_tc
+
+    Hq, Bq, Tq = 1536, 4, 10
+    assert _pick_tc(Tq, Hq) == 4  # wide cap engaged (tail chunk live)
+    assert _pick_tc(100, 512) == 10  # narrow layers unchanged
+    ks = jax.random.split(jax.random.PRNGKey(41), 3)
+    Wx = jax.random.normal(ks[0], (Bq, Tq, Hq)) * 2.0
+    alpha = jax.random.uniform(ks[1], (Hq,), minval=0.82, maxval=0.95)
+    V = jnp.round(jax.random.uniform(
+        ks[2], (Hq, Hq), minval=-0.5, maxval=0.5) * 64) / 64
+    z = jnp.zeros((Bq, Hq))
+    got = pallas_cells.rlif_pallas(Wx, alpha, V, 1.0, z, z)
+    want = cells.rlif_scan(Wx, alpha, V, 1.0, z, z)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    def loss(fn):
+        return lambda Wx, V: (
+            fn(Wx, alpha, V, 1.0, z, z)
+            * jnp.arange(Hq, dtype=jnp.float32)
+        ).sum()
+
+    gp = jax.grad(loss(pallas_cells.rlif_pallas), argnums=(0, 1))(Wx, V)
+    gs = jax.grad(loss(cells.rlif_scan), argnums=(0, 1))(Wx, V)
+    for a, b in zip(gp, gs):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-3, rtol=1e-3
+        )
+
+
+def test_pallas_h_caps_per_cell():
+    """The 'auto' fused-path width caps follow each cell's resident-VMEM
+    footprint: 2048 for single-V cells, lower for multi-gate ANN cells."""
+    from sparch_tpu.models.ann import GRULayer, LiGRULayer, RNNLayer
+    from sparch_tpu.models.snn import RadLIFLayer
+
+    assert RadLIFLayer._pallas_h_cap == 2048
+    assert RNNLayer._pallas_h_cap == 2048
+    assert LiGRULayer._pallas_h_cap == 1536
+    assert GRULayer._pallas_h_cap == 1024
+
+
 def _reconstruct_keep(Bq, Tq, Hq, seed, drop_rate):
     """Rebuild the fused-dropout keep mask OUTSIDE the kernel from the
     same hash the interpret path uses (per batch-tile, per step), giving

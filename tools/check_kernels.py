@@ -32,6 +32,7 @@ Exit status is non-zero if any case fails. Expect ~30-60 s of remote
 compile per case cold; the persistent compile cache makes reruns fast.
 """
 import argparse
+import contextlib
 import functools
 import json
 import os
@@ -63,6 +64,14 @@ def _relmean(a, b):
     genuinely lower-precision mode produces when a tiny forward difference
     flips a discrete gate (relu kink, spike threshold)."""
     return jnp.sum(jnp.abs(a - b)) / (jnp.sum(jnp.abs(b)) + EPS)
+
+
+def _oracle_precision(loose):
+    """Scan-oracle matmul precision: full f32 normally; default when the
+    highest-precision VJP itself would exceed VMEM (wide ANN layers)."""
+    if loose:
+        return contextlib.nullcontext()
+    return jax.default_matmul_precision("highest")
 
 
 def _weights(shape):
@@ -373,7 +382,11 @@ def _ann_data(rng, mode, B, T, H):
     return d
 
 
-def ann_case(mode, *, B, T, H, affine=False, bf16=False, drop=0.0, p_seed=17):
+def ann_case(mode, *, B, T, H, affine=False, bf16=False, drop=0.0,
+             p_seed=17, loose=False):
+    """``loose``: compare at default matmul precision with the mean-based
+    grad metric — used at H >= 1536, where the highest-precision scan
+    oracle's own VJP exceeds VMEM (f32 6-pass matmul windows)."""
     rng = np.random.default_rng(hash(mode + "ann") % 2**31)
     d = _ann_data(rng, mode, B, T, H)
     wx_names, v_names = _ANN[mode]
@@ -429,7 +442,7 @@ def ann_case(mode, *, B, T, H, affine=False, bf16=False, drop=0.0, p_seed=17):
                 return (scan_fn(kw) * mask / (1.0 - drop) * wgt).sum()
 
             out_p = pallas_fn(dict(d))
-            with jax.default_matmul_precision("highest"):
+            with _oracle_precision(loose):
                 out_s = scan_fn(dict(d)) * mask / (1.0 - drop)
             keep_frac = jnp.mean(mask)
         else:
@@ -442,12 +455,12 @@ def ann_case(mode, *, B, T, H, affine=False, bf16=False, drop=0.0, p_seed=17):
                 return (scan_fn(kw) * wgt).sum()
 
             out_p = pallas_fn(dict(d))
-            with jax.default_matmul_precision("highest"):
+            with _oracle_precision(loose):
                 out_s = scan_fn(dict(d))
             keep_frac = jnp.asarray(1.0)
 
         gp = jax.grad(loss_p, argnums=tuple(range(len(names))))(*args)
-        with jax.default_matmul_precision("highest"):  # see spiking_case
+        with _oracle_precision(loose):  # see spiking_case
             gs = jax.grad(loss_s, argnums=tuple(range(len(names))))(*args)
         m = {
             "fwd_rel": _rel(out_p.astype(jnp.float32), out_s),
@@ -458,7 +471,7 @@ def ann_case(mode, *, B, T, H, affine=False, bf16=False, drop=0.0, p_seed=17):
         # bf16 genuinely flips relu/gate kinks where the forward sits
         # within one bf16 ulp of the cut — a mean-based metric judges the
         # gradient field instead of the worst flipped element
-        gmetric = _relmean if bf16 else _rel
+        gmetric = _relmean if (bf16 or loose) else _rel
         for n, x, y in zip(names, gp, gs):
             m[f"g_{n}"] = gmetric(x.astype(jnp.float32), y)
         m["grads_finite"] = functools.reduce(
@@ -469,8 +482,8 @@ def ann_case(mode, *, B, T, H, affine=False, bf16=False, drop=0.0, p_seed=17):
 
     m = {k: float(v) for k, v in metrics().items()}
     fails = []
-    fwd_lim = 0.03 if bf16 else 1e-5
-    grad_lim = 0.02 if bf16 else 1e-4
+    fwd_lim = 0.03 if bf16 else (0.01 if loose else 1e-5)
+    grad_lim = 0.02 if bf16 else (0.02 if loose else 1e-4)
     if m["fwd_rel"] > fwd_lim:
         fails.append(f"fwd_rel={m['fwd_rel']:.2e}>{fwd_lim}")
     if drop > 0 and abs(m["keep_frac"] - (1 - drop)) > 0.03:
@@ -523,6 +536,16 @@ def build_cases():
     cases.append(
         ("ligru/bf16", functools.partial(ann_case, "ligru", bf16=True, **P))
     )
+    # wide layers: the H >= 1536 short-unroll (_pick_tc cap) path, with a
+    # live tail chunk (T=10, tc=4)
+    W = dict(B=8, T=10, H=1536)
+    cases.append(
+        ("radlif/wide", functools.partial(spiking_case, "radlif", **W))
+    )
+    cases.append(
+        ("ligru/wide",
+         functools.partial(ann_case, "ligru", loose=True, **W))
+    )
     return cases
 
 
@@ -543,7 +566,7 @@ def main():
         if args.only and args.only not in name:
             continue
         try:
-            if "bf16" in name:
+            if "bf16" in name or name == "ligru/wide":
                 # Mosaic rejects a HIGHEST attr on the kernels' bf16 dots;
                 # only the scan oracle runs at highest (inner contexts)
                 m, fails = thunk()
