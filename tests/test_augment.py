@@ -109,6 +109,72 @@ def test_filter_delays_sox_mapping():
     ]
 
 
+def test_freeverb_published_tuning():
+    """Independent pin against the PUBLISHED Freeverb tuning (Jezar at
+    Dreampoint, freeverb tuning.h, public domain — the algorithm sox's
+    reverb effect implements): eight comb delays {1116, 1188, 1277, 1356,
+    1422, 1491, 1557, 1617} and four allpass delays {556, 441, 341, 225}
+    at 44100 Hz, allpass feedback coefficient 0.5. Hard-coded here from
+    the original distribution so a typo in the module constants cannot
+    self-validate."""
+    assert _COMB_LENGTHS == (1116, 1188, 1277, 1356, 1422, 1491, 1557, 1617)
+    assert sorted(_ALLPASS_LENGTHS) == [225, 341, 441, 556]
+    # successive comb delays must be co-prime-ish increasing (Schroeder's
+    # design rule the tuning follows): strictly increasing, no two equal
+    assert all(
+        b > a for a, b in zip(_COMB_LENGTHS, _COMB_LENGTHS[1:])
+    )
+    import inspect
+
+    from sparch_tpu.data import augment
+
+    # the 0.5 allpass coefficient appears in the series-allpass transfer
+    # function used by the scipy path
+    src = inspect.getsource(augment._freeverb_channel)
+    assert "0.5" in src
+
+
+def test_sox_parameter_mapping_endpoints():
+    """The documented sox reverb.c percentage->coefficient curves, checked
+    at their closed-form endpoints: room scale 0%->0.1 / 100%->1.0,
+    HF damping 0%->0.2 / 100%->0.5, and the reverberance feedback curve
+    constructed so feedback(0%) = 0.3 exactly and feedback(100%) = 0.98
+    (a = -1/ln(1-0.3), b = 100/(ln(1-0.98)a + 1))."""
+    import math
+
+    a = -1.0 / math.log(1.0 - 0.3)
+    b = 100.0 / (math.log(1.0 - 0.98) * a + 1.0)
+
+    def feedback(reverberance):
+        return 1.0 - math.exp((reverberance - b) / (a * b))
+
+    assert abs(feedback(0.0) - 0.3) < 1e-12  # exact by construction
+    assert abs(feedback(100.0) - 0.98) < 1e-12
+    assert 0.3 < feedback(50.0) < 0.98  # monotone interior
+    for pct, lo, hi in [(0.0, 0.1, 0.2), (100.0, 1.0, 0.5)]:
+        assert abs(pct / 100.0 * 0.9 + 0.1 - lo) < 1e-12  # room scale
+        assert abs(pct / 100.0 * 0.3 + 0.2 - hi) < 1e-12  # damping
+
+
+def test_wet_onset_at_shortest_comb_delay():
+    """Structural impulse-response pin, independent of the filter
+    implementations: Freeverb's wet path is parallel combs (pure D-sample
+    delays before any output) followed by series allpasses (whose direct
+    term maps 0 -> 0), so the wet impulse response must be EXACTLY zero
+    before the shortest comb delay and nonzero at it."""
+    from sparch_tpu.data.augment import _filter_delays
+
+    pytest.importorskip("scipy")
+    sr, scale = 16000, 0.55
+    combs, _ = _filter_delays(sr, scale, 0.0)
+    x = np.zeros(4000)
+    x[0] = 1.0
+    wet = _freeverb_channel(x, sr, scale, 0.0, feedback=0.8, damp=0.3)
+    d_min = min(combs)
+    assert np.all(wet[:d_min] == 0.0)
+    assert wet[d_min] != 0.0
+
+
 def test_native_freeverb_matches_scipy():
     """The C++ kernel and the lfilter formulation agree exactly."""
     from scipy.signal import lfilter
