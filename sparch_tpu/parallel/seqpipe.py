@@ -56,24 +56,29 @@ __all__ = [
 _EPS = 1e-5
 
 
-def make_seq_mesh(devices=None, data: int = 1) -> Mesh:
+def make_seq_mesh(devices=None, data: int = 1, model: int = 1) -> Mesh:
     """Mesh with a time ('seq') axis, optionally composed with a batch
-    ('data') axis: ``data > 1`` gives a ('data', 'seq') mesh where the
-    batch shards over 'data' and each data group runs its own time
-    pipeline over 'seq'."""
+    ('data') axis and/or a hidden-dimension ('model') axis: ``data > 1``
+    shards the batch and each data group runs its own time pipeline over
+    'seq'; ``model > 1`` additionally tensor-shards every hidden layer's
+    parameters/state inside the pipeline (dp x sp x tp)."""
     import numpy as np
 
     if devices is None:
         devices = jax.devices()
     devices = np.asarray(devices)
-    if data == 1:
-        return Mesh(devices, axis_names=("seq",))
-    if devices.size % data != 0:
-        raise ValueError(f"{devices.size} devices not divisible by {data}")
-    return Mesh(
-        devices.reshape(data, devices.size // data),
-        axis_names=("data", "seq"),
-    )
+    if devices.size % (data * model) != 0:
+        raise ValueError(
+            f"{devices.size} devices not divisible by data={data} x "
+            f"model={model}"
+        )
+    seq = devices.size // (data * model)
+    shape, names = [], []
+    for n, name in ((data, "data"), (seq, "seq"), (model, "model")):
+        if name == "seq" or n > 1:
+            shape.append(n)
+            names.append(name)
+    return Mesh(devices.reshape(shape), axis_names=tuple(names))
 
 
 def seq_batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -134,32 +139,78 @@ def draw_noise(model, rng, batch_shape, train: bool = True):
     return noise
 
 
-def _clamped(p, neuron):
-    out = {"alpha": jnp.clip(p["alpha"], *cells.ALPHA_LIM)}
+def _clamped(p, neuron, model_axis=None, width=None):
+    """Clamp the neuron constants (and slice each feature-full vector to
+    this device's shard under TP — their gradients reassemble through
+    the slice transpose)."""
+
+    def cs(v, lim):
+        return _shard_slice(jnp.clip(v, *lim), model_axis, width)
+
+    out = {"alpha": cs(p["alpha"], cells.ALPHA_LIM)}
     if neuron in ("adLIF", "RadLIF"):
-        out["beta"] = jnp.clip(p["beta"], *cells.BETA_LIM)
-        out["a"] = jnp.clip(p["a"], *cells.A_LIM)
-        out["b"] = jnp.clip(p["b"], *cells.B_LIM)
+        out["beta"] = cs(p["beta"], cells.BETA_LIM)
+        out["a"] = cs(p["a"], cells.A_LIM)
+        out["b"] = cs(p["b"], cells.B_LIM)
     if neuron in ("RLIF", "RadLIF"):
-        out["V"] = cells.zero_diag(p["V"])
+        V = p["V"]
+        if model_axis is None:
+            out["V"] = cells.zero_diag(V)
+        else:
+            # V is a (Hg, Hl) column shard: its slice of the full
+            # diagonal is row j*Hl + c for local column c
+            j = jax.lax.axis_index(model_axis)
+            Hg, Hl = V.shape
+            rows = jnp.arange(Hg)[:, None]
+            cols = jnp.arange(Hl)[None, :]
+            out["V"] = V * (rows != cols + j * Hl).astype(V.dtype)
     return out
 
 
-def _snn_chunk_scan(neuron, cp, threshold, wxs, state):
-    """One SNN (mb, Tl, H) chunk from ``state``; returns (state, spikes)."""
+def _shard_slice(full, model_axis, width):
+    """This device's feature shard of a feature-FULL (.., Hg) array."""
+    if model_axis is None:
+        return full
+    j = jax.lax.axis_index(model_axis)
+    return jax.lax.dynamic_slice_in_dim(full, j * width, width, full.ndim - 1)
+
+
+def _feature_gather(shard, model_axis):
+    """Feature-shard (.., Hl) -> full (.., Hg) across 'model' (identity
+    without the axis)."""
+    if model_axis is None:
+        return shard
+    return jax.lax.all_gather(
+        shard, model_axis, axis=shard.ndim - 1, tiled=True
+    )
+
+
+def _snn_chunk_scan(neuron, cp, threshold, wxs, state, model_axis=None):
+    """One SNN (mb, Tl, .) chunk from ``state``; returns (state, spikes).
+
+    Under tensor parallelism the membrane/adaptation states and every
+    parameter are (mb, Hl) feature shards while the SPIKE vector is
+    carried feature-FULL: the recurrent product needs all of s each step
+    (``s_full @ V_colshard``), so the new local spikes all_gather over
+    'model' once per step — the lone TP collective on the sequential
+    chain. Outputs are therefore already feature-full.
+    """
     alpha = cp["alpha"]
+    Hl = wxs[0].shape[-1]
 
     def stepf(carry, wx_t):
-        u, w, sp = carry
+        u, w, sf = carry  # u/w: (mb, Hl) shards; sf: (mb, Hg) full
         drive = wx_t[0]
         if neuron in ("RLIF", "RadLIF"):
-            drive = drive + jnp.dot(sp, cp["V"])
+            drive = drive + jnp.dot(sf, cp["V"])
+        sp = _shard_slice(sf, model_axis, Hl)
         if neuron in ("adLIF", "RadLIF"):
             w = cp["beta"] * w + cp["a"] * u + cp["b"] * sp
             drive = drive - w
         u = alpha * (u - sp) + (1.0 - alpha) * drive
-        sp = spike_boxcar(u - threshold)
-        return (u, w, sp), sp
+        s_new = spike_boxcar(u - threshold)
+        sf = _feature_gather(s_new, model_axis)
+        return (u, w, sf), sf
 
     state, spikes = jax.lax.scan(
         stepf, state, tuple(jnp.swapaxes(w, 0, 1) for w in wxs)
@@ -167,24 +218,31 @@ def _snn_chunk_scan(neuron, cp, threshold, wxs, state):
     return state, jnp.swapaxes(spikes, 0, 1)
 
 
-def _ann_chunk_scan(ann_type, p, wxs, state):
-    """One ANN (mb, Tl, H) chunk; state is ``(y,)`` (reference
-    anns.py:328-339,449-462,581-595 recurrences)."""
+def _ann_chunk_scan(ann_type, p, wxs, state, model_axis=None):
+    """One ANN (mb, Tl, .) chunk; state is ``(y,)`` carried feature-FULL
+    (reference anns.py:328-339,449-462,581-595 recurrences). Under TP
+    the gates/candidate are computed as (mb, Hl) shards against
+    column-sharded V matrices and the new y all_gathers per step (GRU
+    additionally gathers r*y for its candidate product)."""
+    Hl = wxs[0].shape[-1]
 
     def stepf(carry, wx_t):
-        (y,) = carry
+        (yf,) = carry
+        yl = _shard_slice(yf, model_axis, Hl)
         if ann_type == "RNN":
-            y = jax.nn.sigmoid(wx_t[0] + jnp.dot(y, p["V"]))
+            y = jax.nn.sigmoid(wx_t[0] + jnp.dot(yf, p["V"]))
         elif ann_type == "LiGRU":
-            z = jax.nn.sigmoid(wx_t[1] + jnp.dot(y, p["Vz"]))
-            c = jax.nn.relu(wx_t[0] + jnp.dot(y, p["V"]))
-            y = z * y + (1.0 - z) * c
+            z = jax.nn.sigmoid(wx_t[1] + jnp.dot(yf, p["Vz"]))
+            c = jax.nn.relu(wx_t[0] + jnp.dot(yf, p["V"]))
+            y = z * yl + (1.0 - z) * c
         else:  # GRU
-            z = jax.nn.sigmoid(wx_t[1] + jnp.dot(y, p["Vz"]))
-            r = jax.nn.sigmoid(wx_t[2] + jnp.dot(y, p["Vr"]))
-            c = jnp.tanh(wx_t[0] + jnp.dot(r * y, p["V"]))
-            y = z * y + (1.0 - z) * c
-        return (y,), y
+            z = jax.nn.sigmoid(wx_t[1] + jnp.dot(yf, p["Vz"]))
+            r = jax.nn.sigmoid(wx_t[2] + jnp.dot(yf, p["Vr"]))
+            ry = _feature_gather(r * yl, model_axis)
+            c = jnp.tanh(wx_t[0] + jnp.dot(ry, p["V"]))
+            y = z * yl + (1.0 - z) * c
+        yf = _feature_gather(y, model_axis)
+        return (yf,), yf
 
     state, ys = jax.lax.scan(
         stepf, state, tuple(jnp.swapaxes(w, 0, 1) for w in wxs)
@@ -192,32 +250,38 @@ def _ann_chunk_scan(ann_type, p, wxs, state):
     return state, jnp.swapaxes(ys, 0, 1)
 
 
-def _pipelined_recurrence(chunk_fn, n_state, wxs, axis, n_micro,
-                          init_state=None):
+def _pipelined_recurrence(chunk_fn, state_widths, wxs, axis, n_micro,
+                          init_state=None, out_width=None):
     """State-passing pipeline over the ``axis`` mesh dimension, generic
     over the cell (``chunk_fn(wxs_chunk, state) -> (state, outputs)``
-    with ``n_state`` (mb, H) state slots).
+    with per-slot ``state_widths`` (mb, w) state slots — under TP some
+    slots are feature shards and some feature-full).
 
     ``wxs``: per-gate (B, Tl, H) local time chunks of the normalized
-    drive. Device s runs microbatch ``m = tick - s``; boundary states hop
-    right after every tick. ``ppermute`` delivers zeros to device 0 —
-    the fresh initial state each new microbatch needs — unless
-    ``init_state`` (tuple of ``n_state`` (B, H) arrays, e.g. the uniform
-    per-forward draw) supplies device 0's inbox per microbatch instead.
+    drive; ``out_width`` is the chunk output's feature width when it
+    differs from the drive's (TP outputs are feature-full). Device s
+    runs microbatch ``m = tick - s``; boundary states hop right after
+    every tick. ``ppermute`` delivers zeros to device 0 — the fresh
+    initial state each new microbatch needs — unless ``init_state``
+    (per-slot (B, w) arrays, e.g. the uniform per-forward draw) supplies
+    device 0's inbox per microbatch instead.
     """
     S = jax.lax.psum(1, axis)
     s_idx = jax.lax.axis_index(axis)
     B, Tl, H = wxs[0].shape
+    Ho = out_width or H
     M = n_micro
     assert B % M == 0, f"batch {B} not divisible by microbatches {M}"
     mb = B // M
     dtype = wxs[0].dtype
     Wxm = tuple(w.reshape(M, mb, Tl, H) for w in wxs)
-    zeros_state = tuple(jnp.zeros((mb, H), dtype) for _ in range(n_state))
+    zeros_state = tuple(jnp.zeros((mb, w), dtype) for w in state_widths)
     init_m = None
     if init_state is not None:
-        init_m = tuple(s.reshape(M, mb, H) for s in init_state)
-    results0 = jnp.zeros((M, mb, Tl, H), dtype)
+        init_m = tuple(
+            s.reshape(M, mb, s.shape[-1]) for s in init_state
+        )
+    results0 = jnp.zeros((M, mb, Tl, Ho), dtype)
     perm = [(i, i + 1) for i in range(S - 1)]
 
     def tick(carry, t):
@@ -236,7 +300,7 @@ def _pipelined_recurrence(chunk_fn, n_state, wxs, axis, n_micro,
         wx_m = tuple(jnp.where(active, W[m_c], 0.0) for W in Wxm)
         st_out, outs = chunk_fn(wx_m, inbox)
         cur = jax.lax.dynamic_slice(
-            results, (m_c, 0, 0, 0), (1, mb, Tl, H)
+            results, (m_c, 0, 0, 0), (1, mb, Tl, Ho)
         )
         results = jax.lax.dynamic_update_slice(
             results,
@@ -254,7 +318,7 @@ def _pipelined_recurrence(chunk_fn, n_state, wxs, axis, n_micro,
     (_, results), _ = jax.lax.scan(
         tick, (zeros_state, results0), jnp.arange(M + S - 1)
     )
-    return results.reshape(B, Tl, H)
+    return results.reshape(B, Tl, Ho)
 
 
 def _psum(v, axes):
@@ -264,48 +328,74 @@ def _psum(v, axes):
 
 
 def _norm(kind, p, stats, flat_n_global, wx, stat_axes, train,
-          norm_key="norm"):
+          norm_key="norm", model_axis=None):
     """Normalization over the globally-flattened (B*T, H) sequence; batch
     statistics reduce with one psum over the mesh axes the sequence is
     sharded on ('seq', plus 'data' on a composite mesh — global-batch
-    stats like the jit path). Returns (normalized wx, updated running
-    stats or None)."""
+    stats like the jit path). Under TP ``wx`` is a feature shard: BN is
+    per-feature so shard statistics ARE the global statistics (running
+    stats are stored feature-full — sliced on read, gathered on write);
+    LayerNorm's per-sample moments span the full feature axis, so its
+    sums additionally psum over 'model'. Returns (normalized wx, updated
+    running stats or None)."""
+    Hl = wx.shape[-1]
     if kind == "batchnorm":
         bn_p = p[norm_key]["BatchNorm_0"]
         bn_s = stats[norm_key]["BatchNorm_0"]
         if train:
-            flat = wx.reshape(-1, wx.shape[-1])
+            flat = wx.reshape(-1, Hl)
             ssum = _psum(jnp.sum(flat, axis=0), stat_axes)
             ssum2 = _psum(
                 jnp.sum(jax.lax.square(flat), axis=0), stat_axes
             )
             mean = ssum / flat_n_global
             var = ssum2 / flat_n_global - jax.lax.square(mean)
+            old_mean = _shard_slice(bn_s["mean"], model_axis, Hl)
+            old_var = _shard_slice(bn_s["var"], model_axis, Hl)
             new_stats = {
-                "mean": 0.95 * bn_s["mean"] + 0.05 * mean,
-                "var": 0.95 * bn_s["var"] + 0.05 * var,
+                "mean": _feature_gather(
+                    0.95 * old_mean + 0.05 * mean, model_axis
+                ),
+                "var": _feature_gather(
+                    0.95 * old_var + 0.05 * var, model_axis
+                ),
             }
         else:
-            mean, var = bn_s["mean"], bn_s["var"]
+            mean = _shard_slice(bn_s["mean"], model_axis, Hl)
+            var = _shard_slice(bn_s["var"], model_axis, Hl)
             new_stats = None
         inv = jax.lax.rsqrt(var + _EPS)
-        return (wx - mean) * inv * bn_p["scale"] + bn_p["bias"], new_stats
+        gamma = _shard_slice(bn_p["scale"], model_axis, Hl)
+        beta = _shard_slice(bn_p["bias"], model_axis, Hl)
+        return (wx - mean) * inv * gamma + beta, new_stats
     if kind == "layernorm":
         ln = p[norm_key]["LayerNorm_0"]
-        mean = wx.mean(axis=-1, keepdims=True)
-        var = ((wx - mean) ** 2).mean(axis=-1, keepdims=True)
+        if model_axis is None:
+            mean = wx.mean(axis=-1, keepdims=True)
+            var = ((wx - mean) ** 2).mean(axis=-1, keepdims=True)
+        else:
+            n_feat = Hl * jax.lax.psum(1, model_axis)
+            mean = jax.lax.psum(
+                wx.sum(axis=-1, keepdims=True), model_axis
+            ) / n_feat
+            var = jax.lax.psum(
+                ((wx - mean) ** 2).sum(axis=-1, keepdims=True), model_axis
+            ) / n_feat
         return (
-            (wx - mean) * jax.lax.rsqrt(var + _EPS) * ln["scale"]
-            + ln["bias"],
+            (wx - mean) * jax.lax.rsqrt(var + _EPS)
+            * _shard_slice(ln["scale"], model_axis, Hl)
+            + _shard_slice(ln["bias"], model_axis, Hl),
             None,
         )
     return wx, None
 
 
-def _project(p, h, w_key="W"):
+def _project(p, h, w_key="W", model_axis=None):
+    # kernel is column-sharded under TP (in_spec P(None, 'model')); the
+    # feature-full bias is sliced to match
     wx = jnp.dot(h, p[w_key]["kernel"])
     if "bias" in p[w_key]:
-        wx = wx + p[w_key]["bias"]
+        wx = wx + _shard_slice(p[w_key]["bias"], model_axis, wx.shape[-1])
     return wx
 
 
@@ -386,6 +476,15 @@ def _build_seqpipe(
     is_snn = model.is_snn
     kind = model.normalization
     n_hidden = model.num_layers - 1
+    model_axis = "model" if "model" in mesh.axis_names else None
+    n_model = mesh.shape["model"] if model_axis else 1
+    if model_axis and any(
+        h % n_model for h in model.layer_sizes[:-1]
+    ):
+        raise ValueError(
+            f"hidden sizes {model.layer_sizes[:-1]} not divisible by the "
+            f"'model' axis ({n_model})"
+        )
     if is_snn:
         neuron = model.neuron_type
         threshold = model.threshold
@@ -396,17 +495,41 @@ def _build_seqpipe(
             "GRU": ["W", "Wz", "Wr"],
         }[ann_type]
 
+    def _dedup(v):
+        """Under TP the readout/rate computation is REDUNDANT across
+        'model' (full inputs, replicated params). Rewriting the value as
+        psum(v / n) leaves it unchanged but makes each device's AD
+        contribution 1/n of the whole, so the replicated-param gradient
+        transpose (a psum over every mesh axis) stays exact."""
+        if model_axis is None:
+            return v
+        return jax.lax.psum(v / n_model, model_axis)
+
     def _snn_layer(p, stats, h, flat_n_global, stat_axes, train, new_stats,
                    name, states):
         wx, ns = _norm(
-            kind, p, stats, flat_n_global, _project(p, h), stat_axes, train
+            kind, p, stats, flat_n_global,
+            _project(p, h, model_axis=model_axis), stat_axes, train,
+            model_axis=model_axis,
         )
         if ns is not None:
             new_stats[name] = {"norm": {"BatchNorm_0": ns}}
-        cp = _clamped(p, neuron)
+        Hl = wx.shape[-1]
+        Hg = Hl * n_model
+        cp = _clamped(p, neuron, model_axis, Hl)
+        if states is not None:
+            # membrane/adaptation slots live as feature shards; the spike
+            # slot is carried feature-full (see _snn_chunk_scan)
+            states = (
+                _shard_slice(states[0], model_axis, Hl),
+                _shard_slice(states[1], model_axis, Hl),
+                states[2],
+            )
         return _pipelined_recurrence(
-            functools.partial(_snn_chunk_scan, neuron, cp, threshold),
-            3, (wx,), "seq", n_micro, init_state=states,
+            functools.partial(_snn_chunk_scan, neuron, cp, threshold,
+                              model_axis=model_axis),
+            (Hl, Hl, Hg), (wx,), "seq", n_micro, init_state=states,
+            out_width=Hg,
         )
 
     def _ann_layer(p, stats, h, flat_n_global, stat_axes, train, new_stats,
@@ -414,19 +537,25 @@ def _build_seqpipe(
         wxs = []
         for gk in gate_keys:
             wx, ns = _norm(
-                kind, p, stats, flat_n_global, _project(p, h, gk),
+                kind, p, stats, flat_n_global,
+                _project(p, h, gk, model_axis=model_axis),
                 stat_axes, train, norm_key=f"norm_{gk}",
+                model_axis=model_axis,
             )
             if ns is not None:
                 new_stats.setdefault(name, {})[f"norm_{gk}"] = {
                     "BatchNorm_0": ns
                 }
             wxs.append(wx)
+        Hl = wxs[0].shape[-1]
+        Hg = Hl * n_model
         if ann_type == "MLP":
-            return jax.nn.sigmoid(wxs[0])  # stateless: no pipeline needed
+            # stateless: no pipeline needed; re-assemble the feature axis
+            return _feature_gather(jax.nn.sigmoid(wxs[0]), model_axis)
         return _pipelined_recurrence(
-            functools.partial(_ann_chunk_scan, ann_type, p),
-            1, tuple(wxs), "seq", n_micro,
+            functools.partial(_ann_chunk_scan, ann_type, p,
+                              model_axis=model_axis),
+            (Hg,), tuple(wxs), "seq", n_micro, out_width=Hg,
         )
 
     def forward_local(params, batch_stats, x_local, noise, train,
@@ -448,10 +577,13 @@ def _build_seqpipe(
                 # applied BEFORE the rate telemetry like the reference
                 h = h * nz["mask"]
             if is_snn:
-                rate_sums.append(
+                rate_sums.append(_dedup(
                     _psum(jnp.sum(h, axis=(0, 1)), stat_axes)
                     / flat_n_global
-                )
+                ))
+        # layer outputs are feature-full even under TP (the chunk scans
+        # gather spikes/y per step), so the readout runs replicated
+        # across 'model' with _dedup-corrected AD
         if is_snn:
             out, ns = _pipelined_readout(
                 params["readout"], batch_stats.get("readout", {}), kind,
@@ -467,7 +599,7 @@ def _build_seqpipe(
             rates = jnp.zeros((1,), jnp.float32)
         if ns is not None:
             new_stats["readout"] = {"norm": {"BatchNorm_0": ns}}
-        return out, rates, new_stats
+        return _dedup(out), rates, new_stats
 
     from jax import shard_map
 
@@ -484,10 +616,33 @@ def _build_seqpipe(
 
     def _noise_specs(noise):
         # masks follow the time (and batch) axes like x; (B, H) state
-        # arrays follow the batch axis only
+        # arrays follow the batch axis only (feature-full — the layers
+        # slice their shards)
         return jax.tree.map(
             lambda v: x_spec if v.ndim == 3 else b_spec, noise
         )
+
+    def _param_specs(params):
+        """Per-leaf PartitionSpecs: hidden-layer weight matrices are
+        column-sharded over 'model' (projection kernels on their output
+        dim, V matrices on their column dim — both axis 1); everything
+        else (per-feature vectors, readout, stats) stays replicated and
+        is sliced inside. Without a 'model' axis: fully replicated."""
+        if model_axis is None:
+            return P()
+
+        def spec(path, leaf):
+            names = [
+                str(getattr(k, "key", getattr(k, "name", "")))
+                for k in path
+            ]
+            if names and names[0].startswith("layer_") and names[-1] in (
+                "kernel", "V", "Vz", "Vr"
+            ):
+                return P(None, "model")
+            return P()
+
+        return jax.tree_util.tree_map_with_path(spec, params)
 
     def _fwd(params, batch_stats, x, noise, train):
         fwd = shard_map(
@@ -499,7 +654,9 @@ def _build_seqpipe(
                 batch_n_global=float(x.shape[0]),
             ),
             mesh=mesh,
-            in_specs=(P(), P(), x_spec, _noise_specs(noise)),
+            in_specs=(
+                _param_specs(params), P(), x_spec, _noise_specs(noise)
+            ),
             out_specs=(out_spec, P(), P()),
             check_vma=False,
         )

@@ -232,6 +232,7 @@ def test_seqpipe_noise_is_mesh_invariant():
         make_seq_mesh(jax.devices()[:2]),
         make_seq_mesh(jax.devices()[:8]),
         make_seq_mesh(jax.devices()[:8], data=2),
+        make_seq_mesh(jax.devices()[:8], data=2, model=2),
     ):
         # fresh (deterministic) state per mesh: the pipe step donates it
         state = create_train_state(
@@ -411,6 +412,88 @@ def test_seqpipe_composite_data_seq_mesh():
         jax.tree_util.tree_leaves(ref_state.batch_stats),
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+@pytest.mark.parametrize("neuron,normalization", [
+    ("RadLIF", "batchnorm"), ("RLIF", "layernorm"), ("LIF", "none"),
+])
+def test_seqpipe_tensor_parallel_matches_single_device(
+    neuron, normalization
+):
+    """dp x sp x tp (2x2x2 over the 8 CPU devices): hidden weight
+    matrices column-shard over 'model', the recurrence carries sharded
+    membranes + a feature-full spike vector (one all_gather per step),
+    and loss/gradients/batch-stats must still match the single-device
+    step exactly."""
+    model, state, _, x, y = _build(neuron, normalization, 4)
+    mesh = make_seq_mesh(jax.devices()[:8], data=2, model=2)
+    ref_step = make_train_step(model, donate=False, use_regularizers=True)
+    pipe_step = make_seqpipe_train_step(
+        model, mesh, n_micro=2, use_regularizers=True
+    )
+    ref_state, ref_metrics = ref_step(state, x, y)
+    xs = jax.device_put(x, seq_batch_sharding(mesh))
+    new_state, metrics = pipe_step(state, xs, y)
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(metrics["spike_rate"]), float(ref_metrics["spike_rate"]),
+        rtol=1e-5,
+    )
+    for (kp_r, a), (kp_n, b) in zip(
+        jax.tree_util.tree_leaves_with_path(ref_state.params),
+        jax.tree_util.tree_leaves_with_path(new_state.params),
+    ):
+        assert kp_r == kp_n
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-5,
+            err_msg=f"{neuron}/{normalization} {jax.tree_util.keystr(kp_r)}",
+        )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ref_state.batch_stats),
+        jax.tree_util.tree_leaves(new_state.batch_stats),
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+
+
+@pytest.mark.parametrize("ann_type", ["MLP", "RNN", "LiGRU", "GRU"])
+def test_seqpipe_ann_tensor_parallel(ann_type):
+    """ANN family under sp x tp (4x2): per-gate kernels and V matrices
+    sharded; y carried feature-full (GRU gathers r*y too)."""
+    model = build_model(
+        ann_type, (B, T, F), [H, H, C], dropout=0.0,
+        normalization="batchnorm", cell_impl="scan",
+    )
+    x = np.random.default_rng(9).random((B, T, F)).astype(np.float32)
+    y = (np.arange(B) % C).astype(np.int64)
+    state = create_train_state(model, x, lr=1e-2, rng=jax.random.PRNGKey(0))
+    mesh = make_seq_mesh(jax.devices()[:8], model=2)
+    ref_step = make_train_step(model, donate=False)
+    pipe_step = make_seqpipe_train_step(model, mesh, n_micro=2)
+    ref_state, ref_metrics = ref_step(state, x, y)
+    xs = jax.device_put(x, seq_batch_sharding(mesh))
+    new_state, metrics = pipe_step(state, xs, y)
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(ref_metrics["loss"]), rtol=2e-4,
+        err_msg=ann_type,
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(new_state.params),
+        jax.tree_util.tree_leaves(ref_state.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, err_msg=ann_type
+        )
+
+
+def test_seqpipe_tp_rejects_indivisible_hidden():
+    model = build_model(
+        "LIF", (B, T, F), [H + 1, C], dropout=0.0, state_init="zeros",
+    )
+    mesh = make_seq_mesh(jax.devices()[:8], model=2)
+    with pytest.raises(ValueError, match="divisible by the 'model'"):
+        make_seqpipe_train_step(model, mesh)
 
 
 def test_seqpipe_eval_step_matches_single_device():
