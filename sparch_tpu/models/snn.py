@@ -139,6 +139,7 @@ class LIFLayer(_SpikingLayerBase):
                 Wx, self._alpha(), self.threshold, u0, s0,
                 scale=scale, shift=shift,
                 drop_rate=drop_rate, drop_seed=drop_seed,
+                mxu_bf16=self._mxu_bf16(),
             )
             return self._post(s, train, fused_drop=drop_rate > 0)
         s = cells.lif_scan(Wx, self._alpha(), self.threshold, u0, s0)
@@ -161,6 +162,7 @@ class adLIFLayer(_SpikingLayerBase):
                 Wx, self._alpha(), beta, a, b, self.threshold, u0, w0, s0,
                 scale=scale, shift=shift,
                 drop_rate=drop_rate, drop_seed=drop_seed,
+                mxu_bf16=self._mxu_bf16(),
             )
             return self._post(s, train, fused_drop=drop_rate > 0)
         s = cells.adlif_scan(

@@ -1097,24 +1097,30 @@ def rlif_pallas(Wx, alpha, V, threshold, u0, s0, mxu_bf16: bool = False,
 
 def adlif_pallas(Wx, alpha, beta, a, b, threshold, u0, w0, s0,
                  scale=None, shift=None, drop_rate: float = 0.0,
-                 drop_seed=None):
-    """Fused adLIF layer recurrence (drop-in for cells.adlif_scan)."""
+                 drop_seed=None, mxu_bf16: bool = False):
+    """Fused adLIF layer recurrence (drop-in for cells.adlif_scan).
+    ``mxu_bf16`` halves the s/g/dWx stream traffic (no MXU products
+    exist here — raw spikes are 0/1, exactly representable, so the
+    forward VALUES are unchanged; only the dWx cotangent stream rounds,
+    matching what the consuming default-precision matmuls do anyway)."""
     V = jnp.zeros((1, 1), Wx.dtype)  # never read (non-recurrent)
     return _call_op(Wx, scale, shift, alpha, beta, a, b, V, threshold,
                     u0, w0, s0, recurrent=False, adaptive=True,
-                    mxu_bf16=False, drop_rate=drop_rate,
+                    mxu_bf16=mxu_bf16, drop_rate=drop_rate,
                     drop_seed=drop_seed)
 
 
 def lif_pallas(Wx, alpha, threshold, u0, s0, scale=None, shift=None,
-               drop_rate: float = 0.0, drop_seed=None):
-    """Fused LIF layer recurrence (drop-in for cells.lif_scan)."""
+               drop_rate: float = 0.0, drop_seed=None,
+               mxu_bf16: bool = False):
+    """Fused LIF layer recurrence (drop-in for cells.lif_scan).
+    ``mxu_bf16``: see adlif_pallas."""
     z = jnp.zeros_like(alpha)
     zs = jnp.zeros_like(u0)
     V = jnp.zeros((1, 1), Wx.dtype)  # never read (non-recurrent)
     return _call_op(Wx, scale, shift, alpha, z, z, z, V, threshold,
                     u0, zs, s0, recurrent=False, adaptive=False,
-                    mxu_bf16=False, drop_rate=drop_rate,
+                    mxu_bf16=mxu_bf16, drop_rate=drop_rate,
                     drop_seed=drop_seed)
 
 

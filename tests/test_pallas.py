@@ -228,6 +228,38 @@ def test_mxu_bf16_mode_close_to_f32(data):
     assert rel < 0.1, rel
 
 
+def test_nonrecurrent_bf16_streams_exact_forward(data):
+    """lif/adlif with bf16 streams: spikes are 0/1 (exactly representable
+    in bf16) and there is no MXU product, so the forward must equal the
+    f32 scan EXACTLY; the dWx gradient rounds within bf16 tolerance."""
+    d = data
+    got = pallas_cells.adlif_pallas(
+        d["Wx"], d["alpha"], d["beta"], d["a"], d["b"], 1.0,
+        d["u0"], d["w0"], d["s0"], mxu_bf16=True,
+    )
+    want = cells.adlif_scan(
+        d["Wx"], d["alpha"], d["beta"], d["a"], d["b"], 1.0,
+        d["u0"], d["w0"], d["s0"],
+    )
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(got, np.float32), np.asarray(want)
+    )
+
+    def loss(fn, **kw):
+        def inner(Wx, alpha):
+            s = fn(Wx, alpha, 1.0, d["u0"], d["s0"], **kw)
+            return (s.astype(jnp.float32) * jnp.arange(H)).sum()
+        return inner
+
+    g16 = jax.grad(loss(pallas_cells.lif_pallas, mxu_bf16=True),
+                   argnums=(0, 1))(d["Wx"], d["alpha"])
+    g32 = jax.grad(loss(cells.lif_scan), argnums=(0, 1))(d["Wx"], d["alpha"])
+    for a, b in zip(g16, g32):
+        denom = float(jnp.abs(b).max()) + 1e-9
+        assert float(jnp.abs(a.astype(jnp.float32) - b).max()) / denom < 0.02
+
+
 def test_readout_pallas_matches_scan(data):
     d = data
     Wx = d["Wx"]

@@ -145,7 +145,7 @@ def _spiking_fns(variant, *, affine, drop, seed, bf16):
             extra = dict(scale=sc, shift=sh)
         if drop > 0:
             extra.update(drop_rate=drop, drop_seed=seed)
-        if bf16 and recurrent:
+        if bf16:
             extra.update(mxu_bf16=True)
         return pall(*reorder(kw), **extra)
 
@@ -514,7 +514,7 @@ def build_cases():
             (f"{v}/dropout",
              functools.partial(spiking_dropout_case, v, **S))
         )
-    for v in ("rlif", "radlif"):
+    for v in ("lif", "adlif", "rlif", "radlif"):
         cases.append(
             (f"{v}/bf16", functools.partial(spiking_case, v, bf16=True, **P))
         )
