@@ -224,6 +224,26 @@ def add_training_options(parser):
         "parallelism over all chips.",
     )
     parser.add_argument(
+        "--seq_parallel",
+        type=int,
+        default=1,
+        help="Sequence-parallel ('seq' mesh axis) size: shard the time "
+        "axis and run the recurrences as a state-passing pipeline "
+        "(parallel/seqpipe.py). Composes with --mesh_model (tensor "
+        "parallel) and uses the leftover devices as the 'data' axis. "
+        "Requires a unidirectional model with a readout layer and "
+        "--frontend host; batches whose shapes do not divide the mesh "
+        "fall back to the plain step.",
+    )
+    parser.add_argument(
+        "--seq_microbatches",
+        type=int,
+        default=4,
+        help="Microbatches per sequence-parallel pipeline tick (fill/"
+        "drain bubble is (S-1)/(M+S-1)); the per-data-shard batch must "
+        "divide it, else the batch falls back to the plain step.",
+    )
+    parser.add_argument(
         "--profile_dir",
         type=str,
         default=None,

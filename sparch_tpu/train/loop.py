@@ -86,6 +86,8 @@ class Experiment:
         self.state_init = getattr(args, "state_init", "uniform")
         self.cell_impl = getattr(args, "cell_impl", "auto")
         self.mesh_model = getattr(args, "mesh_model", 1)
+        self.seq_parallel = getattr(args, "seq_parallel", 1)
+        self.seq_microbatches = getattr(args, "seq_microbatches", 4)
         self.pad_multiple = getattr(args, "pad_multiple", 100)
         self.workers = getattr(args, "workers", 0)
         self.compute_dtype = getattr(args, "compute_dtype", "float32")
@@ -124,6 +126,38 @@ class Experiment:
             f"model={self.mesh.devices.shape[1]})\n"
         )
 
+        # Optional sequence-parallel (time-pipelined) mesh: dp x sp x tp
+        self.seq_mesh = None
+        if self.seq_parallel > 1:
+            from sparch_tpu.parallel.seqpipe import make_seq_mesh
+
+            if self.is_multihost:
+                raise ValueError("--seq_parallel is single-host only")
+            if self.bidirectional:
+                raise ValueError(
+                    "--seq_parallel requires a unidirectional model "
+                    "(the backward direction would need the full sequence)"
+                )
+            if self.frontend == "device":
+                raise ValueError(
+                    "--seq_parallel requires --frontend host (waveform "
+                    "pytree batches cannot shard the time axis)"
+                )
+            per = self.seq_parallel * self.mesh_model
+            if n_dev % per:
+                raise ValueError(
+                    f"{n_dev} devices not divisible by seq_parallel x "
+                    f"mesh_model = {per}"
+                )
+            self.seq_mesh = make_seq_mesh(
+                data=n_dev // per, model=self.mesh_model
+            )
+            logging.info(
+                f"Sequence-parallel mesh: "
+                f"{dict(zip(self.seq_mesh.axis_names, self.seq_mesh.devices.shape))}, "
+                f"{self.seq_microbatches} microbatches\n"
+            )
+
         # Initialize dataloaders and model/optimizer state
         self.init_dataset()
         self.init_model()
@@ -144,7 +178,9 @@ class Experiment:
                 min_lr=1e-6,
             )
 
-        # Compiled steps
+        # Compiled steps. With --seq_parallel the pipelined pair handles
+        # every mesh-divisible batch; the plain pair stays as the exact
+        # fallback for ragged shapes (both implement the same math).
         self._train_step = make_train_step(
             self.net,
             use_regularizers=self.use_regularizers,
@@ -153,6 +189,22 @@ class Experiment:
             reg_fmax=self.reg_fmax,
         )
         self._eval_step = make_eval_step(self.net)
+        self._pipe_train_step = self._pipe_eval_step = None
+        if self.seq_mesh is not None:
+            from sparch_tpu.parallel.seqpipe import (
+                make_seqpipe_eval_step, make_seqpipe_train_step,
+            )
+
+            self._pipe_train_step = make_seqpipe_train_step(
+                self.net, self.seq_mesh, n_micro=self.seq_microbatches,
+                use_regularizers=self.use_regularizers,
+                reg_factor=self.reg_factor,
+                reg_fmin=self.reg_fmin,
+                reg_fmax=self.reg_fmax,
+            )
+            self._pipe_eval_step = make_seqpipe_eval_step(
+                self.net, self.seq_mesh, n_micro=self.seq_microbatches
+            )
         self._eval_rng = jax.random.PRNGKey(self.seed + 1)
 
     # ------------------------------------------------------------------
@@ -306,9 +358,15 @@ class Experiment:
             )
             logging.info(f"\nLoaded model at: {self.load_path}\n")
 
-        self.state = shard_state(
-            self.state, self.mesh, tensor_parallel=self.mesh_model > 1
-        )
+        if self.seq_mesh is not None:
+            # replicated on the seq mesh: the pipelined step shards the
+            # hidden weights itself via its shard_map in_specs (and the
+            # ragged-batch fallback step wants replicated state anyway)
+            self.state = replicate(self.state, self.seq_mesh)
+        else:
+            self.state = shard_state(
+                self.state, self.mesh, tensor_parallel=self.mesh_model > 1
+            )
 
         self.nb_params = sum(
             int(np.prod(p.shape)) for p in jax.tree.leaves(self.state.params)
@@ -327,6 +385,20 @@ class Experiment:
             return {}
         return dict(
             num_shards=jax.process_count(), shard_index=jax.process_index()
+        )
+
+    def _seq_ok(self, x):
+        """Whether this batch's shapes divide the seq-parallel mesh (and
+        microbatching); anything ragged falls back to the plain step."""
+        if self.seq_mesh is None:
+            return False
+        shp = dict(zip(self.seq_mesh.axis_names, self.seq_mesh.devices.shape))
+        data, seq = shp.get("data", 1), shp["seq"]
+        B, T = x.shape[0], x.shape[1]
+        return (
+            B % data == 0
+            and (B // data) % self.seq_microbatches == 0
+            and T % seq == 0
         )
 
     def _put_batch(self, x, y):
@@ -356,8 +428,16 @@ class Experiment:
         for x, xlens, y in self.train_loader:
             if self.frontend == "device":
                 x = (x, xlens.astype(np.int32))
-            x, y = self._put_batch(x, y)
-            self.state, metrics = self._train_step(self.state, x, y)
+            if self._seq_ok(x):
+                from sparch_tpu.parallel.seqpipe import seq_batch_sharding
+
+                xs = jax.device_put(x, seq_batch_sharding(self.seq_mesh))
+                self.state, metrics = self._pipe_train_step(
+                    self.state, xs, y
+                )
+            else:
+                x, y = self._put_batch(x, y)
+                self.state, metrics = self._train_step(self.state, x, y)
             losses.append(metrics["loss"])
             accs.append(metrics["acc"])
             rates.append(metrics["spike_rate"])
@@ -392,9 +472,15 @@ class Experiment:
         for bi, (x, xlens, y) in enumerate(loader):
             if self.frontend == "device":
                 x = (x, xlens.astype(np.int32))
-            x, y = self._put_batch(x, y)
             step_rng = keys[bi + 1] if bi + 1 < len(keys) else keys[-1]
-            metrics = self._eval_step(self.state, x, y, step_rng)
+            if self._seq_ok(x):
+                from sparch_tpu.parallel.seqpipe import seq_batch_sharding
+
+                xs = jax.device_put(x, seq_batch_sharding(self.seq_mesh))
+                metrics = self._pipe_eval_step(self.state, xs, y, step_rng)
+            else:
+                x, y = self._put_batch(x, y)
+                metrics = self._eval_step(self.state, x, y, step_rng)
             losses.append(metrics["loss"])
             accs.append(metrics["acc"])
             rates.append(metrics["spike_rate"])

@@ -167,3 +167,42 @@ def test_log_tofile(shd_folder, tmp_path):
     content = open(log).read()
     assert "train loss=" in content
     assert "Test acc=" in content
+
+
+def test_seq_parallel_training(shd_folder, tmp_path):
+    """--seq_parallel routes divisible batches through the time-pipelined
+    steps (dp x sp mesh on the 8-device CPU backend) with the DEFAULT
+    recipe (dropout + uniform state init -> the global-shape noise seam);
+    training, eval and checkpointing must all complete."""
+    exp = str(tmp_path / "exp_sp")
+    e = run_exp.main([
+        "--dataset_name", "shd",
+        "--data_folder", shd_folder,
+        "--new_exp_folder", exp,
+        "--model_type", "LIF",
+        "--nb_layers", "2",
+        "--nb_hiddens", "16",
+        "--batch_size", "8",
+        "--nb_epochs", "2",
+        "--pdrop", "0.1",
+        "--state_init", "uniform",
+        "--seq_parallel", "2",
+        "--seq_microbatches", "2",
+    ])
+    assert e.seq_mesh is not None
+    assert dict(zip(e.seq_mesh.axis_names, e.seq_mesh.devices.shape)) == {
+        "data": 4, "seq": 2,
+    }
+    # the default batch shapes divide the mesh: the pipe path engaged
+    assert e._seq_ok(np.zeros((8, 100, 700), np.float32))
+    assert not e._seq_ok(np.zeros((7, 100, 700), np.float32))  # ragged
+    assert os.path.isdir(os.path.join(exp, "checkpoints", "best_model"))
+    assert 0.0 <= e.test_acc <= 1.0
+
+
+def test_seq_parallel_rejects_bidirectional(shd_folder, tmp_path):
+    with pytest.raises(ValueError, match="unidirectional"):
+        run_exp.main(_base_args(
+            shd_folder, str(tmp_path / "exp_sp_bad"),
+            extra=["--seq_parallel", "2", "--bidirectional", "true"],
+        ))
