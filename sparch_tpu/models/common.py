@@ -218,7 +218,7 @@ class FusedCellPolicy:
     # Widest layer the fused kernels accept on the 'auto' path: they keep
     # every recurrent matrix AND its dV accumulator resident in VMEM
     # (2*H^2 f32 per gate = 33 MB at H=2048), so multi-gate ANN cells
-    # override this with lower caps (LiGRU 1536, GRU 1280). Wide layers
+    # override this with lower caps (LiGRU 1536, GRU 1024). Wide layers
     # unroll fewer steps per grid cell (_pick_tc caps tc at 4 for
     # H >= 1536) so Mosaic compiles stay in seconds; measured v5e RadLIF
     # fwd+bwd vs scan: 1.3x faster at H=1536, 1.5x at H=2048.

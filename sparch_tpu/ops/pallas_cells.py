@@ -125,10 +125,10 @@ def _pick_tc(T: int, Hp: int = 0) -> int:
     the shorter unroll compiles in tens of seconds and the extra grid
     steps cost little — the per-step work at that width amortises the
     loop overhead on its own."""
-    hi = 4 if Hp >= 1536 else 16
+    hi, lo = (4, 3) if Hp >= 1536 else (16, 6)
     if T <= hi:
         return max(T, 1)
-    for cand in range(hi, 2, -1):
+    for cand in range(hi, lo - 1, -1):
         if T % cand == 0:
             return cand
     return min(_TC, hi)
@@ -1101,8 +1101,10 @@ def adlif_pallas(Wx, alpha, beta, a, b, threshold, u0, w0, s0,
     """Fused adLIF layer recurrence (drop-in for cells.adlif_scan).
     ``mxu_bf16`` halves the s/g/dWx stream traffic (no MXU products
     exist here — raw spikes are 0/1, exactly representable, so the
-    forward VALUES are unchanged; only the dWx cotangent stream rounds,
-    matching what the consuming default-precision matmuls do anyway)."""
+    dropout-free forward is bit-identical to f32; with fused dropout the
+    kept values s/(1-p) round to bf16, and the dWx cotangent stream
+    rounds, matching what the consuming default-precision matmuls do
+    anyway)."""
     V = jnp.zeros((1, 1), Wx.dtype)  # never read (non-recurrent)
     return _call_op(Wx, scale, shift, alpha, beta, a, b, V, threshold,
                     u0, w0, s0, recurrent=False, adaptive=True,

@@ -205,6 +205,9 @@ class Experiment:
             self._pipe_eval_step = make_seqpipe_eval_step(
                 self.net, self.seq_mesh, n_micro=self.seq_microbatches
             )
+            from sparch_tpu.parallel.seqpipe import seq_batch_sharding
+
+            self._seq_sharding = seq_batch_sharding(self.seq_mesh)
         self._eval_rng = jax.random.PRNGKey(self.seed + 1)
 
     # ------------------------------------------------------------------
@@ -429,9 +432,7 @@ class Experiment:
             if self.frontend == "device":
                 x = (x, xlens.astype(np.int32))
             if self._seq_ok(x):
-                from sparch_tpu.parallel.seqpipe import seq_batch_sharding
-
-                xs = jax.device_put(x, seq_batch_sharding(self.seq_mesh))
+                xs = jax.device_put(x, self._seq_sharding)
                 self.state, metrics = self._pipe_train_step(
                     self.state, xs, y
                 )
@@ -474,9 +475,7 @@ class Experiment:
                 x = (x, xlens.astype(np.int32))
             step_rng = keys[bi + 1] if bi + 1 < len(keys) else keys[-1]
             if self._seq_ok(x):
-                from sparch_tpu.parallel.seqpipe import seq_batch_sharding
-
-                xs = jax.device_put(x, seq_batch_sharding(self.seq_mesh))
+                xs = jax.device_put(x, self._seq_sharding)
                 metrics = self._pipe_eval_step(self.state, xs, y, step_rng)
             else:
                 x, y = self._put_batch(x, y)

@@ -33,6 +33,7 @@ compile per case cold; the persistent compile cache makes reruns fast.
 """
 import argparse
 import contextlib
+import zlib
 import functools
 import json
 import os
@@ -160,7 +161,7 @@ def _spiking_fns(variant, *, affine, drop, seed, bf16):
 
 def spiking_case(variant, *, B, T, H, affine=False, bf16=False):
     """plain/stress/bf16 spiking comparisons (no dropout)."""
-    rng = np.random.default_rng(hash(variant) % 2**31)
+    rng = np.random.default_rng(zlib.crc32(variant.encode()))
     d = _spiking_data(rng, B, T, H)
     names, pallas_fn, scan_fn = _spiking_fns(
         variant, affine=affine, drop=0.0, seed=None, bf16=bf16
@@ -216,7 +217,7 @@ def spiking_case(variant, *, B, T, H, affine=False, bf16=False):
     return m, fails
 
 
-def spiking_dropout_case(variant, *, B, T, H, p=0.3):
+def spiking_dropout_case(variant, *, B, T, H, p=0.3, bf16=False):
     """Fused dropout on the real hw-PRNG path. The keep mask depends only
     on (seed, batch tile, timestep, element) — never on the data — so it
     is extracted on-device from a second forward whose drive pins every
@@ -224,14 +225,11 @@ def spiking_dropout_case(variant, *, B, T, H, p=0.3):
     the tile plan matches. Values and gradients must then equal the
     explicit-mask scan oracle; a fwd/bwd mask-regeneration mismatch shows
     up as a gradient error here."""
-    rng = np.random.default_rng(hash(variant + "drop") % 2**31)
+    rng = np.random.default_rng(zlib.crc32((variant + "drop").encode()))
     d = _spiking_data(rng, B, T, H)
     names, pallas_fn, scan_fn = _spiking_fns(
         variant, affine=False, drop=p, seed=jnp.array([5, 11], jnp.int32),
-        bf16=False,
-    )
-    _, raw_pallas_fn, _ = _spiking_fns(
-        variant, affine=False, drop=0.0, seed=None, bf16=False
+        bf16=bf16,
     )
     wgt = _weights((T, H))
 
@@ -273,7 +271,7 @@ def spiking_dropout_case(variant, *, B, T, H, p=0.3):
             return (scan_fn(kw) * mask / (1.0 - p) * wgt).sum()
 
         args = tuple(d[n] for n in names)
-        out_f = pallas_fn(dict(d))
+        out_f = pallas_fn(dict(d)).astype(jnp.float32)
         gp = jax.grad(loss_fused, argnums=tuple(range(len(args))))(*args)
         with jax.default_matmul_precision("highest"):  # see spiking_case
             out_o = scan_fn(dict(d)) * mask / (1.0 - p)
@@ -295,7 +293,11 @@ def spiking_dropout_case(variant, *, B, T, H, p=0.3):
 
     m = {k: float(v) for k, v in metrics().items()}
     fails = []
-    if m["fwd_max_abs"] > 1e-5:
+    # with bf16 streams the kept values s/(1-p) round to bf16 (one ulp of
+    # ~1.4 at p=0.3); the dropout-free spikes stay exact
+    fwd_lim = 5e-3 if bf16 else 1e-5
+    grad_lim = 0.05 if bf16 else 1e-4
+    if m["fwd_max_abs"] > fwd_lim:
         fails.append(f"fwd_max_abs={m['fwd_max_abs']:.2e}")
     if not m["deterministic"]:
         fails.append("dropout not deterministic per seed")
@@ -306,8 +308,8 @@ def spiking_dropout_case(variant, *, B, T, H, p=0.3):
     if not m["fwd_finite"] or not m["grads_finite"]:
         fails.append("non-finite values")
     worst = max((v, k) for k, v in m.items() if k.startswith("g_"))
-    if worst[0] > 1e-4:
-        fails.append(f"grad {worst[1]}={worst[0]:.2e}>1e-4")
+    if worst[0] > grad_lim:
+        fails.append(f"grad {worst[1]}={worst[0]:.2e}>{grad_lim}")
     m["worst_grad"] = worst[0]
     return m, fails
 
@@ -387,7 +389,7 @@ def ann_case(mode, *, B, T, H, affine=False, bf16=False, drop=0.0,
     """``loose``: compare at default matmul precision with the mean-based
     grad metric — used at H >= 1536, where the highest-precision scan
     oracle's own VJP exceeds VMEM (f32 6-pass matmul windows)."""
-    rng = np.random.default_rng(hash(mode + "ann") % 2**31)
+    rng = np.random.default_rng(zlib.crc32((mode + "ann").encode()))
     d = _ann_data(rng, mode, B, T, H)
     wx_names, v_names = _ANN[mode]
     names = wx_names + v_names + ("y0",)
@@ -513,6 +515,12 @@ def build_cases():
         cases.append(
             (f"{v}/dropout",
              functools.partial(spiking_dropout_case, v, **S))
+        )
+        # the default TPU training path combines bf16 streams WITH the
+        # fused hw-PRNG dropout — exercised together here
+        cases.append(
+            (f"{v}/bf16drop",
+             functools.partial(spiking_dropout_case, v, bf16=True, **S))
         )
     for v in ("lif", "adlif", "rlif", "radlif"):
         cases.append(
