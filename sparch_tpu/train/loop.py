@@ -324,6 +324,23 @@ class Experiment:
         dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
             self.compute_dtype
         ]
+        # architecture record saved into checkpoint meta so serving can
+        # rebuild the exact model from the experiment folder alone
+        # (serve.Predictor.from_experiment)
+        self._model_config = {
+            "model_type": self.model_type,
+            "input_shape": list(input_shape),
+            "layer_sizes": list(layer_sizes),
+            "threshold": self.threshold,
+            "dropout": self.pdrop,
+            "normalization": self.normalization,
+            "use_bias": self.use_bias,
+            "bidirectional": self.bidirectional,
+            "state_init": self.state_init,
+            "cell_impl": self.cell_impl,
+            "compute_dtype": self.compute_dtype,
+            "frontend": self.frontend,
+        }
         self.net = build_model(
             self.model_type,
             input_shape,
@@ -508,6 +525,7 @@ class Experiment:
                         "epoch": e,
                         "best_acc": best_acc,
                         "scheduler": self.scheduler.state_dict(),
+                        "model": self._model_config,
                     },
                 )
                 logging.info(f"\nBest model saved with valid acc={valid_acc}")

@@ -206,3 +206,45 @@ def test_seq_parallel_rejects_bidirectional(shd_folder, tmp_path):
             shd_folder, str(tmp_path / "exp_sp_bad"),
             extra=["--seq_parallel", "2", "--bidirectional", "true"],
         ))
+
+
+def test_predictor_from_experiment(shd_folder, tmp_path):
+    """Train via the CLI, then serve from the experiment folder alone:
+    the checkpoint meta records the architecture, so
+    Predictor.from_experiment needs no model code from the caller."""
+    import jax
+    import numpy as np
+
+    from sparch_tpu.serve import Predictor
+    from sparch_tpu.train.checkpoint import restore_checkpoint
+    from sparch_tpu.train.state import create_train_state
+
+    exp = str(tmp_path / "exp_pred")
+    e = run_exp.main(_base_args(shd_folder, exp))
+    pred = Predictor.from_experiment(exp, batch_size=4)
+    x = (np.random.default_rng(0).random((5, 100, 700)) < 0.02).astype(
+        np.float32
+    )
+    labels, probs = pred(x)
+    # nb_outputs follows the dataset (shd -> 20), not the fixture's labels
+    assert labels.shape == (5,) and probs.shape == (5, 20)
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, rtol=1e-5)
+    labels2, probs2 = pred(x)
+    np.testing.assert_array_equal(labels, labels2)  # deterministic
+
+    # identical to the hand-assembled path (model rebuild + restore)
+    template = create_train_state(
+        e.net, np.zeros((2, 8, 700), np.float32), lr=1e-2,
+        rng=jax.random.PRNGKey(0),
+    )
+    state, meta = restore_checkpoint(f"{exp}/checkpoints", template)
+    assert meta["model"]["model_type"] == "LIF"
+    manual = Predictor(
+        e.net,
+        {"params": state.params, "batch_stats": state.batch_stats},
+        batch_size=4,
+    )
+    _, probs_manual = manual(x)
+    np.testing.assert_allclose(
+        np.asarray(probs), np.asarray(probs_manual), atol=1e-6
+    )
