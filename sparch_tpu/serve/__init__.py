@@ -1,4 +1,7 @@
-from sparch_tpu.serve.predictor import Predictor  # noqa: F401
+from sparch_tpu.serve.predictor import (  # noqa: F401
+    Predictor,
+    load_experiment,
+)
 from sparch_tpu.serve.streaming import (  # noqa: F401
     streaming_init,
     streaming_step,

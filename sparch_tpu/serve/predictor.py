@@ -14,7 +14,63 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["Predictor"]
+__all__ = ["Predictor", "load_experiment"]
+
+
+def load_experiment(exp_folder: str):
+    """Rebuild the exact trained model + variables from a CLI experiment
+    folder (the training loop records the architecture in the
+    checkpoint's meta.json). Returns ``(model, variables)`` — feed them
+    to :class:`Predictor` or to ``streaming_init``."""
+    import json
+    import os
+
+    from sparch_tpu.models import build_model
+    from sparch_tpu.train.checkpoint import restore_checkpoint
+    from sparch_tpu.train.state import create_train_state
+
+    ckdir = os.path.join(exp_folder, "checkpoints")
+    meta_path = os.path.join(ckdir, "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    cfg = meta.get("model")
+    if cfg is None:
+        raise ValueError(
+            f"{meta_path} has no 'model' record (experiment predates "
+            "architecture-in-meta); rebuild the model and pass variables "
+            "directly"
+        )
+    if cfg.get("frontend") == "device":
+        raise NotImplementedError(
+            "device-frontend experiments take waveform pytrees; wrap the "
+            "inner model in FbankFrontend and construct manually"
+        )
+    dtype = (
+        jnp.bfloat16 if cfg.get("compute_dtype") == "bfloat16" else None
+    )
+    model = build_model(
+        cfg["model_type"],
+        tuple(cfg["input_shape"]),
+        cfg["layer_sizes"],
+        threshold=cfg["threshold"],
+        dropout=cfg["dropout"],
+        normalization=cfg["normalization"],
+        use_bias=cfg["use_bias"],
+        bidirectional=cfg["bidirectional"],
+        use_readout_layer=True,
+        state_init=cfg["state_init"],
+        cell_impl=cfg["cell_impl"],
+        compute_dtype=dtype,
+    )
+    sample = np.zeros((2, 8, cfg["input_shape"][-1]), np.float32)
+    template = create_train_state(
+        model, sample, lr=1e-2, rng=jax.random.PRNGKey(0)
+    )
+    state, _ = restore_checkpoint(ckdir, template)
+    variables = {"params": state.params}
+    if state.batch_stats:
+        variables["batch_stats"] = state.batch_stats
+    return model, variables
 
 
 class Predictor:
@@ -28,63 +84,15 @@ class Predictor:
     @classmethod
     def from_experiment(cls, exp_folder: str, batch_size: int = 128,
                         seed: int = 0) -> "Predictor":
-        """Load the best checkpoint of a CLI experiment for inference.
-
-        The training loop records the model architecture in the
-        checkpoint's ``meta.json`` (train/loop.py), so the experiment
-        folder alone is enough:
+        """Load the best checkpoint of a CLI experiment for inference:
 
             predictor = Predictor.from_experiment("exp/test_exps/...")
             labels, probs = predictor(x)
+
+        (See :func:`load_experiment` for the underlying rebuild; use it
+        directly with ``streaming_init`` for frame-by-frame serving.)
         """
-        import json
-        import os
-
-        from sparch_tpu.models import build_model
-        from sparch_tpu.train.checkpoint import restore_checkpoint
-        from sparch_tpu.train.state import create_train_state
-
-        ckdir = os.path.join(exp_folder, "checkpoints")
-        meta_path = os.path.join(ckdir, "meta.json")
-        with open(meta_path) as f:
-            meta = json.load(f)
-        cfg = meta.get("model")
-        if cfg is None:
-            raise ValueError(
-                f"{meta_path} has no 'model' record (experiment predates "
-                "architecture-in-meta); rebuild the model and use "
-                "Predictor(model, variables) directly"
-            )
-        if cfg.get("frontend") == "device":
-            raise NotImplementedError(
-                "device-frontend experiments take waveform pytrees; use "
-                "Predictor(FbankFrontend(inner=model), variables) directly"
-            )
-        dtype = (
-            jnp.bfloat16 if cfg.get("compute_dtype") == "bfloat16" else None
-        )
-        model = build_model(
-            cfg["model_type"],
-            tuple(cfg["input_shape"]),
-            cfg["layer_sizes"],
-            threshold=cfg["threshold"],
-            dropout=cfg["dropout"],
-            normalization=cfg["normalization"],
-            use_bias=cfg["use_bias"],
-            bidirectional=cfg["bidirectional"],
-            use_readout_layer=True,
-            state_init=cfg["state_init"],
-            cell_impl=cfg["cell_impl"],
-            compute_dtype=dtype,
-        )
-        sample = np.zeros((2, 8, cfg["input_shape"][-1]), np.float32)
-        template = create_train_state(
-            model, sample, lr=1e-2, rng=jax.random.PRNGKey(0)
-        )
-        state, _ = restore_checkpoint(ckdir, template)
-        variables = {"params": state.params}
-        if state.batch_stats:
-            variables["batch_stats"] = state.batch_stats
+        model, variables = load_experiment(exp_folder)
         return cls(model, variables, batch_size=batch_size, seed=seed)
 
     def __init__(self, model, variables, batch_size: int = 128, seed: int = 0):

@@ -248,3 +248,29 @@ def test_predictor_from_experiment(shd_folder, tmp_path):
     np.testing.assert_allclose(
         np.asarray(probs), np.asarray(probs_manual), atol=1e-6
     )
+
+
+def test_streaming_from_experiment(shd_folder, tmp_path):
+    """load_experiment + streaming_init: frame-by-frame serving of a
+    CLI-trained model matches the batch Predictor's posteriors."""
+    import numpy as np
+
+    from sparch_tpu.serve import (
+        Predictor, load_experiment, streaming_init, streaming_step,
+    )
+
+    exp = str(tmp_path / "exp_stream")
+    run_exp.main(_base_args(shd_folder, exp))
+    model, variables = load_experiment(exp)
+    x = (np.random.default_rng(1).random((2, 30, 700)) < 0.02).astype(
+        np.float32
+    )
+    state = streaming_init(model, variables, batch_size=2)
+    for t in range(30):
+        state, out = streaming_step(model, variables, state, x[:, t])
+    probs_stream = np.asarray(out / out.sum(axis=-1, keepdims=True))
+    # the batch path must agree (zeros-init model: deterministic)
+    _, probs_batch = Predictor(model, variables, batch_size=2)(x)
+    np.testing.assert_allclose(
+        probs_stream, np.asarray(probs_batch), atol=1e-5
+    )
