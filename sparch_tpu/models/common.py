@@ -228,7 +228,13 @@ class FusedCellPolicy:
         """'auto' picks the fused Pallas kernels on TPU, lax.scan
         elsewhere (off-TPU the kernels would run interpreted — correct
         but slow). Layers wider than the per-cell VMEM cap fall back to
-        scan (see ``_pallas_h_cap``)."""
+        scan (see ``_pallas_h_cap``), and so do multi-chip processes:
+        a pallas_call is opaque to the GSPMD partitioner, so under a
+        sharded jit it would force replication collectives around every
+        kernel — the scan cells' plain matmuls partition cleanly instead
+        (the seq-pipeline path likewise builds on the scan recurrences
+        inside its shard_map). Explicit ``cell_impl='pallas'`` overrides
+        for single-chip-style uses."""
         if self.cell_impl == "pallas":
             return True
         if self.cell_impl == "auto":
@@ -236,6 +242,7 @@ class FusedCellPolicy:
 
             return (
                 jax.default_backend() == "tpu"
+                and jax.device_count() == 1
                 and self.hidden_size <= self._pallas_h_cap
             )
         return False
