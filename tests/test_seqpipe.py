@@ -487,6 +487,28 @@ def test_seqpipe_ann_tensor_parallel(ann_type):
         )
 
 
+def test_seqpipe_tp_eval_matches_single_device():
+    """Pipelined eval under dp x sp x tp (running BN stats read through
+    the feature-shard slice path) matches make_eval_step."""
+    from sparch_tpu.parallel.seqpipe import make_seqpipe_eval_step
+    from sparch_tpu.train.steps import make_eval_step
+
+    model, state, _, x, y = _build("RadLIF", "batchnorm", 4)
+    # one train step so the running stats are non-trivial
+    state, _ = make_train_step(model, donate=False)(state, x, y)
+    mesh = make_seq_mesh(jax.devices()[:8], data=2, model=2)
+    ref = make_eval_step(model)(state, x, y, jax.random.PRNGKey(0))
+    pipe_eval = make_seqpipe_eval_step(model, mesh, n_micro=2)
+    xs = jax.device_put(x, seq_batch_sharding(mesh))
+    got = pipe_eval(state, xs, y)
+    np.testing.assert_allclose(
+        float(got["loss"]), float(ref["loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(got["acc"]), float(ref["acc"]), rtol=1e-6
+    )
+
+
 def test_seqpipe_tp_rejects_indivisible_hidden():
     model = build_model(
         "LIF", (B, T, F), [H + 1, C], dropout=0.0, state_init="zeros",
