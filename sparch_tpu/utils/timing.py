@@ -57,21 +57,26 @@ def _build_loop(fn, args, iters):
         )
     target = min(float_idx, key=lambda i: args[i].size)
 
-    def body(i, tok):
-        perturbed = [
-            a + (tok * _tiny_for(a.dtype)).astype(a.dtype)
-            if j == target else a
-            for j, a in enumerate(args)
-        ]
-        out = fn(*perturbed)
-        acc = tok
-        for leaf in jax.tree.leaves(out):
-            acc = acc + jnp.sum(leaf).astype(jnp.float32)
-        return acc
+    # args are REAL jit parameters, not closure constants: closed-over
+    # host arrays are serialised as dense literals in the compile payload
+    # (a (128,1000,700) input once blew the remote-compile HTTP body
+    # limit at 358 MB; even 36 MB inputs slowed every compile)
+    def loop(_token, *a):
+        def body(i, tok):
+            perturbed = [
+                x + (tok * _tiny_for(x.dtype)).astype(x.dtype)
+                if j == target else x
+                for j, x in enumerate(a)
+            ]
+            out = fn(*perturbed)
+            acc = tok
+            for leaf in jax.tree.leaves(out):
+                acc = acc + jnp.sum(leaf).astype(jnp.float32)
+            return acc
 
-    return jax.jit(
-        lambda _token: jax.lax.fori_loop(0, iters, body, _token)
-    )
+        return jax.lax.fori_loop(0, iters, body, _token)
+
+    return jax.jit(loop)
 
 
 def time_fn(
@@ -81,13 +86,19 @@ def time_fn(
     repeats: int = 5,
 ) -> float:
     """Per-iteration seconds of ``fn(*args)`` on device."""
+    # place inputs on device ONCE: args are real jit parameters (not
+    # closure constants — see _build_loop), so host arrays would
+    # otherwise re-cross the tunnel on every timed call, and a 358 MB
+    # input's transfer variance once swamped the differenced measurement
+    # 12x (T=1000 read 129 ms/step vs the true 10.5 ms device time)
+    args = jax.device_put(args)
     loops = {
         n: _build_loop(fn, args, n) for n in (1, 1 + iters)
     }
 
     def run(n):
         t0 = time.perf_counter()
-        out = loops[n](jnp.float32(0.0))
+        out = loops[n](jnp.float32(0.0), *args)
         float(out)  # host fetch = true sync
         return time.perf_counter() - t0
 
