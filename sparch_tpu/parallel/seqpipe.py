@@ -17,9 +17,16 @@ crosses chunk boundaries in closed form (an ``all_gather`` of one (B, C)
 boundary drive per device plus a tiny S-step scan), so it needs no
 pipelining at all.
 
-Scope: unidirectional models (the whole SNN family AND the ANN family —
-the ANN readout's time collapse is a plain reduction, and MLP layers are
-stateless so only the recurrent cells pipeline) with a readout layer.
+Scope: the whole SNN family AND the ANN family (the ANN readout's time
+collapse is a plain reduction, and MLP layers are stateless so only the
+recurrent cells pipeline) with a readout layer. Bidirectional models run
+the reference's batch trick (snns.py:252-254,272-275) across the sharded
+time axis: the backward direction's data is pre-flipped, so BOTH halves
+of the doubled batch run time-forward through the unchanged pipeline,
+and a global time flip is just a local flip plus a shard-order reversal
+(``ppermute`` ``i -> S-1-i`` — an involution, so it is its own autodiff
+transpose): one reversal building each layer's doubled input, one
+un-reversing the backward half before the feature concat.
 The default training recipe is fully covered: dropout and the uniform
 per-forward state init draw their stochastic inputs OUTSIDE the
 ``shard_map`` at global shape (:func:`draw_noise` — deterministic in the
@@ -101,7 +108,12 @@ def draw_noise(model, rng, batch_shape, train: bool = True):
 
     Returns a (possibly empty) dict:
     ``{"layer_i": {"mask": (B,T,H), "states": ((B,H),)*3}, "readout":
-    {"u0": (B,C)}}`` with only the entries the model needs.
+    {"u0": (B,C)}}`` with only the entries the model needs. For
+    bidirectional models the mask covers the MERGED layer output —
+    (B, T, 2H), matching the single-device split-then-dropout order —
+    and each state slot is (2, B, H): per-direction rows of the doubled
+    batch (reshaped to (2B, H) inside the layer; kept 3-D here so the
+    batch axis stays sharddable on a 'data' mesh axis).
     """
     B, T = batch_shape[0], batch_shape[1]
     n_hidden = model.num_layers - 1
@@ -109,6 +121,7 @@ def draw_noise(model, rng, batch_shape, train: bool = True):
         model.is_snn and getattr(model, "state_init", "zeros") == "uniform"
     )
     adaptive = model.is_snn and model.neuron_type in ("adLIF", "RadLIF")
+    bidir = bool(getattr(model, "bidirectional", False))
     p = float(model.dropout) if train else 0.0
     noise = {}
     for i in range(n_hidden):
@@ -116,18 +129,20 @@ def draw_noise(model, rng, batch_shape, train: bool = True):
         rng, k_m, k_s = jax.random.split(rng, 3)
         entry = {}
         if p > 0:
-            keep = jax.random.bernoulli(k_m, 1.0 - p, (B, T, h))
+            h_out = 2 * h if bidir else h
+            keep = jax.random.bernoulli(k_m, 1.0 - p, (B, T, h_out))
             entry["mask"] = keep.astype(jnp.float32) / (1.0 - p)
         if uniform:
             # state slot order matches the chunk scan carry (u, w, s);
             # non-adaptive cells have no w (slot stays zero), mirroring
             # the model's _init_states draw count
             ks = jax.random.split(k_s, 3)
+            shape = (2, B, h) if bidir else (B, h)
             entry["states"] = (
-                jax.random.uniform(ks[0], (B, h)),
-                jax.random.uniform(ks[1], (B, h)) if adaptive
-                else jnp.zeros((B, h), jnp.float32),
-                jax.random.uniform(ks[2], (B, h)),
+                jax.random.uniform(ks[0], shape),
+                jax.random.uniform(ks[1], shape) if adaptive
+                else jnp.zeros(shape, jnp.float32),
+                jax.random.uniform(ks[2], shape),
             )
         if entry:
             noise[f"layer_{i}"] = entry
@@ -182,6 +197,20 @@ def _feature_gather(shard, model_axis):
         return shard
     return jax.lax.all_gather(
         shard, model_axis, axis=shard.ndim - 1, tiled=True
+    )
+
+
+def _time_reverse(h, axis):
+    """Global flip of the sharded time axis: flip within the local chunk
+    and reverse the shard order (``ppermute`` ``i -> S-1-i``). The permute
+    is an involution, so the op is its own autodiff transpose; with one
+    shard it degenerates to a plain local flip."""
+    S = jax.lax.psum(1, axis)
+    rev = jnp.flip(h, axis=1)
+    if S == 1:
+        return rev
+    return jax.lax.ppermute(
+        rev, axis, [(i, S - 1 - i) for i in range(S)]
     )
 
 
@@ -465,14 +494,14 @@ def _build_seqpipe(
     (state, metrics), with x placed via :func:`seq_batch_sharding`;
     dropout masks and uniform initial states are drawn from ``state.rng``
     per step (:func:`draw_noise` — the eval step takes the state key as
-    an explicit ``rng`` argument like ``make_eval_step``). Restrictions
-    (asserted): unidirectional, readout layer on. Supports all eight
-    model types (SNN and ANN families).
+    an explicit ``rng`` argument like ``make_eval_step``). Restriction
+    (asserted): readout layer on. Supports all eight model types (SNN
+    and ANN families), unidirectional and bidirectional (the batch trick
+    across the sharded time axis — see the module docstring).
     """
-    if model.bidirectional:
-        raise ValueError("bidirectional models cannot shard the time axis")
     if not model.use_readout_layer:
         raise ValueError("seq-pipeline step requires the readout layer")
+    bidir = bool(model.bidirectional)
     is_snn = model.is_snn
     kind = model.normalization
     n_hidden = model.num_layers - 1
@@ -564,13 +593,36 @@ def _build_seqpipe(
         rate_sums = []
         new_stats = {}
         layer_fn = _snn_layer if is_snn else _ann_layer
+        # bidirectional hidden layers see the doubled batch, so their BN
+        # statistics average over 2*B*T rows (single-device semantics)
+        flat_n_hidden = flat_n_global * (2.0 if bidir else 1.0)
         for i in range(n_hidden):
             name = f"layer_{i}"
             nz = noise.get(name, {})
+            states = nz.get("states")
+            if bidir:
+                # reference batch trick (snns.py:252-254): the backward
+                # half's data is globally time-flipped, so both halves
+                # run time-FORWARD through the unchanged pipeline
+                h = jnp.concatenate([h, _time_reverse(h, "seq")], axis=0)
+                if states is not None:
+                    # (2, B, w) per-direction slots -> (2B, w) rows in
+                    # the doubled-batch order
+                    states = tuple(
+                        s.reshape(-1, s.shape[-1]) for s in states
+                    )
             h = layer_fn(
-                params[name], batch_stats.get(name, {}), h, flat_n_global,
-                stat_axes, train, new_stats, name, nz.get("states"),
+                params[name], batch_stats.get(name, {}), h, flat_n_hidden,
+                stat_axes, train, new_stats, name, states,
             )
+            if bidir:
+                # un-flip the backward half, concat on features
+                # (snns.py:272-275); dropout then applies to the MERGED
+                # (B, T, 2H) output like the single-device layer
+                b = h.shape[0] // 2
+                h = jnp.concatenate(
+                    [h[:b], _time_reverse(h[b:], "seq")], axis=-1
+                )
             if "mask" in nz:
                 # layer-output dropout (scaled keep mask; the raw state
                 # recurrence is never dropped — reference snns.py:278);
@@ -615,12 +667,24 @@ def _build_seqpipe(
     )
 
     def _noise_specs(noise):
-        # masks follow the time (and batch) axes like x; (B, H) state
-        # arrays follow the batch axis only (feature-full — the layers
-        # slice their shards)
-        return jax.tree.map(
-            lambda v: x_spec if v.ndim == 3 else b_spec, noise
+        # masks follow the time (and batch) axes like x; state arrays
+        # follow the batch axis only (feature-full — the layers slice
+        # their shards). Bidirectional state slots are (2, B, H) with the
+        # batch on axis 1, so they need their own spec.
+        state_spec = (
+            P(None, "data", None) if has_data_axis else P(None, None, None)
         )
+
+        def spec(path, v):
+            names = [
+                str(getattr(k, "key", getattr(k, "name", "")))
+                for k in path
+            ]
+            if "mask" in names:
+                return x_spec
+            return state_spec if v.ndim == 3 else b_spec
+
+        return jax.tree_util.tree_map_with_path(spec, noise)
 
     def _param_specs(params):
         """Per-leaf PartitionSpecs: hidden-layer weight matrices are

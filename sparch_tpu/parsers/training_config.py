@@ -231,9 +231,10 @@ def add_training_options(parser):
         "axis and run the recurrences as a state-passing pipeline "
         "(parallel/seqpipe.py). Composes with --mesh_model (tensor "
         "parallel) and uses the leftover devices as the 'data' axis. "
-        "Requires a unidirectional model with a readout layer and "
-        "--frontend host; batches whose shapes do not divide the mesh "
-        "fall back to the plain step.",
+        "Supports bidirectional models (the batch trick runs across the "
+        "sharded time axis). Requires a readout layer and --frontend "
+        "host; batches whose shapes do not divide the mesh fall back to "
+        "the plain step.",
     )
     parser.add_argument(
         "--seq_microbatches",

@@ -133,11 +133,6 @@ class Experiment:
 
             if self.is_multihost:
                 raise ValueError("--seq_parallel is single-host only")
-            if self.bidirectional:
-                raise ValueError(
-                    "--seq_parallel requires a unidirectional model "
-                    "(the backward direction would need the full sequence)"
-                )
             if self.frontend == "device":
                 raise ValueError(
                     "--seq_parallel requires --frontend host (waveform "

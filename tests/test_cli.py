@@ -200,12 +200,17 @@ def test_seq_parallel_training(shd_folder, tmp_path):
     assert 0.0 <= e.test_acc <= 1.0
 
 
-def test_seq_parallel_rejects_bidirectional(shd_folder, tmp_path):
-    with pytest.raises(ValueError, match="unidirectional"):
-        run_exp.main(_base_args(
-            shd_folder, str(tmp_path / "exp_sp_bad"),
-            extra=["--seq_parallel", "2", "--bidirectional", "true"],
-        ))
+def test_seq_parallel_bidirectional_training(shd_folder, tmp_path):
+    """--seq_parallel + --bidirectional: the batch trick runs across the
+    sharded time axis (time-reversal ppermutes inside the pipeline)."""
+    exp = str(tmp_path / "exp_sp_bidir")
+    e = run_exp.main(_base_args(
+        shd_folder, exp,
+        extra=["--seq_parallel", "2", "--bidirectional", "true",
+               "--seq_microbatches", "2", "--nb_epochs", "1"],
+    ))
+    assert e.seq_mesh is not None
+    assert 0.0 <= e.test_acc <= 1.0
 
 
 def test_predictor_from_experiment(shd_folder, tmp_path):

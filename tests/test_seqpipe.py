@@ -98,12 +98,113 @@ def test_seqpipe_eight_devices_microbatch_pipeline():
 
 def test_seqpipe_rejects_unsupported():
     model = build_model(
-        "LIF", (B, T, F), [H, C], dropout=0.0, bidirectional=True,
-        state_init="zeros",
+        "LIF", (B, T, F), [H, C], dropout=0.0, state_init="zeros",
+        use_readout_layer=False,
     )
     mesh = make_seq_mesh(jax.devices()[:2])
-    with pytest.raises(ValueError, match="bidirectional"):
+    with pytest.raises(ValueError, match="readout"):
         make_seqpipe_train_step(model, mesh)
+
+
+@pytest.mark.parametrize("neuron,normalization", [
+    ("LIF", "batchnorm"), ("RadLIF", "batchnorm"), ("RadLIF", "layernorm"),
+])
+def test_seqpipe_bidirectional_matches_single_device(neuron, normalization):
+    """The bidirectional batch trick across the sharded time axis: the
+    backward half's data is globally time-flipped (local flip + ppermute
+    shard reversal), both halves pipeline time-forward, and the merge
+    un-flips before the feature concat. Deterministic config must match
+    the single-device step exactly."""
+    model = build_model(
+        neuron, (B, T, F), [H, H, C], dropout=0.0,
+        normalization=normalization, state_init="zeros",
+        cell_impl="scan", bidirectional=True,
+    )
+    x = (np.random.default_rng(0).random((B, T, F)) < 0.3).astype(np.float32)
+    y = (np.arange(B) % C).astype(np.int64)
+    state = create_train_state(model, x, lr=1e-2, rng=jax.random.PRNGKey(0))
+    ref_state, ref_metrics = make_train_step(model, donate=False)(state, x, y)
+    mesh = make_seq_mesh(jax.devices()[:4])
+    pipe_step = make_seqpipe_train_step(model, mesh, n_micro=2)
+    xs = jax.device_put(x, seq_batch_sharding(mesh))
+    new_state, metrics = pipe_step(state, xs, y)
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(metrics["spike_rate"]), float(ref_metrics["spike_rate"]),
+        rtol=1e-5,
+    )
+    for (kp_r, a), (kp_n, b) in zip(
+        jax.tree_util.tree_leaves_with_path(ref_state.params),
+        jax.tree_util.tree_leaves_with_path(new_state.params),
+    ):
+        assert kp_r == kp_n
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-5,
+            err_msg=jax.tree_util.keystr(kp_r),
+        )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ref_state.batch_stats),
+        jax.tree_util.tree_leaves(new_state.batch_stats),
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+
+
+@pytest.mark.parametrize("ann_type", ["RNN", "LiGRU"])
+def test_seqpipe_bidirectional_ann_matches_single_device(ann_type):
+    """ANN family + bidirectional under the time pipeline (MLP is
+    excluded: the model itself rejects MLP+bidirectional, matching the
+    reference anns.py)."""
+    model = build_model(
+        ann_type, (B, T, F), [H, H, C], dropout=0.0,
+        normalization="batchnorm", cell_impl="scan", bidirectional=True,
+    )
+    x = np.random.default_rng(1).random((B, T, F)).astype(np.float32)
+    y = (np.arange(B) % C).astype(np.int64)
+    state = create_train_state(model, x, lr=1e-2, rng=jax.random.PRNGKey(0))
+    ref_state, ref_metrics = make_train_step(model, donate=False)(state, x, y)
+    mesh = make_seq_mesh(jax.devices()[:4])
+    pipe_step = make_seqpipe_train_step(model, mesh, n_micro=2)
+    xs = jax.device_put(x, seq_batch_sharding(mesh))
+    new_state, metrics = pipe_step(state, xs, y)
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(ref_metrics["loss"]), rtol=2e-4,
+        err_msg=ann_type,
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(new_state.params),
+        jax.tree_util.tree_leaves(ref_state.params),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, err_msg=ann_type
+        )
+
+
+def test_seqpipe_bidirectional_composite_tp():
+    """Bidirectional + dp x sp x tp (2x2x2): the time-reversal ppermutes
+    compose with the tensor-parallel feature sharding."""
+    model = build_model(
+        "RadLIF", (B, T, F), [H, H, C], dropout=0.0,
+        normalization="batchnorm", state_init="zeros",
+        cell_impl="scan", bidirectional=True,
+    )
+    x = (np.random.default_rng(2).random((B, T, F)) < 0.3).astype(np.float32)
+    y = (np.arange(B) % C).astype(np.int64)
+    state = create_train_state(model, x, lr=1e-2, rng=jax.random.PRNGKey(0))
+    ref_state, ref_metrics = make_train_step(model, donate=False)(state, x, y)
+    mesh = make_seq_mesh(jax.devices()[:8], data=2, model=2)
+    pipe_step = make_seqpipe_train_step(model, mesh, n_micro=2)
+    xs = jax.device_put(x, seq_batch_sharding(mesh))
+    new_state, metrics = pipe_step(state, xs, y)
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(new_state.params),
+        jax.tree_util.tree_leaves(ref_state.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
 def _oracle_default_recipe_step(model, state, x, y, noise):
@@ -196,6 +297,106 @@ def test_seqpipe_default_recipe_matches_noise_oracle():
     xs = jax.device_put(x, seq_batch_sharding(mesh))
     new_state, metrics = pipe_step(state, xs, y)
 
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(oracle_loss), rtol=1e-5
+    )
+    for (kp_o, a), (kp_n, b) in zip(
+        jax.tree_util.tree_leaves_with_path(oracle_state.params),
+        jax.tree_util.tree_leaves_with_path(new_state.params),
+    ):
+        assert kp_o == kp_n
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=2e-5,
+            err_msg=jax.tree_util.keystr(kp_o),
+        )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(oracle_state.batch_stats),
+        jax.tree_util.tree_leaves(new_state.batch_stats),
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+
+
+def test_seqpipe_bidirectional_default_recipe_oracle():
+    """Bidirectional + the default recipe (dropout=0.1, 'uniform' init):
+    the pipelined step must match a single-device scan oracle that runs
+    the reference batch trick (bidir_concat / bidir_split) and consumes
+    the identical drawn noise — mask on the MERGED (B, T, 2H) output,
+    (2, B, H) per-direction state slots."""
+    import optax
+
+    from sparch_tpu.models.common import bidir_concat, bidir_split
+    from sparch_tpu.ops import cells
+    from sparch_tpu.parallel.seqpipe import _merge_stats, draw_noise
+
+    model = build_model(
+        "RadLIF", (B, T, F), [H, H, C], dropout=0.1,
+        normalization="batchnorm", state_init="uniform",
+        cell_impl="scan", bidirectional=True,
+    )
+    x = (np.random.default_rng(9).random((B, T, F)) < 0.3).astype(np.float32)
+    y = (np.arange(B) % C).astype(np.int64)
+    state = create_train_state(model, x, lr=1e-2, rng=jax.random.PRNGKey(13))
+    _, noise_rng = jax.random.split(state.rng)
+    noise = draw_noise(model, noise_rng, x.shape, train=True)
+    assert noise["layer_0"]["mask"].shape == (B, T, 2 * H)
+    assert noise["layer_0"]["states"][0].shape == (2, B, H)
+
+    eps = 1e-5
+
+    def bn_train(p, s, wx):
+        flat = wx.reshape(-1, wx.shape[-1])
+        mean = flat.mean(0)
+        var = (flat * flat).mean(0) - mean * mean
+        new = {
+            "mean": 0.95 * s["mean"] + 0.05 * mean,
+            "var": 0.95 * s["var"] + 0.05 * var,
+        }
+        return (wx - mean) * jax.lax.rsqrt(var + eps) * p["scale"] \
+            + p["bias"], new
+
+    def loss_fn(params):
+        h = x
+        new_stats = {}
+        for i in range(model.num_layers - 1):
+            name = f"layer_{i}"
+            p = params[name]
+            h2 = bidir_concat(h)
+            wx = h2 @ p["W"]["kernel"]
+            wxn, ns = bn_train(
+                p["norm"]["BatchNorm_0"],
+                state.batch_stats[name]["norm"]["BatchNorm_0"], wx,
+            )
+            new_stats[name] = {"norm": {"BatchNorm_0": ns}}
+            u0, w0, s0 = (
+                s.reshape(-1, s.shape[-1]) for s in noise[name]["states"]
+            )
+            s = cells.radlif_scan(
+                wxn, p["alpha"], p["beta"], p["a"], p["b"], p["V"],
+                model.threshold, u0, w0, s0,
+            )
+            h = bidir_split(s) * noise[name]["mask"]
+        pr = params["readout"]
+        wxr = h @ pr["W"]["kernel"]
+        wxrn, ns = bn_train(
+            pr["norm"]["BatchNorm_0"],
+            state.batch_stats["readout"]["norm"]["BatchNorm_0"], wxr,
+        )
+        new_stats["readout"] = {"norm": {"BatchNorm_0": ns}}
+        out = cells.readout_sum(wxrn, pr["alpha"], noise["readout"]["u0"])
+        ce = optax.softmax_cross_entropy_with_integer_labels(out, y).mean()
+        return ce, new_stats
+
+    (oracle_loss, new_stats), grads = jax.value_and_grad(
+        loss_fn, has_aux=True
+    )(state.params)
+    oracle_state = state.apply_gradients(
+        grads, _merge_stats(state.batch_stats, new_stats)
+    )
+
+    mesh = make_seq_mesh(jax.devices()[:4])
+    pipe_step = make_seqpipe_train_step(model, mesh, n_micro=2)
+    xs = jax.device_put(x, seq_batch_sharding(mesh))
+    new_state, metrics = pipe_step(state, xs, y)
     np.testing.assert_allclose(
         float(metrics["loss"]), float(oracle_loss), rtol=1e-5
     )
@@ -340,6 +541,13 @@ def test_draw_noise_distribution():
     # eval: no masks, states still drawn
     ev = draw_noise(model, jax.random.PRNGKey(0), (64, 50, F), train=False)
     assert "mask" not in ev["layer_0"] and "states" in ev["layer_0"]
+    # bidirectional: mask covers the merged (B, T, 2H) output; state
+    # slots are (2, B, H) per-direction rows
+    bid = draw_noise(
+        model.clone(bidirectional=True), jax.random.PRNGKey(0), (64, 50, F)
+    )
+    assert bid["layer_0"]["mask"].shape == (64, 50, 2 * H)
+    assert bid["layer_0"]["states"][0].shape == (2, 64, H)
 
 
 @pytest.mark.parametrize("ann_type", ["MLP", "RNN", "LiGRU", "GRU"])
