@@ -157,13 +157,17 @@ def main():
     for name, mt, sizes, B, T, F, bidir in CONFIGS:
         t = bench_one(mt, sizes, B, T, F, bidir)
         r = bench_roofline(mt, sizes, B, T, F, bidir)
+        # sub-20us skeletons (non-recurrent cells, tiny batches) sit at
+        # the differenced-measurement noise floor: the ratio would
+        # compare a real step against timing noise, so report null
+        ratio = round(r / t, 4) if r >= 2e-5 else None
         rows.append(
             {
                 "config": name,
                 "step_ms": round(t * 1e3, 3),
                 "utt_per_s": round(B / t, 1),
                 "roofline_ms": round(r * 1e3, 3),
-                "vs_roofline": round(r / t, 4),
+                "vs_roofline": ratio,
             }
         )
         print(json.dumps(rows[-1]), flush=True)
