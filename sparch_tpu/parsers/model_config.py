@@ -110,6 +110,20 @@ def add_model_options(parser):
         default="float32",
         help="Matmul compute dtype on TPU (params stay float32).",
     )
+    parser.add_argument(
+        "--input_dtype",
+        type=str,
+        choices=["float32", "bfloat16"],
+        default="float32",
+        help="Storage dtype of the input batches shipped to the device. "
+        "'bfloat16' halves host->device traffic and the two largest HBM "
+        "streams of the step (the input-projection forward and its dW "
+        "backward both read the full raster). For spiking rasters this "
+        "is LOSSLESS: bin counts are small integers, exactly "
+        "representable in bfloat16, and the MXU's default-precision "
+        "matmul already rounds the f32 operands to bfloat16 passes. For "
+        "continuous features (hd/sc fbank) it is AMP-like instead.",
+    )
     return parser
 
 

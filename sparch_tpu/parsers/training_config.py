@@ -39,6 +39,7 @@ _TRAINING_OPTION_KEYS = [
     "state_init",
     "cell_impl",
     "compute_dtype",
+    "input_dtype",
     "mxu_precision",
     "mesh_model",
     "pad_multiple",

@@ -91,6 +91,7 @@ class Experiment:
         self.pad_multiple = getattr(args, "pad_multiple", 100)
         self.workers = getattr(args, "workers", 0)
         self.compute_dtype = getattr(args, "compute_dtype", "float32")
+        self.input_dtype = getattr(args, "input_dtype", "float32")
         self.profile_dir = getattr(args, "profile_dir", None)
         self.prng_impl = getattr(args, "prng_impl", "rbg")
         self.compile_cache = getattr(args, "compile_cache", None)
@@ -105,6 +106,20 @@ class Experiment:
                 "datasets); using the standard pipeline.\n"
             )
             self.frontend = "host"
+        if self.input_dtype == "bfloat16" and self.frontend == "device":
+            # the device frontend ships raw waveforms (a pytree with
+            # lengths); bf16 would round the audio samples themselves
+            logging.warning(
+                "\n--input_dtype bfloat16 is ignored with --frontend "
+                "device (waveform batches stay float32).\n"
+            )
+            self.input_dtype = "float32"
+        if self.input_dtype == "bfloat16":
+            import ml_dtypes
+
+            self._input_cast = ml_dtypes.bfloat16
+        else:
+            self._input_cast = None
         jax.config.update("jax_default_prng_impl", self.prng_impl)
 
         # Initialize logging and output folders
@@ -334,6 +349,7 @@ class Experiment:
             "state_init": self.state_init,
             "cell_impl": self.cell_impl,
             "compute_dtype": self.compute_dtype,
+            "input_dtype": self.input_dtype,
             "frontend": self.frontend,
         }
         self.net = build_model(
@@ -443,6 +459,8 @@ class Experiment:
         for x, xlens, y in self.train_loader:
             if self.frontend == "device":
                 x = (x, xlens.astype(np.int32))
+            elif self._input_cast is not None:
+                x = x.astype(self._input_cast)
             if self._seq_ok(x):
                 xs = jax.device_put(x, self._seq_sharding)
                 self.state, metrics = self._pipe_train_step(
@@ -485,6 +503,8 @@ class Experiment:
         for bi, (x, xlens, y) in enumerate(loader):
             if self.frontend == "device":
                 x = (x, xlens.astype(np.int32))
+            elif self._input_cast is not None:
+                x = x.astype(self._input_cast)
             step_rng = keys[bi + 1] if bi + 1 < len(keys) else keys[-1]
             if self._seq_ok(x):
                 xs = jax.device_put(x, self._seq_sharding)

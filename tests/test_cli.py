@@ -120,6 +120,21 @@ def test_only_do_testing(shd_folder, tmp_path):
     assert 0.0 <= e.test_acc <= 1.0
 
 
+def test_input_dtype_bf16_via_cli(shd_folder, tmp_path):
+    """--input_dtype bfloat16 ships bf16 batches; spiking rasters are
+    integer counts so the run is numerically the float32 run (see
+    test_dtype.py for the bit-exactness pin)."""
+    exp = str(tmp_path / "exp_bf16in")
+    e = run_exp.main(
+        _base_args(shd_folder, exp, extra=("--input_dtype", "bfloat16"))
+    )
+    assert 0.0 <= e.test_acc <= 1.0
+    import json
+
+    meta = json.load(open(os.path.join(exp, "checkpoints", "meta.json")))
+    assert meta["model"]["input_dtype"] == "bfloat16"
+
+
 def test_ann_model_via_cli(shd_folder, tmp_path):
     exp = str(tmp_path / "exp5")
     args = _base_args(shd_folder, exp)

@@ -28,6 +28,38 @@ def test_bf16_forward_close_to_f32():
     )
 
 
+def test_bf16_integer_raster_input_is_lossless():
+    """bf16 input batches (--input_dtype bfloat16): spike rasters are
+    small-integer counts, exactly representable in bfloat16, so the
+    convert-then-project path computes on bit-identical values. With
+    deterministic reductions (norm=none) the whole train step — loss,
+    metrics, every parameter gradient — must match the f32-input step
+    bit-for-bit. (On real TPUs batchnorm's stats fusion may re-order its
+    f32 reduction and flip spikes at the threshold; that is XLA-ulp
+    class, not a precision loss — the projection itself was measured
+    bit-exact on chip, see docs/STATUS.md.)"""
+    rng = np.random.default_rng(1)
+    x32 = rng.poisson(0.8, (B, T, F)).astype(np.float32)
+    assert x32.max() < 256  # the exact-in-bf16 integer range
+    x16 = jnp.asarray(x32).astype(jnp.bfloat16)
+    y = jnp.asarray(np.arange(B) % C)
+
+    model = build_model(
+        "adLIF", (B, T, F), [16, C], dropout=0.1, state_init="uniform",
+        normalization="none",
+    )
+    state = create_train_state(
+        model, jnp.asarray(x32), lr=1e-2, rng=jax.random.PRNGKey(0)
+    )
+    step = make_train_step(model, donate=False)
+    s32, m32 = step(state, jnp.asarray(x32), y)
+    s16, m16 = step(state, x16, y)
+    assert float(m32["loss"]) == float(m16["loss"])
+    assert float(m32["acc"]) == float(m16["acc"])
+    for a, b in zip(jax.tree.leaves(s32.params), jax.tree.leaves(s16.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_bf16_training_step_runs_and_learns():
     rng = np.random.default_rng(0)
     y = np.arange(B) % C

@@ -17,6 +17,13 @@ Shapes follow BASELINE.json: SHD/SSC spike inputs are (B, 100, 700); SC
 runs on 40-bin fbank features (B, 100, 40) — the waveform->fbank
 frontend itself runs on the host loader (see tools/bench_loader.py for
 its throughput).
+
+With ``--input_bf16`` the spike-raster configs (F=700) feed bfloat16
+input batches — the ``--input_dtype bfloat16`` training path, lossless
+for integer rasters — to BOTH the step and its roofline skeleton (the
+skeleton's dominant stream is the same raster, so an f32 skeleton would
+flatter the bf16 step). fbank configs are unaffected (bf16 would round
+real features, and their input stream is ~2 MB — noise).
 """
 import os
 import sys
@@ -38,7 +45,8 @@ CONFIGS = [
 ]
 
 
-def bench_one(model_type, layer_sizes, B, T, F, bidirectional):
+def bench_one(model_type, layer_sizes, B, T, F, bidirectional,
+              input_bf16=False):
     import jax
 
     from sparch_tpu.utils.cache import enable_compile_cache
@@ -66,6 +74,10 @@ def bench_one(model_type, layer_sizes, B, T, F, bidirectional):
         x = rng.normal(0, 1, (B, T, F)).astype(np.float32)
     y = (np.arange(B) % layer_sizes[-1]).astype(np.int64)
     state = create_train_state(model, x, lr=1e-2, rng=jax.random.PRNGKey(0))
+    if input_bf16 and F == 700:
+        import ml_dtypes
+
+        x = x.astype(ml_dtypes.bfloat16)
     step = make_train_step(model, donate=False)
 
     def fn(x):
@@ -90,7 +102,8 @@ _GATES = {
 }
 
 
-def bench_roofline(model_type, layer_sizes, B, T, F, bidirectional):
+def bench_roofline(model_type, layer_sizes, B, T, F, bidirectional,
+                   input_bf16=False):
     """Differentiated matmul skeleton of this config (bench.py recipe)."""
     import jax
     import jax.numpy as jnp
@@ -115,6 +128,8 @@ def bench_roofline(model_type, layer_sizes, B, T, F, bidirectional):
     key, kr, kx = jax.random.split(key, 3)
     Wr = jax.random.normal(kr, (fin, C)) * 0.02
     x = jax.random.normal(kx, (B, T, F))
+    if input_bf16 and F == 700:
+        x = x.astype(jnp.bfloat16)
 
     def skeleton(params, x):
         layers, Wr = params
@@ -153,10 +168,11 @@ def bench_roofline(model_type, layer_sizes, B, T, F, bidirectional):
 
 
 def main():
+    input_bf16 = "--input_bf16" in sys.argv
     rows = []
     for name, mt, sizes, B, T, F, bidir in CONFIGS:
-        t = bench_one(mt, sizes, B, T, F, bidir)
-        r = bench_roofline(mt, sizes, B, T, F, bidir)
+        t = bench_one(mt, sizes, B, T, F, bidir, input_bf16)
+        r = bench_roofline(mt, sizes, B, T, F, bidir, input_bf16)
         # sub-20us skeletons (non-recurrent cells, tiny batches) sit at
         # the differenced-measurement noise floor: the ratio would
         # compare a real step against timing noise, so report null

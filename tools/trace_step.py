@@ -1,8 +1,10 @@
 #!/usr/bin/env python
-"""Capture a device trace of the north-star train step and print the
-per-op time budget (aggregated by fusion/kernel name).
+"""Capture a device trace of a full train step and print the per-op
+time budget (aggregated by fusion/kernel name).
 
-Usage: python tools/trace_step.py [outdir]
+Usage: python tools/trace_step.py [outdir] [MODEL] [H] [NB_LAYERS]
+(defaults: the north-star RadLIF 3x512; e.g. `... /tmp/t adLIF 128 2`
+for the small-config floor investigation)
 """
 import glob
 import gzip
@@ -16,17 +18,21 @@ sys.path.insert(0, "/root/repo")
 import jax
 import numpy as np
 
-B, T, F, H, C = 128, 100, 700, 512, 35
+B, T, F, C = 128, 100, 700, 35
 
 
 def main():
     outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sparch_trace"
+    model_name = sys.argv[2] if len(sys.argv) > 2 else "RadLIF"
+    H = int(sys.argv[3]) if len(sys.argv) > 3 else 512
+    nb_layers = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     jax.config.update("jax_default_prng_impl", "rbg")
     from sparch_tpu.models import build_model
     from sparch_tpu.train.state import create_train_state
     from sparch_tpu.train.steps import make_train_step
 
-    model = build_model("RadLIF", (B, T, F), [H, H, C], dropout=0.1,
+    model = build_model(model_name, (B, T, F),
+                        [H] * (nb_layers - 1) + [C], dropout=0.1,
                         normalization="batchnorm", state_init="uniform")
     rng = np.random.default_rng(0)
     x = jax.device_put((rng.random((B, T, F)) < 0.02).astype(np.float32))
