@@ -122,7 +122,10 @@ def add_model_options(parser):
         "is LOSSLESS: bin counts are small integers, exactly "
         "representable in bfloat16, and the MXU's default-precision "
         "matmul already rounds the f32 operands to bfloat16 passes. For "
-        "continuous features (hd/sc fbank) it is AMP-like instead.",
+        "continuous features (hd/sc fbank) it is AMP-like instead. "
+        "Fastest where the input projection is stream-bound (narrow "
+        "hidden layers over wide rasters, e.g. 2.1x at H=128/F=700); "
+        "neutral where it is MXU-bound (H>=512).",
     )
     return parser
 
