@@ -96,6 +96,29 @@ def test_seqpipe_eight_devices_microbatch_pipeline():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+def test_seqpipe_bf16_input_matches_plain_step():
+    """--seq_parallel composed with --input_dtype bfloat16 (both CLI
+    flags): the time-pipelined step must accept bf16 raster batches and
+    match the plain step fed the same bf16 input. Integer rasters are
+    exact in bf16, so with deterministic reductions the match is exact
+    (see test_dtype.py for the single-device bit-exactness pin)."""
+    model, state, mesh, x, y = _build("adLIF", "none", 4)
+    x16 = jnp.asarray(x).astype(jnp.bfloat16)
+    ref_step = make_train_step(model, donate=False)
+    pipe_step = make_seqpipe_train_step(model, mesh, n_micro=2)
+    ref_state, ref_metrics = ref_step(state, x16, y)
+    xs = jax.device_put(x16, seq_batch_sharding(mesh))
+    new_state, metrics = pipe_step(state, xs, y)
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(new_state.params),
+        jax.tree_util.tree_leaves(ref_state.params),
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+
+
 def test_seqpipe_rejects_unsupported():
     model = build_model(
         "LIF", (B, T, F), [H, C], dropout=0.0, state_init="zeros",
