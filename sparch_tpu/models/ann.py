@@ -73,10 +73,23 @@ class _ANNLayerBase(FusedCellPolicy, nn.Module):
             return [self._proj(x, train, n) for n in names], None, None
         from sparch_tpu.models.common import SeqNormAffine
 
+        # bf16 gate streams end-to-end in the bf16-MXU mode: the raw Wx
+        # stream is materialised ONCE in bf16 and everything downstream
+        # (BN stats in f32 accumulation, the kernel's on-load affine, the
+        # custom_vjp's dscale residual, the dWx cotangent and both XLA
+        # VJPs) consumes it — instead of an f32 Wx written by the
+        # projection, read by the kernel fwd+bwd and the two XLA VJPs,
+        # plus an f32 upcast of the bf16 dWx (4-5 extra f32 (B,T,H)
+        # passes per gate). Gate pre-activations are BN-normalised and
+        # sigmoid/tanh/relu-bounded, so the rounding is the same ~4e-3
+        # relative noise as the existing bf16 residual streams.
+        cast = jnp.bfloat16 if self._mxu_bf16() else None
         wxs, scales, shifts = [], [], []
         for n in names:
             Wx = Dense(self.hidden_size, use_bias=self.use_bias,
                        dtype=self.compute_dtype, name=n)(x)
+            if cast is not None:
+                Wx = Wx.astype(cast)
             sc, sh = SeqNormAffine(
                 self.normalization, use_running_average=not train,
                 axis_name=self.bn_axis_name, name=f"norm_{n}")(Wx)

@@ -127,6 +127,10 @@ class _BNAffine(nn.Module):
 
     @nn.compact
     def __call__(self, flat):
+        # stats accumulate in f32 even for bf16 activation streams (a
+        # bf16 sum over B*T values would lose ~all mantissa); the convert
+        # fuses into the reduction read, costing no extra HBM pass
+        flat = flat.astype(jnp.float32)
         h = flat.shape[-1]
         gamma = self.param("scale", nn.initializers.ones, (h,))
         beta = self.param("bias", nn.initializers.zeros, (h,))
