@@ -385,13 +385,22 @@ def _ann_data(rng, mode, B, T, H):
 
 
 def ann_case(mode, *, B, T, H, affine=False, bf16=False, drop=0.0,
-             p_seed=17, loose=False):
+             p_seed=17, loose=False, wx_bf16=False):
     """``loose``: compare at default matmul precision with the mean-based
     grad metric — used at H >= 1536, where the highest-precision scan
-    oracle's own VJP exceeds VMEM (f32 6-pass matmul windows)."""
+    oracle's own VJP exceeds VMEM (f32 6-pass matmul windows).
+
+    ``wx_bf16``: feed the kernel bf16 Wx input streams (the models'
+    end-to-end bf16 gate streams, ann.py _gate_projections). The data is
+    pre-rounded to bf16 so both sides see identical drive values; the
+    pallas side exercises the bf16 loads and returns bf16 dWx
+    cotangents (upcast through the in-test cast's VJP)."""
     rng = np.random.default_rng(zlib.crc32((mode + "ann").encode()))
     d = _ann_data(rng, mode, B, T, H)
     wx_names, v_names = _ANN[mode]
+    if wx_bf16:
+        for n in wx_names:
+            d[n] = d[n].astype(jnp.bfloat16).astype(jnp.float32)
     names = wx_names + v_names + ("y0",)
     pall = getattr(pallas_ann, f"{mode}_pallas")
     scan = getattr(cells, f"{mode}_scan")
@@ -406,7 +415,10 @@ def ann_case(mode, *, B, T, H, affine=False, bf16=False, drop=0.0,
             extra.update(mxu_bf16=True)
         if drop > 0:
             extra.update(drop_rate=drop, drop_seed=seed)
-        a = [kw[n] for n in wx_names] + [kw[n] for n in v_names] + [kw["y0"]]
+        a = [
+            kw[n].astype(jnp.bfloat16) if wx_bf16 else kw[n]
+            for n in wx_names
+        ] + [kw[n] for n in v_names] + [kw["y0"]]
         return pall(*a, **extra)
 
     def scan_fn(kw):
@@ -544,6 +556,14 @@ def build_cases():
     cases.append(
         ("ligru/bf16", functools.partial(ann_case, "ligru", bf16=True, **P))
     )
+    # end-to-end bf16 gate streams: bf16 Wx INPUTS (the models' default
+    # TPU path after the _gate_projections cast), with the affine fold
+    for mode in ("ligru", "gru"):
+        cases.append(
+            (f"{mode}/wx16",
+             functools.partial(ann_case, mode, affine=True, bf16=True,
+                               wx_bf16=True, **S))
+        )
     # wide layers: the H >= 1536 short-unroll (_pick_tc cap) path, with a
     # live tail chunk (T=10, tc=4)
     W = dict(B=8, T=10, H=1536)
@@ -574,7 +594,7 @@ def main():
         if args.only and args.only not in name:
             continue
         try:
-            if "bf16" in name or name == "ligru/wide":
+            if "bf16" in name or "wx16" in name or name == "ligru/wide":
                 # Mosaic rejects a HIGHEST attr on the kernels' bf16 dots;
                 # only the scan oracle runs at highest (inner contexts)
                 m, fails = thunk()
