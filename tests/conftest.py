@@ -17,6 +17,12 @@ import pytest  # noqa: E402
 # The axon TPU plugin overrides JAX_PLATFORMS; the config flag wins.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# Never use the persistent compile cache in tests: the shared dir mixes
+# axon-TPU and multi-device-CPU entries, and deserialising an
+# incompatible cached executable SIGABRTs a later shard_map test
+# (measured; see tools/check_kernels.py main()). Also shields against
+# any imported tool enabling the cache as a side effect.
+jax.config.update("jax_enable_compilation_cache", False)
 
 
 @pytest.fixture

@@ -175,7 +175,10 @@ def test_bf16_wx_streams_match_f32(data, mode):
     bounded-activation bf16 tolerances. dWx cotangents come back in the
     primal's bf16 (the custom_vjp contract) — compared after upcast."""
     d = data
-    ks = jax.random.split(jax.random.PRNGKey(21), 4)
+    # impl-pinned keys: other tests flip the global default to 'rbg',
+    # whose different affine draws land the strict GRU comparison in a
+    # noisier region (same pin as test_ann_model_train_grads below)
+    ks = jax.random.split(jax.random.key(21, impl="threefry2x32"), 4)
     n_wx = 2 if mode == "ligru" else 3
     sc = [1.0 + 0.1 * jax.random.normal(ks[i], (H,)) for i in range(n_wx)]
     sh = [0.05 * jax.random.normal(ks[3], (H,)) for _ in range(n_wx)]

@@ -45,8 +45,6 @@ import numpy as np  # noqa: E402
 
 from sparch_tpu.utils.cache import enable_compile_cache  # noqa: E402
 
-enable_compile_cache()
-
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
@@ -578,6 +576,13 @@ def build_cases():
 
 
 def main():
+    # NOT at import time: tests import this module for the interpret-mode
+    # smoke checks, and enabling the persistent compile cache inside the
+    # pytest process is a measured SIGABRT — the shared cache dir mixes
+    # axon-TPU and 8-device-CPU entries, and a later CPU shard_map
+    # program aborts deserialising an incompatible cached executable
+    # (reproduced: cache env + test_cli + test_seqpipe TP).
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default="", help="substring filter on case name")
     ap.add_argument("--json", default="", help="write results to this file")
