@@ -325,6 +325,49 @@ def test_ann_model_train_grads_pallas_vs_scan(ann_type):
         )
 
 
+def test_ann_bf16_streams_training_converges_like_f32():
+    """Training-dynamics evidence for the bf16 gate streams (the TPU
+    default): a LiGRU classifier trained with cell_impl='pallas' +
+    compute_dtype=bf16 must track the f32 scan run — same task, same
+    init, same data — to a nearby final loss. Guards against the class
+    of bug where ~4e-3 stream rounding compounds into divergence."""
+    import optax
+
+    from sparch_tpu.models import build_model
+    from sparch_tpu.train.state import create_train_state
+    from sparch_tpu.train.steps import make_train_step
+
+    B, T, F, C = 8, 16, 12, 4
+    rng = np.random.default_rng(5)
+    y = np.arange(B) % C
+    x = np.zeros((B, T, F), np.float32)
+    blk = F // C
+    for i in range(B):
+        x[i, :, y[i] * blk : (y[i] + 1) * blk] = rng.random((T, blk))
+    x, y = jnp.asarray(x), jnp.asarray(y)
+
+    finals = {}
+    for name, kw in (
+        ("scan_f32", dict(cell_impl="scan")),
+        ("pallas_bf16", dict(cell_impl="pallas",
+                             compute_dtype=jnp.bfloat16)),
+    ):
+        model = build_model(
+            "LiGRU", (B, T, F), [16, C], dropout=0.0,
+            normalization="batchnorm", state_init="zeros", **kw,
+        )
+        state = create_train_state(
+            model, x, lr=1e-2,
+            rng=jax.random.key(0, impl="threefry2x32"),
+        )
+        step = make_train_step(model)
+        for _ in range(30):
+            state, m = step(state, x, y)
+        finals[name] = float(m["loss"])
+    assert finals["pallas_bf16"] < 1.0, finals  # actually learned
+    assert abs(finals["pallas_bf16"] - finals["scan_f32"]) < 0.25, finals
+
+
 def test_fused_ann_dropout_semantics(data):
     """Fused output dropout: deterministic per seed, values are
     {0, y/(1-p)} of the undropped output, gradients match an explicit
