@@ -86,10 +86,17 @@ class _SpikingLayerBase(FusedCellPolicy, nn.Module):
             scale, shift = SeqNormAffine(
                 self.normalization, use_running_average=not train,
                 axis_name=self.bn_axis_name, name="norm")(Wx)
-            # (measured and rejected: casting Wx to bf16 here to halve the
-            # kernel's streams — XLA materialises the f32 matmul output
-            # for the stats anyway, so the cast is an extra full pass:
-            # 0.912 -> 0.975 ms on the north-star config)
+            # Deliberately NOT cast to bf16 here (unlike the ANN gate
+            # streams, ann.py _gate_projections): bf16 drive noise
+            # (~4e-3) perturbs the membrane recurrence and flips spikes
+            # at the threshold, which would break the default mode's
+            # bit-exact spike-train property (check_kernels, parity
+            # tests). Users opt into bf16 Wx streams via
+            # compute_dtype=bfloat16 (the Dense then emits bf16, -20%
+            # on the north star). A round-2 attempt also measured a
+            # slowdown from an extra f32 stats materialisation; that
+            # obstacle is gone now that _BNAffine upcasts internally,
+            # so exactness is the one remaining reason.
             return Wx, scale, shift
         Wx = SeqNorm(self.normalization, use_running_average=not train,
                      axis_name=self.bn_axis_name, name="norm")(Wx)
