@@ -261,6 +261,7 @@ def load_hd_or_sc(
     num_shards: int = 1,
     shard_index: int = 0,
     frontend: str = "host",
+    batch_transform=None,
 ) -> DataLoader:
     """Create a loader for a split of HD or SC
     (reference nonspiking_datasets.py:213-290)."""
@@ -296,4 +297,5 @@ def load_hd_or_sc(
         workers=max(workers, 0),
         num_shards=num_shards,
         shard_index=shard_index,
+        batch_transform=batch_transform,
     )

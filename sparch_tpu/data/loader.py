@@ -73,14 +73,23 @@ class DataLoader:
         num_shards: int = 1,
         shard_index: int = 0,
         mp_context: str = "forkserver",
+        batch_transform: Optional[Callable] = None,
     ):
         """``num_shards``/``shard_index`` give multi-host data parallelism:
         every host derives the SAME shuffled order from the shared seed and
         takes a disjoint contiguous slice of each global batch, so the
-        global batch across hosts matches the single-host order exactly."""
+        global batch across hosts matches the single-host order exactly.
+
+        ``batch_transform`` (optional) maps each collated batch to its
+        final form ON THE PRODUCER SIDE — the prefetch thread or the
+        pool-path consumer loop — so per-batch work like the
+        ``--input_dtype bfloat16`` cast (~5.5 ms/batch at SHD shape)
+        overlaps device compute instead of serialising into the
+        training loop."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn
+        self.batch_transform = batch_transform
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
@@ -193,7 +202,12 @@ class DataLoader:
         while pending:
             items = pending.popleft().get(self._GET_TIMEOUT_S)
             submit()
-            yield self.collate_fn(items)
+            yield self._finish(self.collate_fn(items))
+
+    def _finish(self, batch):
+        if self.batch_transform is not None:
+            return self.batch_transform(batch)
+        return batch
 
     def __iter__(self):
         self._epoch += 1
@@ -202,7 +216,9 @@ class DataLoader:
             return
         if self.prefetch <= 0:
             for idxs in self._batches():
-                yield self.collate_fn([self.dataset[int(i)] for i in idxs])
+                yield self._finish(
+                    self.collate_fn([self.dataset[int(i)] for i in idxs])
+                )
             return
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
@@ -225,8 +241,10 @@ class DataLoader:
         def produce():
             try:
                 for idxs in self._batches():
-                    batch = self.collate_fn(
-                        [self.dataset[int(i)] for i in idxs]
+                    batch = self._finish(
+                        self.collate_fn(
+                            [self.dataset[int(i)] for i in idxs]
+                        )
                     )
                     if not put(batch):
                         return

@@ -110,9 +110,12 @@ def load_shd_or_ssc(
     seed: int = 0,
     num_shards: int = 1,
     shard_index: int = 0,
+    batch_transform=None,
 ) -> DataLoader:
     """Create a loader for a split of SHD or SSC
-    (reference spiking_datasets.py:90-140)."""
+    (reference spiking_datasets.py:90-140). ``batch_transform`` runs on
+    each collated batch in the loader's producer thread (see
+    DataLoader)."""
     if dataset_name not in ["shd", "ssc"]:
         raise ValueError(f"Invalid dataset name {dataset_name}")
     if split not in ["train", "valid", "test"]:
@@ -134,4 +137,5 @@ def load_shd_or_ssc(
         workers=max(workers, 0),
         num_shards=num_shards,
         shard_index=shard_index,
+        batch_transform=batch_transform,
     )

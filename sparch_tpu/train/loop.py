@@ -117,9 +117,17 @@ class Experiment:
         if self.input_dtype == "bfloat16":
             import ml_dtypes
 
-            self._input_cast = ml_dtypes.bfloat16
+            bf16 = ml_dtypes.bfloat16
+
+            def _cast_batch(batch):
+                x, xlens, y = batch
+                return x.astype(bf16), xlens, y
+
+            # applied inside the loader's producer thread so the ~5.5
+            # ms/batch cast overlaps device compute (see DataLoader)
+            self._batch_transform = _cast_batch
         else:
-            self._input_cast = None
+            self._batch_transform = None
         jax.config.update("jax_default_prng_impl", self.prng_impl)
 
         # Initialize logging and output folders
@@ -288,6 +296,7 @@ class Experiment:
                 nb_steps=self.nb_steps,
                 seed=self.seed,
                 workers=self.workers,
+                batch_transform=self._batch_transform,
                 **self._shard_kw(),
             )
             self.train_loader = load_shd_or_ssc(split="train", shuffle=True, **kw)
@@ -312,6 +321,7 @@ class Experiment:
                 seed=self.seed,
                 workers=self.workers,
                 frontend=self.frontend,
+                batch_transform=self._batch_transform,
                 **self._shard_kw(),
             )
             self.train_loader = load_hd_or_sc(split="train", shuffle=True, **kw)
@@ -459,8 +469,6 @@ class Experiment:
         for x, xlens, y in self.train_loader:
             if self.frontend == "device":
                 x = (x, xlens.astype(np.int32))
-            elif self._input_cast is not None:
-                x = x.astype(self._input_cast)
             if self._seq_ok(x):
                 xs = jax.device_put(x, self._seq_sharding)
                 self.state, metrics = self._pipe_train_step(
@@ -503,8 +511,6 @@ class Experiment:
         for bi, (x, xlens, y) in enumerate(loader):
             if self.frontend == "device":
                 x = (x, xlens.astype(np.int32))
-            elif self._input_cast is not None:
-                x = x.astype(self._input_cast)
             step_rng = keys[bi + 1] if bi + 1 < len(keys) else keys[-1]
             if self._seq_ok(x):
                 xs = jax.device_put(x, self._seq_sharding)

@@ -161,6 +161,35 @@ def test_dataloader_prefetch_equivalence(shd_folder):
         np.testing.assert_array_equal(ya, yb)
 
 
+def test_dataloader_batch_transform_all_paths(shd_folder):
+    """batch_transform (the --input_dtype producer-side cast seam) must
+    apply identically on the no-prefetch, prefetch-thread and worker-pool
+    paths."""
+    import ml_dtypes
+
+    ds = SpikingDataset("shd", shd_folder, "train")
+
+    def cast(batch):
+        x, xlens, y = batch
+        return x.astype(ml_dtypes.bfloat16), xlens, y
+
+    ref = DataLoader(ds, 4, ds.generate_batch, shuffle=False, prefetch=0)
+    for prefetch, workers in ((0, 0), (2, 0), (2, 2)):
+        loader = DataLoader(
+            ds, 4, ds.generate_batch, shuffle=False,
+            prefetch=prefetch, workers=workers, batch_transform=cast,
+        )
+        try:
+            for (xr, _, yr), (xt, _, yt) in zip(ref, loader):
+                assert xt.dtype == ml_dtypes.bfloat16
+                np.testing.assert_array_equal(
+                    xr.astype(ml_dtypes.bfloat16), xt
+                )
+                np.testing.assert_array_equal(yr, yt)
+        finally:
+            loader.close()
+
+
 def test_dataloader_propagates_worker_errors():
     class Bad:
         def __len__(self):
