@@ -134,7 +134,18 @@ def main():
     ap.add_argument("--norm", default="layernorm")
     ap.add_argument("--noise_frac", type=float, default=0.45)
     ap.add_argument("--json", default="")
+    ap.add_argument(
+        "--platform", default="",
+        help="force a JAX platform for our side (e.g. 'cpu' when the "
+        "TPU tunnel is down — the dynamics comparison is about training "
+        "semantics, and kernel==scan equivalence is pinned separately "
+        "by tools/check_kernels.py)",
+    )
     args = ap.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     seeds = [int(s) for s in args.seeds.split(",")]
     neurons = args.neurons.split(",")
 
