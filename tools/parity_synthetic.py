@@ -151,9 +151,16 @@ def main():
 
     from fixtures import make_shd_h5
 
-    from sparch_tpu.utils.cache import enable_compile_cache
+    if not args.platform:
+        # remote-TPU compiles only: the shared cache dir holds AOT
+        # entries from OTHER machines/feature sets, and XLA:CPU loads
+        # them with a "could lead to execution errors such as SIGILL"
+        # warning (results were verified identical with and without,
+        # but running on someone else's machine features is not a risk
+        # a measurement tool should take)
+        from sparch_tpu.utils.cache import enable_compile_cache
 
-    enable_compile_cache()
+        enable_compile_cache()
 
     folder = tempfile.mkdtemp(prefix="parity_syn_")
     make_shd_h5(
