@@ -161,3 +161,74 @@ def test_training_dynamics_parity(
     assert acc_ours >= 0.5, f"ours failed to learn: {ours}"
     # ...and train to the same accuracy within a tight band
     assert abs(acc_ref - acc_ours) <= 0.05, (ref, ours)
+
+
+# ---------------------------------------------------------------------------
+# Lockstep trajectory parity (ANN types)
+#
+# Transplant the reference's EXACT initial weights into our model, train
+# both on the identical batch sequence, and require the per-batch CE
+# losses to agree to float noise over the first steps. This pins the
+# whole TRAIN-mode step — forward, loss, backward, Adam — as one
+# deterministic unit (the accuracy-band tests above tolerate seed
+# chaos; this tolerates nothing). ANN-only: the spiking models'
+# discontinuous dynamics flip spikes on 1-ulp matmul reduction-order
+# differences between torch and XLA, which cascades within one batch —
+# their step math is pinned by test_reference_parity instead.
+# At-scale version: tools/parity_lockstep.py.
+# ---------------------------------------------------------------------------
+
+N_LOCKSTEP = 10
+
+
+@pytest.mark.parametrize("ann_type", ["MLP", "RNN", "LiGRU", "GRU"])
+def test_ann_lockstep_trajectory_parity(shd_folder, ann_type):
+    from sparch.models.anns import ANN as RefANN
+
+    from .test_reference_parity import _ann_params_from_ref
+
+    torch.manual_seed(1)
+    ref = RefANN(
+        input_shape=(B, T, F), layer_sizes=[H, C], ann_type=ann_type,
+        dropout=0.0, normalization="layernorm", use_readout_layer=True,
+    )
+    variables = _ann_params_from_ref(ref, ann_type, "layernorm", False)
+    # deep-copy: jnp.asarray zero-copies aligned contiguous CPU arrays,
+    # and torch's Adam mutates the originals in place
+    variables = jax.tree.map(lambda a: np.array(a, copy=True), variables)
+
+    batches = [
+        (np.asarray(x), np.asarray(y))
+        for x, _, y in _batches(shd_folder, "train", True, seed=0)
+    ][:N_LOCKSTEP]
+
+    opt = torch.optim.Adam(ref.parameters(), 1e-2)
+    loss_fn = torch.nn.CrossEntropyLoss()
+    ref.train()
+    ref_losses = []
+    for x, y in batches:
+        out, _ = ref(torch.from_numpy(x))
+        loss = loss_fn(out, torch.from_numpy(y))
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        ref_losses.append(float(loss.detach()))
+
+    model = build_model(
+        ann_type, (B, T, F), [H, C], dropout=0.0,
+        normalization="layernorm", state_init="zeros",
+    )
+    state = create_train_state(
+        model, np.zeros((2, 8, F), np.float32), lr=1e-2,
+        rng=jax.random.PRNGKey(0),
+    )
+    state = state.replace(params=variables["params"])
+    train_step = make_train_step(model, donate=False)
+    our_losses = []
+    for x, y in batches:
+        state, m = train_step(state, x, y)
+        our_losses.append(float(m["loss"]))
+
+    diffs = [abs(a - b) for a, b in zip(ref_losses, our_losses)]
+    assert max(diffs[:5]) <= 1e-4, (ref_losses, our_losses)
+    assert max(diffs) <= 1e-2, (ref_losses, our_losses)

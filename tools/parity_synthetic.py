@@ -56,22 +56,41 @@ def _batches(folder, split, shuffle, seed=0):
     )
 
 
+ANN_TYPES = ("MLP", "RNN", "LiGRU", "GRU")
+
+
 def train_reference(folder, neuron_type, norm, seed, epochs):
     import torch
-    from sparch.models.snns import SNN as RefSNN
 
     orig_rand = torch.rand
+    # SNN initial states are torch.rand draws (zeroed to match our
+    # state_init='zeros'); the reference ANN layers already start from
+    # zeros (anns.py:331), so the patch is a no-op there
     torch.rand = lambda *s, **k: torch.zeros(*s, **k)
     try:
         torch.manual_seed(seed)
-        net = RefSNN(
-            input_shape=(B, T, F),
-            layer_sizes=list(H_SIZES),
-            neuron_type=neuron_type,
-            dropout=0.0,
-            normalization=norm,
-            use_readout_layer=True,
-        )
+        if neuron_type in ANN_TYPES:
+            from sparch.models.anns import ANN as RefANN
+
+            net = RefANN(
+                input_shape=(B, T, F),
+                layer_sizes=list(H_SIZES),
+                ann_type=neuron_type,
+                dropout=0.0,
+                normalization=norm,
+                use_readout_layer=True,
+            )
+        else:
+            from sparch.models.snns import SNN as RefSNN
+
+            net = RefSNN(
+                input_shape=(B, T, F),
+                layer_sizes=list(H_SIZES),
+                neuron_type=neuron_type,
+                dropout=0.0,
+                normalization=norm,
+                use_readout_layer=True,
+            )
         opt = torch.optim.Adam(net.parameters(), 1e-2)
         loss_fn = torch.nn.CrossEntropyLoss()
         for e in range(epochs):
