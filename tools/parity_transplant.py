@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""Transplant study: train OUR model from the reference's EXACT init.
+
+Complements tools/parity_lockstep.py (per-step loss equality over the
+first ~50 steps) and tools/parity_synthetic.py (own-init accuracy
+means): this tool builds the torch reference net at a given seed, maps
+its initial weights into our model (tests/test_reference_parity
+helpers), trains OURS for the full run on the synthetic SHD-scale
+task, and reports the final accuracy next to whatever the reference
+achieves from the same init. Separates "our training lands in a
+different basin because of init-draw luck" from "our training is
+systematically different":
+
+- a NON-chaotic model (MLP) must reproduce the reference's outcome
+  (round 3: 1.0 vs 1.0 at noise 0.3 after an identical 4-epoch
+  plateau);
+- a chaotic model (GRU at its cliff, LiGRU's unstable relu
+  recurrence, slow-escape RNN) lands in the same OUTCOME DISTRIBUTION
+  (round 3: LiGRU 4/4 same basin; RNN mixed direction, ours ahead on
+  transplant mean) — fp noise separates trajectories after ~40 steps,
+  so exact outcome equality is not expected there.
+
+Round-3 results recorded in docs/parity_synthetic_r3.json.
+
+Usage:
+  python tools/parity_transplant.py [--model LiGRU] [--seeds 0,1,2,3]
+      [--noise_frac 0.0] [--epochs 5] [--norm layernorm] [--with_ref]
+      [--json OUT] [--platform cpu]
+
+--with_ref also trains the torch reference from the same init (slow on
+this 1-vCPU host; without it, only our side runs and the reference
+column is left to compare against a parity_synthetic run at the same
+torch seed, which draws the identical init).
+"""
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(
+    0,
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"
+    ),
+)
+sys.path.insert(0, "/root/reference")
+
+import numpy as np  # noqa: E402
+
+from parity_lockstep import ANN_TYPES, transplanted_pair  # noqa: E402
+
+B, T, F, C = 16, 100, 700, 20
+H_SIZES = [128, 128, C]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="LiGRU")
+    ap.add_argument("--seeds", default="0,1,2,3",
+                    help="torch seeds: each defines one reference init")
+    ap.add_argument("--noise_frac", type=float, default=0.0)
+    ap.add_argument("--epochs", type=int, default=5)
+    ap.add_argument("--norm", default="layernorm")
+    ap.add_argument("--n_train", type=int, default=2048)
+    ap.add_argument("--n_test", type=int, default=512)
+    ap.add_argument("--with_ref", action="store_true")
+    ap.add_argument("--json", default="")
+    ap.add_argument("--platform", default="cpu")
+    args = ap.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    import jax
+    import torch
+    from fixtures import make_shd_h5
+
+    from sparch_tpu.data.spiking import load_shd_or_ssc
+    from sparch_tpu.train.state import create_train_state
+    from sparch_tpu.train.steps import make_eval_step, make_train_step
+
+    folder = tempfile.mkdtemp(prefix="transplant_")
+    make_shd_h5(f"{folder}/shd_train.h5", n=args.n_train, nb_classes=C,
+                seed=0, noise_frac=args.noise_frac,
+                n_events_range=(30, 90))
+    make_shd_h5(f"{folder}/shd_test.h5", n=args.n_test, nb_classes=C,
+                seed=1, noise_frac=args.noise_frac,
+                n_events_range=(30, 90))
+
+    def batches(split, shuffle, seed=0):
+        return load_shd_or_ssc("shd", folder, split, batch_size=B,
+                               shuffle=shuffle, seed=seed)
+
+    orig_rand = torch.rand
+    torch.rand = lambda *s, **k: torch.zeros(*s, **k)
+    rows = []
+    try:
+        for seed in [int(s) for s in args.seeds.split(",")]:
+            ref, model, variables = transplanted_pair(
+                args.model, args.norm, seed, (B, T, F), H_SIZES
+            )
+
+            t0 = time.time()
+            state = create_train_state(
+                model, np.zeros((2, 8, F), np.float32), lr=1e-2,
+                rng=jax.random.PRNGKey(0),
+            )
+            if "batch_stats" in variables:
+                state = state.replace(params=variables["params"],
+                                      batch_stats=variables["batch_stats"])
+            else:
+                state = state.replace(params=variables["params"])
+            train_step = make_train_step(model, donate=False)
+            eval_step = make_eval_step(model)
+            nan_seen = False
+            for e in range(args.epochs):
+                for x, _, y in batches("train", True, seed=e):
+                    state, m = train_step(state, x, y)
+                nan_seen = nan_seen or bool(
+                    np.isnan(float(m["loss"]))
+                )
+            accs = [
+                float(eval_step(state, x, y, jax.random.PRNGKey(0))["acc"])
+                for x, _, y in batches("test", False)
+            ]
+            row = {"model": args.model, "torch_seed": seed,
+                   "our_acc_from_ref_init": round(float(np.mean(accs)), 4),
+                   "our_nan": nan_seen, "our_s": round(time.time() - t0, 1)}
+
+            if args.with_ref:
+                t0 = time.time()
+                opt = torch.optim.Adam(ref.parameters(), 1e-2)
+                loss_fn = torch.nn.CrossEntropyLoss()
+                for e in range(args.epochs):
+                    ref.train()
+                    for x, _, y in batches("train", True, seed=e):
+                        out, _ = ref(torch.from_numpy(np.asarray(x)))
+                        loss = loss_fn(out, torch.from_numpy(np.asarray(y)))
+                        opt.zero_grad()
+                        loss.backward()
+                        opt.step()
+                ref.eval()
+                raccs = []
+                with torch.no_grad():
+                    for x, _, y in batches("test", False):
+                        out, _ = ref(torch.from_numpy(np.asarray(x)))
+                        raccs.append(
+                            (out.argmax(1).numpy() == np.asarray(y)).mean()
+                        )
+                row["ref_acc_same_init"] = round(float(np.mean(raccs)), 4)
+                row["ref_s"] = round(time.time() - t0, 1)
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+    finally:
+        torch.rand = orig_rand
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(rows, f, indent=1)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
