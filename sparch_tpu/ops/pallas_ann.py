@@ -259,7 +259,12 @@ def _ann_forward(wxs, scales, shifts, vs, y0, seed, *, mode, drop_rate,
     aff_ops = []
     if affine:
         aff_ops = [pad_h(s) for s in scales] + [pad_h(s) for s in shifts]
-    vs_p = [jnp.pad(v.astype(dtype), ((0, Hp - H), (0, Hp - H))) for v in vs]
+    # bf16-resident V in the bf16-MXU mode: the in-kernel dots already cast
+    # V to bf16 per product, so the pre-pad cast is bit-identical and
+    # halves each resident Hp x Hp block (n_v of them — the dominant fixed
+    # VMEM tenant at wide H)
+    vdt = jnp.bfloat16 if mxu_bf16 else dtype
+    vs_p = [jnp.pad(v.astype(vdt), ((0, Hp - H), (0, Hp - H))) for v in vs]
     y0_p = jnp.pad(y0.astype(dtype), ((0, Bp - B), (0, Hp - H)))
 
     grid = (Bp // bt, n_chunks)
@@ -506,7 +511,9 @@ def _ann_backward(g, wxs, residuals, scales, vs, seed, *, mode, drop_rate,
             )
             for w in wxs
         ] + [pad_h(s) for s in scales]
-    vs_p = [jnp.pad(v.astype(dtype), ((0, Hp - H), (0, Hp - H))) for v in vs]
+    # bf16-resident V in the bf16-MXU mode (see the forward wrapper)
+    vdt = jnp.bfloat16 if mxu_bf16 else dtype
+    vs_p = [jnp.pad(v.astype(vdt), ((0, Hp - H), (0, Hp - H))) for v in vs]
 
     grid = (Bp // bt, n_chunks)
     kernel = functools.partial(

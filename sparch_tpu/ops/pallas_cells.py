@@ -444,9 +444,14 @@ def _forward_pallas(
     a_p = pad_h(a) if adaptive else jnp.zeros((1, Hp), dtype)
     b_p = pad_h(b) if adaptive else jnp.zeros((1, Hp), dtype)
     # non-recurrent cells never read V: a (1,1) dummy avoids building,
-    # streaming, and holding an HxH zero block resident in VMEM
+    # streaming, and holding an HxH zero block resident in VMEM.
+    # In the bf16-MXU mode V is stored bf16 *in VMEM*: the in-kernel dots
+    # already consume V.astype(bf16), so casting before the pad is
+    # bit-identical — it just halves the resident footprint (the padded
+    # Hp x Hp block is the largest fixed VMEM tenant at wide H).
+    vdt = jnp.bfloat16 if mxu_bf16 else dtype
     V_p = (
-        jnp.pad(V.astype(dtype), ((0, Hp - H), (0, Hp - H)))
+        jnp.pad(V.astype(vdt), ((0, Hp - H), (0, Hp - H)))
         if recurrent
         else jnp.zeros((1, 1), dtype)
     )
@@ -840,7 +845,11 @@ def _backward_pallas(
     a_p = pad_h(a) if adaptive else jnp.zeros((1, Hp), dtype)
     b_p = pad_h(b) if adaptive else jnp.zeros((1, Hp), dtype)
     V_p = (
-        jnp.pad(V.astype(dtype), ((0, Hp - H), (0, Hp - H)))
+        # bf16-resident in the bf16-MXU mode — see the forward wrapper
+        jnp.pad(
+            V.astype(jnp.bfloat16 if mxu_bf16 else dtype),
+            ((0, Hp - H), (0, Hp - H)),
+        )
         if recurrent
         else jnp.zeros((1, 1), dtype)  # never read (see forward)
     )

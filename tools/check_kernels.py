@@ -383,7 +383,7 @@ def _ann_data(rng, mode, B, T, H):
 
 
 def ann_case(mode, *, B, T, H, affine=False, bf16=False, drop=0.0,
-             p_seed=17, loose=False, wx_bf16=False):
+             p_seed=17, loose=False, wx_bf16=False, v_scale=1.0):
     """``loose``: compare at default matmul precision with the mean-based
     grad metric — used at H >= 1536, where the highest-precision scan
     oracle's own VJP exceeds VMEM (f32 6-pass matmul windows).
@@ -396,6 +396,14 @@ def ann_case(mode, *, B, T, H, affine=False, bf16=False, drop=0.0,
     rng = np.random.default_rng(zlib.crc32((mode + "ann").encode()))
     d = _ann_data(rng, mode, B, T, H)
     wx_names, v_names = _ANN[mode]
+    if v_scale != 1.0:
+        # keep the recurrence gain ~1 at wide H: U(-.15,.15) rows have
+        # norm ~0.15*sqrt(H/3) (~1 at the H=128 baseline, ~3.4 at 1536);
+        # an exploding relu recurrence amplifies bf16 input rounding to
+        # O(1) trajectory divergence, which would measure conditioning,
+        # not kernel correctness
+        for n in v_names:
+            d[n] = d[n] * v_scale
     if wx_bf16:
         for n in wx_names:
             d[n] = d[n].astype(jnp.bfloat16).astype(jnp.float32)
@@ -572,6 +580,17 @@ def build_cases():
         ("ligru/wide",
          functools.partial(ann_case, "ligru", loose=True, **W))
     )
+    # wide x bf16-MXU: exercises the bf16-RESIDENT V blocks (V stored
+    # bf16 in VMEM when mxu_bf16 — the wide-H cap lift depends on it)
+    cases.append(
+        ("radlif/widebf16",
+         functools.partial(spiking_case, "radlif", bf16=True, **W))
+    )
+    cases.append(
+        ("ligru/widebf16",
+         functools.partial(ann_case, "ligru", bf16=True, loose=True,
+                           v_scale=(128 / W["H"]) ** 0.5, **W))
+    )
     return cases
 
 
@@ -582,11 +601,20 @@ def main():
     # axon-TPU and 8-device-CPU entries, and a later CPU shard_map
     # program aborts deserialising an incompatible cached executable
     # (reproduced: cache env + test_cli + test_seqpipe TP).
-    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--only", default="", help="substring filter on case name")
     ap.add_argument("--json", default="", help="write results to this file")
+    ap.add_argument(
+        "--platform", default="",
+        help="force a JAX platform (e.g. 'cpu' for an interpret-mode run "
+        "of the same case matrix when the TPU tunnel is down); the "
+        "persistent compile cache stays off for forced platforms",
+    )
     args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    else:
+        enable_compile_cache()
 
     backend = jax.default_backend()
     print(f"backend: {backend} "
