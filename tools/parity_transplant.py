@@ -50,7 +50,7 @@ sys.path.insert(0, "/root/reference")
 
 import numpy as np  # noqa: E402
 
-from parity_lockstep import ANN_TYPES, transplanted_pair  # noqa: E402
+from parity_lockstep import transplanted_pair  # noqa: E402
 
 B, T, F, C = 16, 100, 700, 20
 H_SIZES = [128, 128, C]
@@ -116,20 +116,24 @@ def main():
                 state = state.replace(params=variables["params"])
             train_step = make_train_step(model, donate=False)
             eval_step = make_eval_step(model)
-            nan_seen = False
+            nonfinite_seen = False
             for e in range(args.epochs):
                 for x, _, y in batches("train", True, seed=e):
                     state, m = train_step(state, x, y)
-                nan_seen = nan_seen or bool(
-                    np.isnan(float(m["loss"]))
-                )
+                    # every batch, and inf counts: the LiGRU relu
+                    # recurrence overflows to inf BEFORE it NaNs, and a
+                    # transient blowup can settle at chance accuracy
+                    nonfinite_seen = nonfinite_seen or not np.isfinite(
+                        float(m["loss"])
+                    )
             accs = [
                 float(eval_step(state, x, y, jax.random.PRNGKey(0))["acc"])
                 for x, _, y in batches("test", False)
             ]
             row = {"model": args.model, "torch_seed": seed,
                    "our_acc_from_ref_init": round(float(np.mean(accs)), 4),
-                   "our_nan": nan_seen, "our_s": round(time.time() - t0, 1)}
+                   "our_nonfinite_loss": nonfinite_seen,
+                   "our_s": round(time.time() - t0, 1)}
 
             if args.with_ref:
                 t0 = time.time()
