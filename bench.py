@@ -134,7 +134,46 @@ def bench_matmul_roofline():
     return time_fn(grad_fn, params, x, iters=ITERS, repeats=REPEATS)
 
 
+def _init_watchdog(seconds=240):
+    """Fail fast (one JSON error line, exit 3) if backend init hangs.
+
+    The axon tunnel can go fully down (observed: 6+ h outage, backend
+    init UNAVAILABLE / blocking forever); without this the driver's
+    end-of-round bench run would hang at the first dispatch. A blocked
+    PJRT init can't be interrupted from Python, so a daemon watchdog
+    + os._exit is the only reliable escape."""
+    import os
+    import threading
+
+    done = threading.Event()
+
+    def watch():
+        if not done.wait(seconds):
+            print(
+                json.dumps({
+                    "metric": "ssc_radlif_train_utterances_per_sec_per_chip",
+                    "value": 0.0,
+                    "unit": "utt/s",
+                    "vs_baseline": 0.0,
+                    "error": f"TPU backend init timed out after "
+                             f"{seconds}s (tunnel down?)",
+                }),
+                flush=True,
+            )
+            os._exit(3)
+
+    threading.Thread(target=watch, daemon=True).start()
+    return done
+
+
 def main():
+    probe_ok = _init_watchdog()
+    import jax
+
+    jax.devices()  # blocks here if the tunnel is down
+    float(jax.numpy.ones(()) + 1)  # and a real dispatch round-trip
+    probe_ok.set()
+
     # Tunnel-anomaly guard (observed: a wedged-tunnel window during the
     # lo probes once produced an impossible 0.577 ms / vs_baseline 1.61
     # reading): measure three times and keep the MEDIAN for both step
