@@ -1,0 +1,222 @@
+#!/usr/bin/env python
+"""Random-config fuzz over the sequence-pipeline step vs its oracles.
+
+`tests/test_seqpipe.py` pins 35 fixed configurations; this tool samples
+the CONFIG space — model type x normalization x bidirectional x dropout
+x state init x mesh factorization (data x seq x model) x microbatch
+count x (B, T, H, C, depth) — because the seqpipe step is a composition
+of seams (boundary-state ppermute handoff, microbatch pipelining, psum'd
+BN stats, noise sharding, TP gather/slice) and a bug is most likely in
+an INTERACTION nobody enumerated (e.g. bidirectional + TP + odd
+microbatch count + 3 hidden layers).
+
+Two check classes per drawn config, mirroring the suite's strategy:
+
+- deterministic configs (dropout=0, zeros init): the pipelined step must
+  reproduce the single-device train step — loss, accuracy, spike rate,
+  post-update params (i.e. gradients), and batch-stat updates.
+- noisy configs (dropout>0 or 'uniform' init): mesh invariance — the
+  same state.rng on a second, differently-factorised mesh must give the
+  same loss and updates (draw_noise runs at global shape outside
+  shard_map, so the noise is bit-identical across meshes; the residual
+  is chunked/psum'd f32 reduction order).
+
+Deterministic per --seed (case k re-runs bit-identically). Runs on the
+virtual 8-device CPU mesh:
+
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 \\
+        python tools/fuzz_seqpipe.py --cases 40 --seed 0 [--json out]
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+MODEL_TYPES = ("LIF", "adLIF", "RLIF", "RadLIF", "MLP", "RNN", "LiGRU", "GRU")
+NORMS = ("batchnorm", "layernorm", "none")
+# (data, seq, model) factorizations available on 8 virtual devices
+MESHES = ((1, 2, 1), (1, 4, 1), (1, 8, 1), (2, 2, 1), (2, 4, 1),
+          (2, 2, 2), (1, 2, 2), (1, 4, 2))
+
+
+def draw_config(rng):
+    mt = MODEL_TYPES[int(rng.integers(len(MODEL_TYPES)))]
+    data, seq, tp = MESHES[int(rng.integers(len(MESHES)))]
+    bidir = bool(rng.random() < 0.3) and mt != "MLP"
+    cfg = dict(
+        model_type=mt,
+        normalization=NORMS[int(rng.integers(len(NORMS)))],
+        bidirectional=bidir,
+        dropout=0.0 if rng.random() < 0.45 else float(rng.uniform(0.05, 0.5)),
+        state_init="zeros" if rng.random() < 0.5 else "uniform",
+        data=data, seq=seq, tp=tp,
+    )
+    # ANN models ignore state_init (build_model drops it); normalise the
+    # drawn value so the deterministic/noisy split below is correct
+    if mt in ("MLP", "RNN", "LiGRU", "GRU"):
+        cfg["state_init"] = "zeros"
+    cfg["n_micro"] = int(rng.choice((1, 2, 4)))
+    local_mult = int(rng.integers(1, 4))
+    cfg["B"] = data * cfg["n_micro"] * local_mult
+    cfg["T"] = seq * int(rng.integers(2, 7))
+    # hidden width: divisible by the model axis; keep CPU cost tiny
+    cfg["H"] = tp * 2 * int(rng.integers(3, 13))
+    cfg["C"] = int(rng.choice((3, 5, 7)))
+    cfg["F"] = int(rng.integers(6, 20))
+    cfg["depth"] = int(rng.choice((1, 2, 3)))
+    cfg["regs"] = bool(rng.random() < 0.5)
+    return cfg
+
+
+def _name(cfg):
+    return (f"{cfg['model_type']}/{cfg['normalization'][:5]}"
+            f"{'/bidir' if cfg['bidirectional'] else ''}"
+            f"/p{cfg['dropout']:.2f}/{cfg['state_init'][:4]}"
+            f"@d{cfg['data']}s{cfg['seq']}m{cfg['tp']}"
+            f"u{cfg['n_micro']}"
+            f"/B{cfg['B']}T{cfg['T']}H{cfg['H']}C{cfg['C']}L{cfg['depth']}")
+
+
+def run_case(cfg, rng):
+    import jax
+
+    from sparch_tpu.models import build_model
+    from sparch_tpu.parallel.seqpipe import (
+        make_seq_mesh, make_seqpipe_train_step, seq_batch_sharding,
+    )
+    from sparch_tpu.train.state import create_train_state
+    from sparch_tpu.train.steps import make_train_step
+
+    B, T, F, H, C = cfg["B"], cfg["T"], cfg["F"], cfg["H"], cfg["C"]
+    layers = [H] * cfg["depth"] + [C]
+    model = build_model(
+        cfg["model_type"], (B, T, F), layers,
+        dropout=cfg["dropout"], normalization=cfg["normalization"],
+        bidirectional=cfg["bidirectional"], state_init=cfg["state_init"],
+        cell_impl="scan",
+    )
+    x = (rng.random((B, T, F)) < 0.3).astype(np.float32)
+    y = (np.arange(B) % C).astype(np.int64)
+    key = jax.random.PRNGKey(int(rng.integers(2**31)))
+
+    def fresh_state():  # pipe steps donate their state argument
+        return create_train_state(model, x, lr=1e-2, rng=key)
+
+    mesh = make_seq_mesh(
+        jax.devices()[: cfg["data"] * cfg["seq"] * cfg["tp"]],
+        data=cfg["data"], model=cfg["tp"],
+    )
+    pipe = make_seqpipe_train_step(
+        model, mesh, n_micro=cfg["n_micro"], use_regularizers=cfg["regs"]
+    )
+    xs = jax.device_put(x, seq_batch_sharding(mesh))
+    new_state, metrics = pipe(fresh_state(), xs, y)
+
+    deterministic = cfg["dropout"] == 0.0 and cfg["state_init"] == "zeros"
+    fails = []
+    m = {"loss": float(metrics["loss"]), "acc": float(metrics["acc"])}
+    if not np.isfinite(m["loss"]):
+        fails.append(f"non-finite loss {m['loss']}")
+
+    if deterministic:
+        ref_step = make_train_step(
+            model, donate=False, use_regularizers=cfg["regs"]
+        )
+        ref_state, ref_metrics = ref_step(fresh_state(), x, y)
+        oracle = "single-device step"
+        ref_loss = float(ref_metrics["loss"])
+        for k in ("acc", "spike_rate"):
+            if k not in ref_metrics or k not in metrics:
+                continue
+            dv = abs(float(ref_metrics[k]) - float(metrics[k]))
+            if dv > 1e-5:
+                fails.append(f"{k} delta {dv:.2e}")
+    else:
+        # mesh invariance: re-run on a 2-way pure-seq mesh, n_micro=1
+        mesh2 = make_seq_mesh(jax.devices()[:2])
+        pipe2 = make_seqpipe_train_step(
+            model, mesh2, n_micro=1, use_regularizers=cfg["regs"]
+        )
+        xs2 = jax.device_put(x, seq_batch_sharding(mesh2))
+        ref_state, ref_metrics = pipe2(fresh_state(), xs2, y)
+        oracle = "2-way seq mesh"
+        ref_loss = float(ref_metrics["loss"])
+
+    m["ref_loss"] = ref_loss
+    m["oracle"] = oracle
+    if abs(m["loss"] - ref_loss) > 1e-4 * max(1.0, abs(ref_loss)):
+        fails.append(f"loss {m['loss']:.6f} vs {oracle} {ref_loss:.6f}")
+    worst = 0.0
+    for (kp_r, a), (kp_n, b) in zip(
+        jax.tree_util.tree_leaves_with_path(ref_state.params),
+        jax.tree_util.tree_leaves_with_path(new_state.params),
+    ):
+        d = float(np.max(np.abs(np.asarray(b) - np.asarray(a))))
+        if d > worst:
+            worst, worst_kp = d, kp_r
+    m["worst_param_delta"] = worst
+    if worst > 1e-4:
+        fails.append(
+            f"params {jax.tree_util.keystr(worst_kp)} delta {worst:.2e}"
+        )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ref_state.batch_stats),
+        jax.tree_util.tree_leaves(new_state.batch_stats),
+    ):
+        d = float(np.max(np.abs(np.asarray(b) - np.asarray(a))))
+        if d > 1e-4:
+            fails.append(f"batch_stats delta {d:.2e}")
+            break
+    return m, fails
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cases", type=int, default=30)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--only", default="", help="substring filter on name")
+    ap.add_argument("--json", default="", help="write results to this file")
+    args = ap.parse_args()
+
+    # the virtual CPU mesh, exactly like tests/conftest.py
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    )
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    assert len(jax.devices()) >= 8, "need 8 virtual CPU devices"
+
+    results, n_fail, k, ran = [], 0, 0, 0
+    while ran < args.cases:
+        rng = np.random.default_rng((args.seed << 20) ^ k)
+        cfg = draw_config(rng)
+        name = _name(cfg)
+        k += 1
+        if args.only and args.only not in name:
+            continue
+        try:
+            m, fails = run_case(cfg, rng)
+        except Exception as e:  # noqa: BLE001 — report, keep fuzzing
+            m, fails = {}, [f"EXCEPTION: {type(e).__name__}: {e}"]
+        ran += 1
+        status = "PASS" if not fails else "FAIL"
+        n_fail += bool(fails)
+        print(f"{status}  #{k - 1:<4d} {name:<52}"
+              + (f"  [{'; '.join(fails)}]" if fails else ""), flush=True)
+        results.append({"k": k - 1, "case": name, "status": status, **m,
+                        "fails": fails})
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump({"seed": args.seed, "results": results}, f, indent=1)
+    print(f"{ran} cases, {n_fail} failed", flush=True)
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
