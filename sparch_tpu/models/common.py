@@ -65,12 +65,22 @@ class Dense(nn.Module):
             "kernel", torch_linear_init(fan_in), (fan_in, self.features)
         )
         if self.dtype is not None:
-            x = x.astype(self.dtype)
-            kernel = kernel.astype(self.dtype)
-        # dtype None: no casts — a bf16 input (fused-path spike stream)
-        # against the f32 kernel promotes to an f32 output, keeping the
-        # normalization statistics and the cell drive in f32
-        y = jnp.dot(x, kernel)
+            from sparch_tpu.ops.cells import rec_dot
+
+            # rec_dot casts the kernel to the stream dtype at point of
+            # use (same forward as casting both operands) but computes
+            # the kernel cotangent with preferred_element_type=f32 —
+            # standard AMP weight-grad practice. Without it a bf16
+            # dkernel's output rounding differs between a monolithic dot
+            # and seq-sharded partial dots (parallel/seqpipe.py), turning
+            # pipelined AMP training into a reduction-order lottery.
+            y = rec_dot(x.astype(self.dtype), kernel)
+        else:
+            # dtype None: no casts — a bf16 input (fused-path spike
+            # stream) against the f32 kernel promotes to an f32 output,
+            # keeping the normalization statistics and the cell drive
+            # in f32
+            y = jnp.dot(x, kernel)
         if self.use_bias:
             bias = self.param("bias", torch_linear_init(fan_in), (self.features,))
             y = y + bias.astype(y.dtype)

@@ -55,6 +55,7 @@ __all__ = [
     "B_LIM",
     "init_state",
     "zero_diag",
+    "rec_dot",
     "lif_scan",
     "adlif_scan",
     "rlif_scan",
@@ -106,6 +107,44 @@ def _clip(p: jax.Array, lim) -> jax.Array:
     return jnp.clip(p, lim[0], lim[1])
 
 
+@jax.custom_vjp
+def rec_dot(s: jax.Array, V: jax.Array) -> jax.Array:
+    """Recurrent per-step product ``s @ V`` with AMP-correct gradients.
+
+    Forward runs in the stream dtype (``s.dtype``) — ``V`` is cast at the
+    point of use so a bf16 recurrence does a bf16 MXU dot. The backward
+    computes the ``V`` cotangent with ``preferred_element_type=f32``:
+    bf16xbf16 products are exact in f32, so the per-step ``dV``
+    contribution carries no bf16 output rounding — matching the fused
+    Pallas kernels, which accumulate ``dV`` in f32 VMEM scratch
+    (pallas_ann.py dv_refs). Keeping the captured ``V`` f32 then makes
+    ``lax.scan`` accumulate the per-step contributions in f32 too.
+    For f32 streams this is numerically the default VJP.
+    """
+    dt = s.dtype
+    return jnp.dot(s, V.astype(dt), preferred_element_type=dt)
+
+
+def _rec_dot_fwd(s, V):
+    return rec_dot(s, V), (s, V)
+
+
+def _rec_dot_bwd(res, g):
+    s, V = res
+    dt = g.dtype
+    ds = jnp.dot(g, V.astype(dt).T, preferred_element_type=dt)
+    # contract all leading axes of s/g (s may be (B,H) or (B,T,F))
+    lead = tuple(range(s.ndim - 1))
+    dV = jax.lax.dot_general(
+        s, g, ((lead, lead), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(V.dtype)
+    return ds, dV
+
+
+rec_dot.defvjp(_rec_dot_fwd, _rec_dot_bwd)
+
+
 def _time_major(Wx: jax.Array) -> jax.Array:
     return jnp.swapaxes(Wx, 0, 1)  # (B,T,H) -> (T,B,H)
 
@@ -127,11 +166,17 @@ def lif_scan(
     s0: jax.Array,
 ) -> jax.Array:
     """Feedforward LIF recurrence. ``Wx``: (B,T,H) -> spikes (B,T,H)."""
-    alpha = _clip(alpha, ALPHA_LIM).astype(Wx.dtype)
+    dt = Wx.dtype
+    alpha = _clip(alpha, ALPHA_LIM)
 
     def step(carry, wx_t):
         u, s = carry
-        u = alpha * (u - s) + (1.0 - alpha) * wx_t
+        # cast at point of use: the captured constant stays f32, so its
+        # scan-accumulated cotangent is f32 even when the stream is bf16
+        # (matches the fused kernels' f32 VMEM grad scratches); XLA hoists
+        # the loop-invariant cast, so the forward is bit-identical
+        a_ = alpha.astype(dt)
+        u = a_ * (u - s) + (1.0 - a_) * wx_t
         s = spike_boxcar(u - threshold)
         return (u, s), s
 
@@ -152,16 +197,19 @@ def adlif_scan(
 ) -> jax.Array:
     """Adaptive LIF recurrence (adaptation current w)."""
     dt = Wx.dtype
-    alpha = _clip(alpha, ALPHA_LIM).astype(dt)
-    beta = _clip(beta, BETA_LIM).astype(dt)
-    a = _clip(a, A_LIM).astype(dt)
-    b = _clip(b, B_LIM).astype(dt)
+    alpha = _clip(alpha, ALPHA_LIM)
+    beta = _clip(beta, BETA_LIM)
+    a = _clip(a, A_LIM)
+    b = _clip(b, B_LIM)
 
     def step(carry, wx_t):
         u, w, s = carry
+        # point-of-use casts keep the constants' cotangent accumulation
+        # in f32 under AMP (see lif_scan)
+        al, be = alpha.astype(dt), beta.astype(dt)
         # w uses the previous step's u and s (reference snns.py:438-439)
-        w = beta * w + a * u + b * s
-        u = alpha * (u - s) + (1.0 - alpha) * (wx_t - w)
+        w = be * w + a.astype(dt) * u + b.astype(dt) * s
+        u = al * (u - s) + (1.0 - al) * (wx_t - w)
         s = spike_boxcar(u - threshold)
         return (u, w, s), s
 
@@ -178,13 +226,17 @@ def rlif_scan(
     s0: jax.Array,
 ) -> jax.Array:
     """Recurrent LIF: adds a per-step ``s @ V`` MXU matmul, V zero-diagonal."""
-    alpha = _clip(alpha, ALPHA_LIM).astype(Wx.dtype)
-    V = zero_diag(V).astype(Wx.dtype)
+    dt = Wx.dtype
+    alpha = _clip(alpha, ALPHA_LIM)
+    V = zero_diag(V)
 
     def step(carry, wx_t):
         u, s = carry
-        rec = jnp.dot(s, V, preferred_element_type=Wx.dtype)
-        u = alpha * (u - s) + (1.0 - alpha) * (wx_t + rec)
+        # point-of-use casts: f32 dV/dalpha accumulation under AMP
+        # (see lif_scan)
+        a_ = alpha.astype(dt)
+        rec = rec_dot(s, V)
+        u = a_ * (u - s) + (1.0 - a_) * (wx_t + rec)
         s = spike_boxcar(u - threshold)
         return (u, s), s
 
@@ -206,17 +258,19 @@ def radlif_scan(
 ) -> jax.Array:
     """Recurrent adaptive LIF (flagship model)."""
     dt = Wx.dtype
-    alpha = _clip(alpha, ALPHA_LIM).astype(dt)
-    beta = _clip(beta, BETA_LIM).astype(dt)
-    a = _clip(a, A_LIM).astype(dt)
-    b = _clip(b, B_LIM).astype(dt)
-    V = zero_diag(V).astype(dt)
+    alpha = _clip(alpha, ALPHA_LIM)
+    beta = _clip(beta, BETA_LIM)
+    a = _clip(a, A_LIM)
+    b = _clip(b, B_LIM)
+    V = zero_diag(V)
 
     def step(carry, wx_t):
         u, w, s = carry
-        w = beta * w + a * u + b * s
-        rec = jnp.dot(s, V, preferred_element_type=dt)
-        u = alpha * (u - s) + (1.0 - alpha) * (wx_t + rec - w)
+        # point-of-use casts: f32 grad accumulation under AMP (see lif_scan)
+        al, be = alpha.astype(dt), beta.astype(dt)
+        w = be * w + a.astype(dt) * u + b.astype(dt) * s
+        rec = rec_dot(s, V)
+        u = al * (u - s) + (1.0 - al) * (wx_t + rec - w)
         s = spike_boxcar(u - threshold)
         return (u, w, s), s
 
@@ -320,10 +374,11 @@ def readout_sum_scan(
 
 def rnn_scan(Wx: jax.Array, V: jax.Array, y0: jax.Array) -> jax.Array:
     """Vanilla sigmoid RNN recurrence."""
-    V = V.astype(Wx.dtype)
+    dt = Wx.dtype
 
     def step(y, wx_t):
-        y = jax.nn.sigmoid(wx_t + jnp.dot(y, V, preferred_element_type=Wx.dtype))
+        # V cast at point of use: f32 dV accumulation under AMP (see lif_scan)
+        y = jax.nn.sigmoid(wx_t + rec_dot(y, V))
         return y, y
 
     _, ys = jax.lax.scan(step, y0, _time_major(Wx))
@@ -339,13 +394,12 @@ def ligru_scan(
 ) -> jax.Array:
     """Light GRU (Ravanelli et al. 2018) recurrence with ReLU candidate."""
     dt = Wx.dtype
-    V = V.astype(dt)
-    Vz = Vz.astype(dt)
 
     def step(y, xs):
         wx_t, wzx_t = xs
-        z = jax.nn.sigmoid(wzx_t + jnp.dot(y, Vz, preferred_element_type=dt))
-        c = jax.nn.relu(wx_t + jnp.dot(y, V, preferred_element_type=dt))
+        # V/Vz cast at point of use: f32 dV accumulation under AMP
+        z = jax.nn.sigmoid(wzx_t + rec_dot(y, Vz))
+        c = jax.nn.relu(wx_t + rec_dot(y, V))
         y = z * y + (1.0 - z) * c
         return y, y
 
@@ -364,15 +418,13 @@ def gru_scan(
 ) -> jax.Array:
     """Full GRU (Cho et al. 2014) recurrence with tanh candidate."""
     dt = Wx.dtype
-    V = V.astype(dt)
-    Vz = Vz.astype(dt)
-    Vr = Vr.astype(dt)
 
     def step(y, xs):
         wx_t, wzx_t, wrx_t = xs
-        z = jax.nn.sigmoid(wzx_t + jnp.dot(y, Vz, preferred_element_type=dt))
-        r = jax.nn.sigmoid(wrx_t + jnp.dot(y, Vr, preferred_element_type=dt))
-        c = jnp.tanh(wx_t + jnp.dot(r * y, V, preferred_element_type=dt))
+        # V/Vz/Vr cast at point of use: f32 dV accumulation under AMP
+        z = jax.nn.sigmoid(wzx_t + rec_dot(y, Vz))
+        r = jax.nn.sigmoid(wrx_t + rec_dot(y, Vr))
+        c = jnp.tanh(wx_t + rec_dot(r * y, V))
         y = z * y + (1.0 - z) * c
         return y, y
 

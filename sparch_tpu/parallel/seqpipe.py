@@ -224,19 +224,24 @@ def _snn_chunk_scan(neuron, cp, threshold, wxs, state, model_axis=None):
     'model' once per step — the lone TP collective on the sequential
     chain. Outputs are therefore already feature-full.
     """
-    alpha = cp["alpha"]
     Hl = wxs[0].shape[-1]
 
     def stepf(carry, wx_t):
         u, w, sf = carry  # u/w: (mb, Hl) shards; sf: (mb, Hg) full
         drive = wx_t[0]
+        dt = drive.dtype
+        # point-of-use casts mirror the scan cells (ops/cells.py): the
+        # captured constants stay f32 so their cotangents accumulate in
+        # f32 under AMP, bit-matching the single-device step
         if neuron in ("RLIF", "RadLIF"):
-            drive = drive + jnp.dot(sf, cp["V"])
+            drive = drive + cells.rec_dot(sf, cp["V"])
         sp = _shard_slice(sf, model_axis, Hl)
         if neuron in ("adLIF", "RadLIF"):
-            w = cp["beta"] * w + cp["a"] * u + cp["b"] * sp
+            w = (cp["beta"].astype(dt) * w + cp["a"].astype(dt) * u
+                 + cp["b"].astype(dt) * sp)
             drive = drive - w
-        u = alpha * (u - sp) + (1.0 - alpha) * drive
+        a_ = cp["alpha"].astype(dt)
+        u = a_ * (u - sp) + (1.0 - a_) * drive
         s_new = spike_boxcar(u - threshold)
         sf = _feature_gather(s_new, model_axis)
         return (u, w, sf), sf
@@ -258,17 +263,20 @@ def _ann_chunk_scan(ann_type, p, wxs, state, model_axis=None):
     def stepf(carry, wx_t):
         (yf,) = carry
         yl = _shard_slice(yf, model_axis, Hl)
+        # V matrices cast at point of use in the stream dtype, mirroring
+        # the scan cells' rec_dot (f32-exact dV accumulation under AMP)
+        dot = lambda a, k: cells.rec_dot(a, p[k])  # noqa: E731
         if ann_type == "RNN":
-            y = jax.nn.sigmoid(wx_t[0] + jnp.dot(yf, p["V"]))
+            y = jax.nn.sigmoid(wx_t[0] + dot(yf, "V"))
         elif ann_type == "LiGRU":
-            z = jax.nn.sigmoid(wx_t[1] + jnp.dot(yf, p["Vz"]))
-            c = jax.nn.relu(wx_t[0] + jnp.dot(yf, p["V"]))
+            z = jax.nn.sigmoid(wx_t[1] + dot(yf, "Vz"))
+            c = jax.nn.relu(wx_t[0] + dot(yf, "V"))
             y = z * yl + (1.0 - z) * c
         else:  # GRU
-            z = jax.nn.sigmoid(wx_t[1] + jnp.dot(yf, p["Vz"]))
-            r = jax.nn.sigmoid(wx_t[2] + jnp.dot(yf, p["Vr"]))
+            z = jax.nn.sigmoid(wx_t[1] + dot(yf, "Vz"))
+            r = jax.nn.sigmoid(wx_t[2] + dot(yf, "Vr"))
             ry = _feature_gather(r * yl, model_axis)
-            c = jnp.tanh(wx_t[0] + jnp.dot(ry, p["V"]))
+            c = jnp.tanh(wx_t[0] + dot(ry, "V"))
             y = z * yl + (1.0 - z) * c
         yf = _feature_gather(y, model_axis)
         return (yf,), yf
@@ -366,13 +374,18 @@ def _norm(kind, p, stats, flat_n_global, wx, stat_axes, train,
     stats are stored feature-full — sliced on read, gathered on write);
     LayerNorm's per-sample moments span the full feature axis, so its
     sums additionally psum over 'model'. Returns (normalized wx, updated
-    running stats or None)."""
+    running stats or None).
+
+    Statistics accumulate in f32 even when ``wx`` is a bf16 AMP stream
+    (flax's norm layers promote the same way), and the normalized output
+    is then f32 — under AMP only 'none' leaves the recurrence in bf16,
+    matching the single-device layers."""
     Hl = wx.shape[-1]
     if kind == "batchnorm":
         bn_p = p[norm_key]["BatchNorm_0"]
         bn_s = stats[norm_key]["BatchNorm_0"]
         if train:
-            flat = wx.reshape(-1, Hl)
+            flat = wx.reshape(-1, Hl).astype(jnp.float32)
             ssum = _psum(jnp.sum(flat, axis=0), stat_axes)
             ssum2 = _psum(
                 jnp.sum(jax.lax.square(flat), axis=0), stat_axes
@@ -399,19 +412,20 @@ def _norm(kind, p, stats, flat_n_global, wx, stat_axes, train,
         return (wx - mean) * inv * gamma + beta, new_stats
     if kind == "layernorm":
         ln = p[norm_key]["LayerNorm_0"]
+        wx32 = wx.astype(jnp.float32)
         if model_axis is None:
-            mean = wx.mean(axis=-1, keepdims=True)
-            var = ((wx - mean) ** 2).mean(axis=-1, keepdims=True)
+            mean = wx32.mean(axis=-1, keepdims=True)
+            var = ((wx32 - mean) ** 2).mean(axis=-1, keepdims=True)
         else:
             n_feat = Hl * jax.lax.psum(1, model_axis)
             mean = jax.lax.psum(
-                wx.sum(axis=-1, keepdims=True), model_axis
+                wx32.sum(axis=-1, keepdims=True), model_axis
             ) / n_feat
             var = jax.lax.psum(
-                ((wx - mean) ** 2).sum(axis=-1, keepdims=True), model_axis
+                ((wx32 - mean) ** 2).sum(axis=-1, keepdims=True), model_axis
             ) / n_feat
         return (
-            (wx - mean) * jax.lax.rsqrt(var + _EPS)
+            (wx32 - mean) * jax.lax.rsqrt(var + _EPS)
             * _shard_slice(ln["scale"], model_axis, Hl)
             + _shard_slice(ln["bias"], model_axis, Hl),
             None,
@@ -419,27 +433,38 @@ def _norm(kind, p, stats, flat_n_global, wx, stat_axes, train,
     return wx, None
 
 
-def _project(p, h, w_key="W", model_axis=None):
+def _project(p, h, w_key="W", model_axis=None, dtype=None):
     # kernel is column-sharded under TP (in_spec P(None, 'model')); the
-    # feature-full bias is sliced to match
-    wx = jnp.dot(h, p[w_key]["kernel"])
+    # feature-full bias is sliced to match. ``dtype`` mirrors the model's
+    # compute_dtype: the single-device Dense casts both operands before
+    # the dot (models/common.py Dense), so the AMP projection is bf16 in
+    # and bf16 out here too.
+    kernel = p[w_key]["kernel"]
+    if dtype is not None:
+        # rec_dot mirrors the single-device Dense AMP path: the kernel
+        # stays f32 so its cotangent (here a per-shard partial, psum'd
+        # in f32) carries no bf16 output rounding
+        wx = cells.rec_dot(h.astype(dtype), kernel)
+    else:
+        wx = jnp.dot(h, kernel)
     if "bias" in p[w_key]:
-        wx = wx + _shard_slice(p[w_key]["bias"], model_axis, wx.shape[-1])
+        bias = p[w_key]["bias"].astype(wx.dtype)
+        wx = wx + _shard_slice(bias, model_axis, wx.shape[-1])
     return wx
 
 
 def _pipelined_readout(p, stats, kind, flat_n_global, h, axis, stat_axes,
-                       train, u0=None):
+                       train, u0=None, dtype=None):
     """Leaky readout across the sharded time axis in closed form: the
     membrane recurrence is linear, so each device only needs its chunk's
     start state — an S-step scan over all_gather'ed per-chunk boundary
     drives seeded with ``u0`` (the uniform per-forward membrane start, or
     zeros) — and the softmax time-sum reduces with one psum."""
-    wx = _project(p, h)
+    wx = _project(p, h, dtype=dtype)
     wx, new_stats = _norm(
         kind, p, stats, flat_n_global, wx, stat_axes, train
     )
-    alpha = jnp.clip(p["alpha"], *cells.ALPHA_LIM)
+    alpha = jnp.clip(p["alpha"], *cells.ALPHA_LIM).astype(wx.dtype)
     B, Tl, C = wx.shape
     intra = cells.leaky_cumsum(wx, alpha, jnp.zeros((B, C), wx.dtype))
     drive = intra[:, -1, :]  # chunk-end membrane given a zero start
@@ -451,6 +476,8 @@ def _pipelined_readout(p, stats, kind, flat_n_global, h, axis, stat_axes,
 
     if u0 is None:
         u0 = jnp.zeros((B, C), wx.dtype)
+    else:
+        u0 = u0.astype(wx.dtype)
     _, starts = jax.lax.scan(chain, u0, all_drive)
     u_start = starts[jax.lax.axis_index(axis)]
     j = jnp.arange(Tl, dtype=wx.dtype)[None, :, None]
@@ -463,16 +490,18 @@ def _pipelined_readout(p, stats, kind, flat_n_global, h, axis, stat_axes,
 
 
 def _ann_readout(p, stats, kind, batch_n_global, h, axis, stat_axes,
-                 train):
+                 train, dtype=None):
     """ANN readout across the sharded time axis: the time collapse
     (``sum_t softmax(h_t)``, reference anns.py:644-665) is a plain
     per-step reduction — local partial sums + one psum over 'seq' — and
     the linear + 2-D norm then run on the tiny (B, out) accumulator.
     The 2-D batchnorm statistics reduce over the batch shards only."""
+    if h.dtype == jnp.bfloat16:
+        h = h.astype(jnp.float32)  # mirrors cells.cumulative_softmax
     acc = jax.lax.psum(
         jnp.sum(jax.nn.softmax(h, axis=-1), axis=1), axis
     )
-    out = _project(p, acc)
+    out = _project(p, acc, dtype=dtype)
     batch_axes = tuple(a for a in (stat_axes if isinstance(
         stat_axes, tuple) else (stat_axes,)) if a != "seq")
     return _norm(kind, p, stats, batch_n_global, out, batch_axes, train)
@@ -504,6 +533,10 @@ def _build_seqpipe(
     bidir = bool(model.bidirectional)
     is_snn = model.is_snn
     kind = model.normalization
+    # AMP: mirror the model's compute_dtype exactly like the single-device
+    # layers — bf16 projections everywhere; the recurrence runs in the
+    # post-norm dtype (f32 under batch/layernorm, bf16 under 'none')
+    cdt = getattr(model, "compute_dtype", None)
     n_hidden = model.num_layers - 1
     model_axis = "model" if "model" in mesh.axis_names else None
     n_model = mesh.shape["model"] if model_axis else 1
@@ -538,21 +571,23 @@ def _build_seqpipe(
                    name, states):
         wx, ns = _norm(
             kind, p, stats, flat_n_global,
-            _project(p, h, model_axis=model_axis), stat_axes, train,
-            model_axis=model_axis,
+            _project(p, h, model_axis=model_axis, dtype=cdt), stat_axes,
+            train, model_axis=model_axis,
         )
         if ns is not None:
             new_stats[name] = {"norm": {"BatchNorm_0": ns}}
         Hl = wx.shape[-1]
         Hg = Hl * n_model
+        # constants stay f32 here; the chunk scan casts them at point of
+        # use so AMP grad accumulation matches the scan cells
         cp = _clamped(p, neuron, model_axis, Hl)
         if states is not None:
             # membrane/adaptation slots live as feature shards; the spike
             # slot is carried feature-full (see _snn_chunk_scan)
             states = (
-                _shard_slice(states[0], model_axis, Hl),
-                _shard_slice(states[1], model_axis, Hl),
-                states[2],
+                _shard_slice(states[0], model_axis, Hl).astype(wx.dtype),
+                _shard_slice(states[1], model_axis, Hl).astype(wx.dtype),
+                states[2].astype(wx.dtype),
             )
         return _pipelined_recurrence(
             functools.partial(_snn_chunk_scan, neuron, cp, threshold,
@@ -567,7 +602,7 @@ def _build_seqpipe(
         for gk in gate_keys:
             wx, ns = _norm(
                 kind, p, stats, flat_n_global,
-                _project(p, h, gk, model_axis=model_axis),
+                _project(p, h, gk, model_axis=model_axis, dtype=cdt),
                 stat_axes, train, norm_key=f"norm_{gk}",
                 model_axis=model_axis,
             )
@@ -626,12 +661,17 @@ def _build_seqpipe(
             if "mask" in nz:
                 # layer-output dropout (scaled keep mask; the raw state
                 # recurrence is never dropped — reference snns.py:278);
-                # applied BEFORE the rate telemetry like the reference
-                h = h * nz["mask"]
+                # applied BEFORE the rate telemetry like the reference.
+                # Keeps the stream dtype (flax Dropout semantics).
+                h = (h * nz["mask"]).astype(h.dtype)
             if is_snn:
+                # rates accumulate in f32 like the model (snn.py: a bf16
+                # mean over B*T values loses ~1e-2)
                 rate_sums.append(_dedup(
-                    _psum(jnp.sum(h, axis=(0, 1)), stat_axes)
-                    / flat_n_global
+                    _psum(
+                        jnp.sum(h.astype(jnp.float32), axis=(0, 1)),
+                        stat_axes,
+                    ) / flat_n_global
                 ))
         # layer outputs are feature-full even under TP (the chunk scans
         # gather spikes/y per step), so the readout runs replicated
@@ -640,13 +680,13 @@ def _build_seqpipe(
             out, ns = _pipelined_readout(
                 params["readout"], batch_stats.get("readout", {}), kind,
                 flat_n_global, h, "seq", stat_axes, train,
-                u0=noise.get("readout", {}).get("u0"),
+                u0=noise.get("readout", {}).get("u0"), dtype=cdt,
             )
             rates = jnp.concatenate(rate_sums)
         else:
             out, ns = _ann_readout(
                 params["readout"], batch_stats.get("readout", {}), kind,
-                batch_n_global, h, "seq", stat_axes, train,
+                batch_n_global, h, "seq", stat_axes, train, dtype=cdt,
             )
             rates = jnp.zeros((1,), jnp.float32)
         if ns is not None:

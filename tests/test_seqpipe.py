@@ -119,6 +119,68 @@ def test_seqpipe_bf16_input_matches_plain_step():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
 
 
+@pytest.mark.parametrize("model_type,normalization", [
+    ("RadLIF", "batchnorm"), ("RadLIF", "none"),
+    ("LiGRU", "batchnorm"), ("GRU", "layernorm"), ("RNN", "none"),
+])
+def test_seqpipe_amp_matches_single_device(model_type, normalization):
+    """--seq_parallel composed with --compute_dtype bfloat16: the
+    pipelined step mirrors the single-device AMP semantics (bf16
+    projections everywhere; the recurrence in the post-norm dtype — f32
+    under batch/layernorm, bf16 under 'none'; f32 norm statistics, rate
+    telemetry, and weight-gradient accumulation via cells.rec_dot).
+
+    Assertions are GRADIENT-level (recovered from Adam's first moment,
+    mu = (1-b1)*g at step 1), not post-update params: under AMP the two
+    step functions are separately compiled modules whose bf16 roundings
+    XLA may place differently (e.g. folding a f32->bf16->f32 convert
+    round-trip into a dot on one path only), so gradients agree to bf16
+    noise — and Adam turns any sub-noise sign flip on a near-zero
+    element into a 2*lr param jump. The f32 (non-AMP) tests above pin
+    the tight per-element contract; this test pins the AMP dtype flow."""
+    model = build_model(
+        model_type, (B, T, F), [H, H, C],
+        dropout=0.0, normalization=normalization,
+        state_init="zeros", cell_impl="scan",
+        compute_dtype=jnp.bfloat16,
+    )
+    x = (np.random.default_rng(0).random((B, T, F)) < 0.3).astype(np.float32)
+    y = (np.arange(B) % C).astype(np.int64)
+    state = create_train_state(model, x, lr=1e-2, rng=jax.random.PRNGKey(0))
+    mesh = make_seq_mesh(jax.devices()[:4])
+    ref_step = make_train_step(model, donate=False)
+    pipe_step = make_seqpipe_train_step(model, mesh, n_micro=2)
+    ref_state, ref_metrics = ref_step(state, x, y)
+    xs = jax.device_put(x, seq_batch_sharding(mesh))
+    new_state, metrics = pipe_step(state, xs, y)
+    if model.is_snn:  # guard against an at-chance (insensitive) forward
+        assert float(ref_metrics["spike_rate"]) > 0.0
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(ref_metrics["loss"]), rtol=1e-5
+    )
+
+    def mu_leaves(s):
+        return [
+            (jax.tree_util.keystr(kp), np.asarray(v, np.float64))
+            for kp, v in jax.tree_util.tree_leaves_with_path(s.opt_state)
+            if "mu" in jax.tree_util.keystr(kp)
+        ]
+
+    ref_mu, new_mu = mu_leaves(ref_state), mu_leaves(new_state)
+    assert len(ref_mu) == len(new_mu) > 0
+    for (key, a), (_, b) in zip(ref_mu, new_mu):
+        # 2% of the leaf's largest gradient: bf16-eps-scale agreement.
+        # A dtype-flow bug (e.g. an f32/bf16 mismatch in the recurrence)
+        # shows up 10-100x above this.
+        tol = 0.02 * max(float(np.max(np.abs(a))), 1e-12)
+        np.testing.assert_allclose(b, a, atol=tol, err_msg=key)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(ref_state.batch_stats),
+        jax.tree_util.tree_leaves(new_state.batch_stats),
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5)
+
+
 def test_seqpipe_rejects_unsupported():
     model = build_model(
         "LIF", (B, T, F), [H, C], dropout=0.0, state_init="zeros",
