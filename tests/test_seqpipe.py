@@ -537,6 +537,59 @@ def test_seqpipe_noise_is_mesh_invariant():
             )
 
 
+@pytest.mark.parametrize("model_type", ["RadLIF", "LiGRU"])
+def test_seqpipe_amp_default_recipe_micro_invariant(model_type):
+    """AMP (bf16) composed with the DEFAULT recipe (dropout=0.1, and
+    'uniform' state init for the SNN): the drawn noise is identical for
+    a given rng, so n_micro=1 vs n_micro=4 on the same mesh must agree
+    at bf16-noise level — loss to bf16 rtol, gradients (Adam mu) to 2%
+    of each leaf's max. Pins the microbatch split under the AMP dtype
+    flow (the zero-dropout AMP matrix above can't see mask handling)."""
+    kwargs = dict(
+        dropout=0.1, normalization="batchnorm", cell_impl="scan",
+        compute_dtype=jnp.bfloat16,
+    )
+    if model_type == "RadLIF":
+        kwargs["state_init"] = "uniform"
+    model = build_model(model_type, (B, T, F), [H, H, C], **kwargs)
+    x = (np.random.default_rng(3).random((B, T, F)) < 0.3).astype(np.float32)
+    y = (np.arange(B) % C).astype(np.int64)
+
+    def fresh_state():  # the pipe step donates its state argument
+        return create_train_state(
+            model, x, lr=1e-2, rng=jax.random.PRNGKey(7)
+        )
+
+    mesh = make_seq_mesh(jax.devices()[:4])
+    xs = jax.device_put(x, seq_batch_sharding(mesh))
+    runs = []
+    for n_micro in (1, 4):
+        step = make_seqpipe_train_step(model, mesh, n_micro=n_micro)
+        runs.append(step(fresh_state(), xs, y))
+    (s1, m1), (s4, m4) = runs
+    assert np.isfinite(float(m1["loss"]))
+    if model.is_snn:
+        assert float(m1["spike_rate"]) > 0.0
+    np.testing.assert_allclose(
+        float(m4["loss"]), float(m1["loss"]), rtol=4e-3
+    )
+    for (kp, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(s1.opt_state),
+        jax.tree_util.tree_leaves_with_path(s4.opt_state),
+    ):
+        key = jax.tree_util.keystr(kp)
+        if "mu" not in key:
+            continue
+        a64, b64 = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        tol = 0.02 * max(float(np.max(np.abs(a64))), 1e-12)
+        np.testing.assert_allclose(b64, a64, atol=tol, err_msg=key)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s1.batch_stats),
+        jax.tree_util.tree_leaves(s4.batch_stats),
+    ):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-4)
+
+
 def test_seqpipe_ann_dropout_mesh_invariant():
     """ANN family with dropout: same rng, different time shardings agree
     (masks shard with the time axis)."""
