@@ -82,8 +82,12 @@ class Dense(nn.Module):
             # in f32
             y = jnp.dot(x, kernel)
         if self.use_bias:
+            from sparch_tpu.ops.cells import bias_add
+
             bias = self.param("bias", torch_linear_init(fan_in), (self.features,))
-            y = y + bias.astype(y.dtype)
+            # f32-accumulated bias cotangent (the bias counterpart of
+            # the rec_dot wgrad guarantee above)
+            y = bias_add(y, bias)
         return y
 
 

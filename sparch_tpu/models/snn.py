@@ -253,6 +253,13 @@ class ReadoutLayer(nn.Module):
                    dtype=self.compute_dtype, name="W")(x)
         Wx = SeqNorm(self.normalization, use_running_average=not train,
                      axis_name=self.bn_axis_name, name="norm")(Wx)
+        if Wx.dtype == jnp.bfloat16:
+            # the readout membrane recurrence always runs f32: it is tiny
+            # (B,T,classes — no MXU/stream win from bf16), feeds the loss
+            # directly, and bf16 alpha^j terms in the parallel closed form
+            # round differently from a chunked (seq-pipelined) evaluation
+            # (mirrors cells.cumulative_softmax on the ANN side)
+            Wx = Wx.astype(jnp.float32)
         shape = (Wx.shape[0], Wx.shape[2])
         if self.state_init == "uniform":
             u0 = jax.random.uniform(self.make_rng("state"), shape, Wx.dtype)

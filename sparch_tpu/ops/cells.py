@@ -56,6 +56,7 @@ __all__ = [
     "init_state",
     "zero_diag",
     "rec_dot",
+    "bias_add",
     "lif_scan",
     "adlif_scan",
     "rlif_scan",
@@ -120,6 +121,10 @@ def rec_dot(s: jax.Array, V: jax.Array) -> jax.Array:
     (pallas_ann.py dv_refs). Keeping the captured ``V`` f32 then makes
     ``lax.scan`` accumulate the per-step contributions in f32 too.
     For f32 streams this is numerically the default VJP.
+
+    Note: as a ``jax.custom_vjp``, forward-mode AD (jvp/jacfwd) does not
+    flow through this op — the spiking cells already lack jvp via
+    ``spike_boxcar``; this extends that to the ANN cells and AMP Dense.
     """
     dt = s.dtype
     return jnp.dot(s, V.astype(dt), preferred_element_type=dt)
@@ -143,6 +148,31 @@ def _rec_dot_bwd(res, g):
 
 
 rec_dot.defvjp(_rec_dot_fwd, _rec_dot_bwd)
+
+
+@jax.custom_vjp
+def bias_add(y: jax.Array, bias: jax.Array) -> jax.Array:
+    """``y + bias`` in the stream dtype with an f32-accumulated bias
+    cotangent (the reduction over all leading axes runs in f32 — the
+    bias counterpart of :func:`rec_dot`; a bf16 sum over B*T rows is
+    reduction-order-dependent between a monolithic step and seq-sharded
+    partials). ``bias`` stays f32; for f32 streams this is numerically
+    the default VJP."""
+    return y + bias.astype(y.dtype)
+
+
+def _bias_add_fwd(y, bias):
+    return bias_add(y, bias), bias
+
+
+def _bias_add_bwd(bias, g):
+    dbias = jnp.sum(
+        g.astype(jnp.float32), axis=tuple(range(g.ndim - 1))
+    ).astype(bias.dtype)
+    return g, dbias
+
+
+bias_add.defvjp(_bias_add_fwd, _bias_add_bwd)
 
 
 def _time_major(Wx: jax.Array) -> jax.Array:
@@ -374,7 +404,6 @@ def readout_sum_scan(
 
 def rnn_scan(Wx: jax.Array, V: jax.Array, y0: jax.Array) -> jax.Array:
     """Vanilla sigmoid RNN recurrence."""
-    dt = Wx.dtype
 
     def step(y, wx_t):
         # V cast at point of use: f32 dV accumulation under AMP (see lif_scan)
@@ -393,7 +422,6 @@ def ligru_scan(
     y0: jax.Array,
 ) -> jax.Array:
     """Light GRU (Ravanelli et al. 2018) recurrence with ReLU candidate."""
-    dt = Wx.dtype
 
     def step(y, xs):
         wx_t, wzx_t = xs
@@ -417,7 +445,6 @@ def gru_scan(
     y0: jax.Array,
 ) -> jax.Array:
     """Full GRU (Cho et al. 2014) recurrence with tanh candidate."""
-    dt = Wx.dtype
 
     def step(y, xs):
         wx_t, wzx_t, wrx_t = xs

@@ -448,8 +448,12 @@ def _project(p, h, w_key="W", model_axis=None, dtype=None):
     else:
         wx = jnp.dot(h, kernel)
     if "bias" in p[w_key]:
-        bias = p[w_key]["bias"].astype(wx.dtype)
-        wx = wx + _shard_slice(bias, model_axis, wx.shape[-1])
+        # bias_add keeps the bias f32 and accumulates its cotangent in
+        # f32 (mirrors the single-device Dense; a bf16 row-sum would
+        # round differently per time shard)
+        wx = cells.bias_add(
+            wx, _shard_slice(p[w_key]["bias"], model_axis, wx.shape[-1])
+        )
     return wx
 
 
@@ -464,6 +468,10 @@ def _pipelined_readout(p, stats, kind, flat_n_global, h, axis, stat_axes,
     wx, new_stats = _norm(
         kind, p, stats, flat_n_global, wx, stat_axes, train
     )
+    if wx.dtype == jnp.bfloat16:
+        # the readout membrane recurrence always runs f32 (mirrors
+        # models/snn.py ReadoutLayerSNN under AMP)
+        wx = wx.astype(jnp.float32)
     alpha = jnp.clip(p["alpha"], *cells.ALPHA_LIM).astype(wx.dtype)
     B, Tl, C = wx.shape
     intra = cells.leaky_cumsum(wx, alpha, jnp.zeros((B, C), wx.dtype))

