@@ -184,7 +184,15 @@ def run_case(cfg, rng):
         flipped = abs(m["loss"] - ref_loss) > 1e-5 * max(1.0, abs(ref_loss))
         factor = 0.15 if flipped else 0.025
     else:
-        factor = 1e-4
+        # 2e-3 relative, not f32-eps: train-mode BN variance is
+        # E[x^2]-E[x]^2 (flax's own formula), whose cancellation
+        # amplifies f32 reduction-order noise by E[x^2]/var when the
+        # drive is poorly centered — a random-config draw regularly
+        # hits 1e-5-relative forward noise and ~1e-3-relative gradient
+        # noise between the monolithic and per-shard+psum associations.
+        # Real seam bugs sit 10-1000x above this; the curated
+        # test_seqpipe configs keep the tight 2e-5 post-update contract.
+        factor = 2e-3
     for (kp_r, a), (kp_n, b) in zip(
         jax.tree_util.tree_leaves_with_path(ref_state.opt_state),
         jax.tree_util.tree_leaves_with_path(new_state.opt_state),
@@ -195,12 +203,19 @@ def run_case(cfg, rng):
         a64 = np.asarray(a, np.float64)
         b64 = np.asarray(b, np.float64)
         leafmax = float(np.max(np.abs(a64)))
-        # absolute floor: leaves whose true gradient is ~0 (bias under
-        # batchnorm — BN subtracts the mean, so dbias cancels exactly)
-        # hold only cancellation noise on BOTH sides; comparing noise to
-        # noise at a relative tolerance is meaningless. The floor sits
-        # 10-100x under any real gradient bug (mu = 0.1*g).
-        tol = max(factor * leafmax, 1e-3 if amp else 1e-5)
+        # absolute floor: leaves whose true gradient is ~0 (a projection
+        # bias under batchnorm — BN subtracts the mean, so dbias cancels
+        # exactly) hold only cancellation noise on BOTH sides; comparing
+        # noise to noise at a relative tolerance is meaningless. The
+        # floor sits 10-100x under any real gradient bug (mu = 0.1*g).
+        proj_bias = key.endswith("['bias']") and "BatchNorm" not in key
+        if amp:
+            floor = 1e-3
+        elif proj_bias and cfg["normalization"] == "batchnorm":
+            floor = 1e-4
+        else:
+            floor = 1e-5
+        tol = max(factor * leafmax, floor)
         d = float(np.max(np.abs(b64 - a64)))
         if d > tol:
             fails.append(f"grads(mu) {key} delta {d:.2e} > {tol:.2e}")
