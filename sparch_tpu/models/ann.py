@@ -260,6 +260,7 @@ class ANN(nn.Module):
     bn_axis_name: Optional[str] = None
     cell_impl: str = "auto"
     mxu_precision: str = "default"
+    remat: bool = False
 
     @property
     def is_snn(self) -> bool:
@@ -286,6 +287,13 @@ class ANN(nn.Module):
             raise NotImplementedError(f"Unsupported input rank {x.ndim}")
 
         layer_cls = _LAYER_CLASSES[self.ann_type]
+        if self.remat:
+            # Backward recomputes each hidden layer from its input instead
+            # of storing its gate/activation streams; RNGs replay, so
+            # gradients match the un-rematted model up to XLA fusion
+            # reassociation (see SNN.__call__ for the full rationale).
+            # ``train`` is arg 2 of ``Layer.__call__`` and must stay static.
+            layer_cls = nn.remat(layer_cls, static_argnums=(2,))
         num_hidden = (
             self.num_layers - 1 if self.use_readout_layer else self.num_layers
         )
@@ -302,7 +310,7 @@ class ANN(nn.Module):
                 cell_impl=self.cell_impl,
                 mxu_precision=self.mxu_precision,
                 name=f"layer_{i}",
-            )(x, train=train)
+            )(x, train)  # positional: remat pins arg 2 (train) static
 
         if self.use_readout_layer:
             x = ReadoutLayerANN(

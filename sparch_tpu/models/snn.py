@@ -310,6 +310,7 @@ class SNN(nn.Module):
     compute_dtype: Optional[jnp.dtype] = None
     bn_axis_name: Optional[str] = None
     mxu_precision: str = "default"
+    remat: bool = False
 
     @property
     def is_snn(self) -> bool:
@@ -342,6 +343,21 @@ class SNN(nn.Module):
             raise NotImplementedError(f"Unsupported input rank {x.ndim}")
 
         layer_cls = _LAYER_CLASSES[self.neuron_type]
+        if self.remat:
+            # Rematerialised layers: the backward pass recomputes each
+            # hidden layer's forward (projection + norm + recurrence) from
+            # its input instead of storing the per-layer residual streams
+            # (Wx, membranes, gate activations — several (B,T,H) buffers
+            # per layer). Trades one extra forward's FLOPs for a smaller
+            # activation live set — realised by XLA's memory-aware TPU
+            # scheduler (tools/measure_remat.py measures it). RNG
+            # streams (dropout masks, uniform state init) are replayed
+            # identically on recompute, so gradients match the un-rematted
+            # model up to XLA fusion reassociation (~1e-7 rel, pinned in
+            # test_models.py). ``train`` is arg 2 of
+            # ``Layer.__call__`` (self is 0) and must stay static —
+            # it selects Python-level branches.
+            layer_cls = nn.remat(layer_cls, static_argnums=(2,))
         num_hidden = (
             self.num_layers - 1 if self.use_readout_layer else self.num_layers
         )
@@ -361,7 +377,7 @@ class SNN(nn.Module):
                 bn_axis_name=self.bn_axis_name,
                 mxu_precision=self.mxu_precision,
                 name=f"layer_{i}",
-            )(x, train=train)
+            )(x, train)  # positional: remat pins arg 2 (train) static
             all_spikes.append(x)
 
         if self.use_readout_layer:

@@ -20,6 +20,7 @@ _MODEL_OPTION_KEYS = [
     "bidirectional",
     # TPU-native extensions
     "threshold",
+    "remat",
 ]
 
 
@@ -126,6 +127,20 @@ def add_model_options(parser):
         "Fastest where the input projection is stream-bound (narrow "
         "hidden layers over wide rasters, e.g. 2.1x at H=128/F=700); "
         "neutral where it is MXU-bound (H>=512).",
+    )
+    parser.add_argument(
+        "--remat",
+        type=strtobool,
+        default=False,
+        help="Rematerialise hidden layers in the backward pass "
+        "(jax.checkpoint): activations/residual streams are recomputed "
+        "from each layer's input instead of stored, at the cost of one "
+        "extra forward. Whether that shrinks peak HBM is up to XLA's "
+        "memory-aware scheduling (TPU has it; CPU does not — see "
+        "tools/measure_remat.py). RNG streams replay, so gradients "
+        "match the stored-activation run (up to float reassociation). "
+        "Try it when long sequences / wide stacks OOM or force a "
+        "smaller batch.",
     )
     return parser
 

@@ -91,6 +91,7 @@ class Experiment:
         self.pad_multiple = getattr(args, "pad_multiple", 100)
         self.workers = getattr(args, "workers", 0)
         self.compute_dtype = getattr(args, "compute_dtype", "float32")
+        self.remat = getattr(args, "remat", False)
         self.input_dtype = getattr(args, "input_dtype", "float32")
         self.profile_dir = getattr(args, "profile_dir", None)
         self.prng_impl = getattr(args, "prng_impl", "rbg")
@@ -156,6 +157,13 @@ class Experiment:
 
             if self.is_multihost:
                 raise ValueError("--seq_parallel is single-host only")
+            if self.remat:
+                raise ValueError(
+                    "--remat has no effect under --seq_parallel: the "
+                    "time-pipelined step stores only per-microbatch "
+                    "activations already (its own memory bound). Drop "
+                    "one of the two flags."
+                )
             if self.frontend == "device":
                 raise ValueError(
                     "--seq_parallel requires --frontend host (waveform "
@@ -361,6 +369,7 @@ class Experiment:
             "compute_dtype": self.compute_dtype,
             "input_dtype": self.input_dtype,
             "frontend": self.frontend,
+            "remat": self.remat,
         }
         self.net = build_model(
             self.model_type,
@@ -375,6 +384,7 @@ class Experiment:
             state_init=self.state_init,
             cell_impl=self.cell_impl,
             compute_dtype=None if self.compute_dtype == "float32" else dtype,
+            remat=self.remat,
         )
 
         if self.frontend == "device":

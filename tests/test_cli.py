@@ -228,6 +228,32 @@ def test_seq_parallel_bidirectional_training(shd_folder, tmp_path):
     assert 0.0 <= e.test_acc <= 1.0
 
 
+def test_remat_training(shd_folder, tmp_path):
+    """--remat trains end-to-end: hidden layers recompute in the backward
+    pass (jax.checkpoint); dropout + uniform state init exercise the
+    RNG-replay path the gradients depend on."""
+    exp = str(tmp_path / "exp_remat")
+    e = run_exp.main(_base_args(
+        shd_folder, exp,
+        extra=["--remat", "true", "--pdrop", "0.1",
+               "--state_init", "uniform", "--nb_epochs", "1"],
+    ))
+    assert e.remat
+    assert 0.0 <= e.test_acc <= 1.0
+
+
+def test_remat_rejected_under_seq_parallel(shd_folder, tmp_path):
+    """--remat is meaningless under --seq_parallel (the pipelined step
+    already bounds activation memory per microbatch) — explicit error,
+    not a silent no-op."""
+    exp = str(tmp_path / "exp_remat_sp")
+    with pytest.raises(ValueError, match="remat"):
+        run_exp.main(_base_args(
+            shd_folder, exp,
+            extra=["--remat", "true", "--seq_parallel", "2"],
+        ))
+
+
 def test_seq_parallel_amp_training(shd_folder, tmp_path):
     """--seq_parallel composed with --compute_dtype bfloat16 (AMP): the
     pipelined steps mirror the single-device dtype flow (bf16

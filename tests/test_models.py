@@ -199,6 +199,110 @@ def test_batchnorm_running_stats_update_only_in_train():
     model.apply(variables, x, train=False)
 
 
+def _train_loss_and_grads(model, x, params_src=None):
+    """Init (or reuse) params, run a train-mode apply under jax.grad.
+
+    Returns (loss, grads, batch_stats) with all stochastic streams live:
+    dropout masks and uniform state init, so the test exercises exactly
+    the RNG-replay property remat relies on.
+    """
+    init_rngs = {
+        "params": jax.random.PRNGKey(0),
+        "state": jax.random.PRNGKey(1),
+        "dropout": jax.random.PRNGKey(2),
+    }
+    variables = model.init(init_rngs, x, train=True)
+    params = params_src if params_src is not None else variables["params"]
+    extra = {k: v for k, v in variables.items() if k != "params"}
+
+    def loss_fn(p):
+        out, mutated = model.apply(
+            {"params": p, **extra},
+            x,
+            train=True,
+            rngs={"state": jax.random.PRNGKey(1), "dropout": jax.random.PRNGKey(2)},
+            mutable=["batch_stats"],
+        )
+        logits = out[0] if isinstance(out, tuple) else out
+        return jnp.sum(logits**2), mutated
+
+    (loss, mutated), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    return loss, grads, mutated, params
+
+
+@pytest.mark.parametrize(
+    "model_type,kwargs",
+    [
+        ("RadLIF", dict(state_init="uniform", bidirectional=True)),
+        ("adLIF", dict(state_init="zeros")),
+        ("LiGRU", dict()),
+        ("GRU", dict(bidirectional=True)),
+    ],
+)
+def test_remat_loss_and_grads_match_unrematted(model_type, kwargs):
+    """remat=True recomputes hidden layers in the backward pass; the
+    dropout/state RNG streams replay, so loss and every gradient match the
+    stored-activation model up to XLA fusion reassociation inside the
+    checkpointed region (~1e-7 rel observed; an RNG-replay failure would
+    be an O(1) mismatch)."""
+    x = jax.random.normal(jax.random.PRNGKey(11), (B, T, F))
+    base = build_model(model_type, (B, T, F), [16, 16, 5], dropout=0.1, **kwargs)
+    rem = build_model(
+        model_type, (B, T, F), [16, 16, 5], dropout=0.1, remat=True, **kwargs
+    )
+
+    loss0, g0, bs0, params = _train_loss_and_grads(base, x)
+    loss1, g1, bs1, _ = _train_loss_and_grads(rem, x, params_src=params)
+
+    np.testing.assert_allclose(
+        np.asarray(loss0), np.asarray(loss1), rtol=1e-6, atol=0
+    )
+    flat0 = jax.tree_util.tree_leaves_with_path(g0)
+    flat1 = dict(jax.tree_util.tree_leaves_with_path(g1))
+    assert len(flat0) == len(flat1)
+    for path, leaf in flat0:
+        # Scale-aware bound: recurrent leaves amplify the reassociation
+        # over T steps (observed up to ~1e-3 of the leaf's max-abs for
+        # bidirectional GRU); an RNG-replay failure flips dropout masks
+        # and lands at O(0.1-1) of scale — 100x above this bound.
+        a, b = np.asarray(leaf), np.asarray(flat1[path])
+        scale = max(float(np.abs(a).max()), 1e-3)
+        diff = float(np.abs(a - b).max())
+        # + absolute floor: a leaf whose gradient nearly cancels (sum of
+        # opposite-sign (B,T) contributions) carries the reduction's
+        # absolute reassociation noise (~1e-6 observed under the rbg PRNG
+        # the CLI tests leave as process default) on a ~0 value.
+        assert diff <= 2e-3 * scale + 1e-5, (path, diff, scale)
+    # batch_stats: same computation, but XLA fuses the stat reductions
+    # differently inside the checkpointed region (reassociation ~1e-9)
+    for (p0, s0), (p1, s1) in zip(
+        jax.tree_util.tree_leaves_with_path(bs0),
+        jax.tree_util.tree_leaves_with_path(bs1),
+    ):
+        assert p0 == p1
+        np.testing.assert_allclose(
+            np.asarray(s0), np.asarray(s1), rtol=1e-6, atol=1e-8, err_msg=str(p0)
+        )
+
+
+def test_remat_param_tree_unchanged():
+    """nn.remat must not alter parameter paths (checkpoints stay loadable
+    across the flag)."""
+    x = jnp.zeros((B, T, F))
+    base = build_model("LIF", (B, T, F), [16, 5], state_init="zeros")
+    rem = build_model("LIF", (B, T, F), [16, 5], state_init="zeros", remat=True)
+    v0 = base.init({"params": jax.random.PRNGKey(0)}, x)
+    v1 = rem.init({"params": jax.random.PRNGKey(0)}, x)
+    paths0 = [p for p, _ in jax.tree_util.tree_leaves_with_path(v0)]
+    paths1 = [p for p, _ in jax.tree_util.tree_leaves_with_path(v1)]
+    assert paths0 == paths1
+    for (_, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(v0),
+        jax.tree_util.tree_leaves_with_path(v1),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_readout_only_model_rejected():
     """nb_layers=1 with a readout has no hidden layers; the reference
     crashes on torch.cat([]) — we fail with an actionable message."""
