@@ -63,9 +63,17 @@ def load_experiment(exp_folder: str):
         compute_dtype=dtype,
     )
     sample = np.zeros((2, 8, cfg["input_shape"][-1]), np.float32)
+    # the checkpoint's raw RNG key is shaped by the TRAINING process's
+    # PRNG impl (--prng_impl, default rbg: (4,) uint32) — a template
+    # built with this process's default impl (often threefry: (2,))
+    # fails Orbax's strict restore. Build an impl-matched typed key
+    # (splits inside create_train_state follow the key's own impl),
+    # then swap in its raw data to mirror the stored layout.
+    impl = cfg.get("prng_impl", "rbg")
     template = create_train_state(
-        model, sample, lr=1e-2, rng=jax.random.PRNGKey(0)
+        model, sample, lr=1e-2, rng=jax.random.key(0, impl=impl)
     )
+    template = template.replace(rng=jax.random.key_data(template.rng))
     state, _ = restore_checkpoint(ckdir, template)
     variables = {"params": state.params}
     if state.batch_stats:

@@ -370,6 +370,11 @@ class Experiment:
             "input_dtype": self.input_dtype,
             "frontend": self.frontend,
             "remat": self.remat,
+            # serving rebuilds the restore template in a fresh process
+            # whose default PRNG impl may differ; the stored raw RNG key
+            # is impl-shaped, so the template must match
+            # (serve.load_experiment)
+            "prng_impl": self.prng_impl,
         }
         self.net = build_model(
             self.model_type,
