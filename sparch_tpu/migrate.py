@@ -49,6 +49,7 @@ __all__ = [
     "variables_from_state_dict",
     "config_from_module",
     "infer_config_from_state_dict",
+    "load_torch_checkpoint",
     "import_torch_checkpoint",
 ]
 
@@ -61,6 +62,37 @@ _ANN_GATES = {"MLP": (), "RNN": ("V",), "LiGRU": ("V", "Vz"),
 _ANN_WGATES = {"MLP": (), "RNN": (), "LiGRU": ("Wz",), "GRU": ("Wz", "Wr")}
 # reference norm attribute per projection: W->norm, Wz->normz, Wr->normr
 _NORM_OF = {"W": "norm", "Wz": "normz", "Wr": "normr"}
+
+
+_BOOL_CONFIG_KEYS = ("use_bias", "bidirectional", "use_readout_layer",
+                     "remat")
+
+
+def _as_bool(v) -> bool:
+    """Tolerate string booleans ('false', '0', 'no') from CLI --set
+    overrides — bool('false') is True, which silently corrupts the
+    conversion (a dropped readout remaps every layer)."""
+    if isinstance(v, str):
+        low = v.strip().lower()
+        if low in ("true", "t", "yes", "y", "on", "1"):
+            return True
+        if low in ("false", "f", "no", "n", "off", "0"):
+            return False
+        raise ValueError(f"not a boolean: {v!r}")
+    return bool(v)
+
+
+def _apply_overrides(config: Dict[str, Any], overrides: Dict[str, Any]):
+    """Merge user overrides into an architecture record, interpreting the
+    structured fields identically for both checkpoint formats:
+    ``batch_size`` targets ``input_shape[0]``, booleans accept string
+    forms."""
+    overrides = dict(overrides)
+    if "batch_size" in overrides:
+        config["input_shape"][0] = int(overrides.pop("batch_size"))
+    for key, val in overrides.items():
+        config[key] = _as_bool(val) if key in _BOOL_CONFIG_KEYS else val
+    return config
 
 
 def _np(t) -> np.ndarray:
@@ -224,9 +256,8 @@ def infer_config_from_state_dict(
     is_snn = container == "snn"
     indices = sorted({int(k.split(".")[1])
                       for k in keys if k.startswith(container + ".")})
-    n = len(indices)
-    use_readout = bool(overrides.pop("use_readout_layer", True))
-    hidden = [i for i in indices[:-1]] if use_readout else indices
+    use_readout = _as_bool(overrides.pop("use_readout_layer", True))
+    hidden = indices[:-1] if use_readout else indices
     first_hidden = hidden[0] if hidden else indices[0]
 
     def has(i, suffix):
@@ -287,26 +318,27 @@ def infer_config_from_state_dict(
         "frontend": "host",
         "remat": False,
     }
-    cfg.update(overrides)
-    return cfg
+    return _apply_overrides(cfg, overrides)
 
 
-def _build_from_config(config: Dict[str, Any]):
-    from sparch_tpu.models import build_model
+def load_torch_checkpoint(pth_path: str, sparch_path: Optional[str] = None):
+    """``torch.load`` a reference checkpoint (module or state_dict), with
+    an actionable error when the pickled module's package is missing."""
+    import sys
 
-    return build_model(
-        config["model_type"],
-        tuple(config["input_shape"]),
-        config["layer_sizes"],
-        threshold=config.get("threshold", 1.0),
-        dropout=config.get("dropout", 0.0),
-        normalization=config["normalization"],
-        use_bias=config["use_bias"],
-        bidirectional=config["bidirectional"],
-        use_readout_layer=config.get("use_readout_layer", True),
-        state_init=config.get("state_init", "uniform"),
-        cell_impl=config.get("cell_impl", "auto"),
-    )
+    import torch
+
+    if sparch_path and sparch_path not in sys.path:
+        sys.path.insert(0, sparch_path)
+    try:
+        # pickled-module checkpoints need full unpickling (torch>=2.6
+        # defaults to weights_only=True, which rejects them)
+        return torch.load(pth_path, map_location="cpu", weights_only=False)
+    except ModuleNotFoundError as e:
+        raise ModuleNotFoundError(
+            f"unpickling {pth_path} needs the reference package "
+            f"({e.name!r}) importable — pass sparch_path=<its repo root>"
+        ) from e
 
 
 def import_torch_checkpoint(
@@ -316,6 +348,7 @@ def import_torch_checkpoint(
     lr: float = 0.01,
     prng_impl: str = "rbg",
     config_overrides: Optional[Dict[str, Any]] = None,
+    loaded: Any = None,
 ) -> Tuple[Any, Dict[str, Any]]:
     """Convert a reference ``.pth`` checkpoint into an experiment folder.
 
@@ -337,22 +370,12 @@ def import_torch_checkpoint(
     ``run_exp.py --use_pretrained_model 1 --load_exp_folder <out>``.
 
     Returns ``(model, variables)`` for immediate in-process use.
+    ``loaded`` skips the ``torch.load`` when the caller already holds the
+    module / state_dict (``pth_path`` is still recorded as provenance).
     """
-    import sys
-
-    import torch
-
-    if sparch_path and sparch_path not in sys.path:
-        sys.path.insert(0, sparch_path)
-    try:
-        # pickled-module checkpoints need full unpickling (torch>=2.6
-        # defaults to weights_only=True, which rejects them)
-        obj = torch.load(pth_path, map_location="cpu", weights_only=False)
-    except ModuleNotFoundError as e:
-        raise ModuleNotFoundError(
-            f"unpickling {pth_path} needs the reference package "
-            f"({e.name!r}) importable — pass sparch_path=<its repo root>"
-        ) from e
+    obj = loaded if loaded is not None else load_torch_checkpoint(
+        pth_path, sparch_path
+    )
 
     overrides = dict(config_overrides or {})
     if isinstance(obj, dict):
@@ -360,8 +383,7 @@ def import_torch_checkpoint(
         config = infer_config_from_state_dict(state_dict, **overrides)
     else:
         state_dict = obj.state_dict()
-        config = config_from_module(obj)
-        config.update(overrides)
+        config = _apply_overrides(config_from_module(obj), overrides)
 
     config["prng_impl"] = prng_impl
 
@@ -376,10 +398,11 @@ def import_torch_checkpoint(
 
     import jax
 
+    from sparch_tpu.models import build_model_from_config
     from sparch_tpu.train.checkpoint import save_checkpoint
     from sparch_tpu.train.state import create_train_state
 
-    model = _build_from_config(config)
+    model = build_model_from_config(config)
     sample = np.zeros((2, 8, config["input_shape"][-1]), np.float32)
     # a TYPED key carries its impl through create_train_state's splits
     # regardless of the process default; the stored state keeps raw key

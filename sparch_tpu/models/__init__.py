@@ -65,6 +65,34 @@ def build_model(
     raise ValueError(f"Invalid model type {model_type}")
 
 
+def build_model_from_config(config, **overrides):
+    """Build a model from an architecture record — the dict the training
+    loop writes to ``checkpoints/meta.json`` (train/loop.py
+    ``_model_config``) and the torch importer reconstructs
+    (sparch_tpu/migrate.py). The single translation point for that
+    record: serving (serve.load_experiment) and migration both route
+    through here, so a new config field is threaded exactly once."""
+    import jax.numpy as jnp
+
+    cfg = {**config, **overrides}
+    dtype = jnp.bfloat16 if cfg.get("compute_dtype") == "bfloat16" else None
+    return build_model(
+        cfg["model_type"],
+        tuple(cfg["input_shape"]),
+        cfg["layer_sizes"],
+        threshold=cfg.get("threshold", 1.0),
+        dropout=cfg.get("dropout", 0.0),
+        normalization=cfg["normalization"],
+        use_bias=cfg["use_bias"],
+        bidirectional=cfg["bidirectional"],
+        use_readout_layer=cfg.get("use_readout_layer", True),
+        state_init=cfg.get("state_init", "uniform"),
+        cell_impl=cfg.get("cell_impl", "auto"),
+        compute_dtype=dtype,
+        remat=cfg.get("remat", False),
+    )
+
+
 __all__ = [
     "ANN",
     "SNN",

@@ -25,7 +25,7 @@ def load_experiment(exp_folder: str):
     import json
     import os
 
-    from sparch_tpu.models import build_model
+    from sparch_tpu.models import build_model_from_config
     from sparch_tpu.train.checkpoint import restore_checkpoint
     from sparch_tpu.train.state import create_train_state
 
@@ -45,36 +45,29 @@ def load_experiment(exp_folder: str):
             "device-frontend experiments take waveform pytrees; wrap the "
             "inner model in FbankFrontend and construct manually"
         )
-    dtype = (
-        jnp.bfloat16 if cfg.get("compute_dtype") == "bfloat16" else None
-    )
-    model = build_model(
-        cfg["model_type"],
-        tuple(cfg["input_shape"]),
-        cfg["layer_sizes"],
-        threshold=cfg["threshold"],
-        dropout=cfg["dropout"],
-        normalization=cfg["normalization"],
-        use_bias=cfg["use_bias"],
-        bidirectional=cfg["bidirectional"],
-        use_readout_layer=True,
-        state_init=cfg["state_init"],
-        cell_impl=cfg["cell_impl"],
-        compute_dtype=dtype,
-    )
+    model = build_model_from_config(cfg, use_readout_layer=True)
     sample = np.zeros((2, 8, cfg["input_shape"][-1]), np.float32)
     # the checkpoint's raw RNG key is shaped by the TRAINING process's
     # PRNG impl (--prng_impl, default rbg: (4,) uint32) — a template
     # built with this process's default impl (often threefry: (2,))
     # fails Orbax's strict restore. Build an impl-matched typed key
     # (splits inside create_train_state follow the key's own impl),
-    # then swap in its raw data to mirror the stored layout.
-    impl = cfg.get("prng_impl", "rbg")
-    template = create_train_state(
-        model, sample, lr=1e-2, rng=jax.random.key(0, impl=impl)
-    )
-    template = template.replace(rng=jax.random.key_data(template.rng))
-    state, _ = restore_checkpoint(ckdir, template)
+    # then swap in its raw data to mirror the stored layout. Metas from
+    # before prng_impl was recorded fall back to trying each CLI impl.
+    impls = [cfg["prng_impl"]] if "prng_impl" in cfg else \
+        ["rbg", "threefry2x32"]
+    state = None
+    for i, impl in enumerate(impls):
+        template = create_train_state(
+            model, sample, lr=1e-2, rng=jax.random.key(0, impl=impl)
+        )
+        template = template.replace(rng=jax.random.key_data(template.rng))
+        try:
+            state, _ = restore_checkpoint(ckdir, template)
+            break
+        except ValueError:
+            if i == len(impls) - 1:  # rng-shape mismatch on every impl
+                raise
     variables = {"params": state.params}
     if state.batch_stats:
         variables["batch_stats"] = state.batch_stats

@@ -32,32 +32,28 @@ B, T, F, H, C = 3, 15, 10, 12, 4
 
 def _ref_model(model_type, normalization="batchnorm", use_bias=False,
                bidirectional=False, layer_sizes=(H, H, C), seed=0,
-               input_shape=(B, T, F)):
+               input_shape=(B, T, F), use_readout_layer=True):
     torch.manual_seed(seed)
-    if model_type in ("LIF", "adLIF", "RLIF", "RadLIF"):
-        net = RefSNN(
-            input_shape=input_shape, layer_sizes=list(layer_sizes),
-            neuron_type=model_type, dropout=0.0,
-            normalization=normalization, use_bias=use_bias,
-            bidirectional=bidirectional, use_readout_layer=True,
-        )
-    else:
-        net = RefANN(
-            input_shape=input_shape, layer_sizes=list(layer_sizes),
-            ann_type=model_type, dropout=0.0,
-            normalization=normalization, use_bias=use_bias,
-            bidirectional=bidirectional, use_readout_layer=True,
-        )
+    cls = (RefSNN if model_type in ("LIF", "adLIF", "RLIF", "RadLIF")
+           else RefANN)
+    kind = ("neuron_type" if cls is RefSNN else "ann_type")
+    net = cls(**{
+        "input_shape": input_shape, "layer_sizes": list(layer_sizes),
+        kind: model_type, "dropout": 0.0,
+        "normalization": normalization, "use_bias": use_bias,
+        "bidirectional": bidirectional,
+        "use_readout_layer": use_readout_layer,
+    })
     return net.eval()
 
 
 def _forward_match(net, config, variables, atol=2e-4):
     """Eval-forward parity, zero state init on both sides (the reference
     draws states with torch.rand each forward, snns.py:286-287)."""
-    from sparch_tpu.migrate import _build_from_config
+    from sparch_tpu.models import build_model_from_config
 
-    model = _build_from_config(
-        dict(config, state_init="zeros", cell_impl="scan")
+    model = build_model_from_config(
+        config, state_init="zeros", cell_impl="scan"
     )
     x = (np.random.default_rng(0)
          .random((B, T, config["input_shape"][-1])).astype(np.float32) * 4.0)
@@ -193,6 +189,67 @@ def test_finetune_imported_checkpoint_via_cli(shd_folder, tmp_path):
         "--load_exp_folder", imported,
     ])
     assert 0.0 <= e.test_acc <= 1.0
+
+
+def test_string_boolean_overrides(tmp_path):
+    """CLI --set writes string values; boolean config fields must accept
+    'false'/'true' spellings (bool('false') is True — a silent corruption
+    if merged verbatim: use_readout_layer='false' would remap layers)."""
+    net = _ref_model("RadLIF", "none", False, False, seed=7,
+                     use_readout_layer=False)
+    sd = net.state_dict()
+    cfg = infer_config_from_state_dict(sd, use_readout_layer="false")
+    assert cfg["use_readout_layer"] is False
+    # headless stack: every index maps to layer_{i}, none to 'readout'
+    variables = variables_from_state_dict(sd, cfg)
+    assert set(variables["params"]) == {"layer_0", "layer_1", "layer_2"}
+    with pytest.raises(ValueError, match="not a boolean"):
+        infer_config_from_state_dict(sd, use_bias="maybe")
+
+
+def test_module_path_overrides_interpreted(tmp_path):
+    """config_overrides mean the same thing for module checkpoints as for
+    state_dicts: batch_size targets input_shape[0], not a stray key."""
+    net = _ref_model("LIF", "none", False, False, seed=8)
+    pth = str(tmp_path / "m.pth")
+    torch.save(net, pth)
+    out = str(tmp_path / "exp_bs")
+    import_torch_checkpoint(
+        pth, out, sparch_path="/root/reference",
+        config_overrides={"batch_size": 32},
+    )
+    import json
+
+    with open(os.path.join(out, "checkpoints", "meta.json")) as f:
+        cfg = json.load(f)["model"]
+    assert cfg["input_shape"][0] == 32
+    assert "batch_size" not in cfg
+
+
+def test_serving_meta_without_prng_impl(tmp_path):
+    """Experiment folders written before prng_impl was recorded in meta
+    still load: the serve template falls back to trying each CLI impl."""
+    import json
+
+    from sparch_tpu.serve import Predictor
+
+    net = _ref_model("LIF", "batchnorm", False, False, seed=9)
+    pth = str(tmp_path / "m.pth")
+    torch.save(net, pth)
+    out = str(tmp_path / "legacy_exp")
+    import_torch_checkpoint(pth, out, sparch_path="/root/reference",
+                            prng_impl="threefry2x32")
+    meta_path = os.path.join(out, "checkpoints", "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    del meta["model"]["prng_impl"]  # simulate a pre-upgrade meta
+    with open(meta_path, "w") as f:
+        json.dump(meta, f)
+
+    predictor = Predictor.from_experiment(out, batch_size=4)
+    x = np.random.default_rng(2).random((3, T, F)).astype(np.float32)
+    labels, probs = predictor(x)
+    assert labels.shape == (3,)
 
 
 @pytest.fixture

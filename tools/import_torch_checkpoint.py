@@ -44,24 +44,19 @@ def _parse_sets(pairs):
     return out
 
 
-def _verify(pth_path, sparch_path, config, variables):
+def _verify(net, config, variables):
     """Forward-parity check of the converted weights against the torch
     module itself (eval mode, zero state init on both sides)."""
     import numpy as np
     import torch
 
-    if sparch_path and sparch_path not in sys.path:
-        sys.path.insert(0, sparch_path)
-    net = torch.load(pth_path, map_location="cpu", weights_only=False)
-    if isinstance(net, dict):
-        raise SystemExit("--verify needs a pickled-module checkpoint "
-                         "(a state_dict has no forward to compare against)")
     net.eval()
 
-    from sparch_tpu.migrate import _build_from_config
+    from sparch_tpu.models import build_model_from_config
 
-    zcfg = dict(config, state_init="zeros", cell_impl="scan")
-    model = _build_from_config(zcfg)
+    model = build_model_from_config(
+        config, state_init="zeros", cell_impl="scan"
+    )
 
     B, T, F = 4, 20, config["input_shape"][-1]
     x = np.random.default_rng(0).random((B, T, F)).astype(np.float32) * 4.0
@@ -110,14 +105,24 @@ def main(argv=None):
     # accelerator backend for it
     jax.config.update("jax_platforms", "cpu")
 
-    from sparch_tpu.migrate import import_torch_checkpoint
+    from sparch_tpu.migrate import (
+        import_torch_checkpoint,
+        load_torch_checkpoint,
+    )
+
+    # load once; with --verify, reject state_dict checkpoints BEFORE the
+    # conversion writes anything (a state_dict has no forward to compare)
+    obj = load_torch_checkpoint(args.pth, args.sparch_path)
+    if args.verify and isinstance(obj, dict):
+        raise SystemExit("--verify needs a pickled-module checkpoint "
+                         "(a state_dict has no forward to compare against)")
 
     model, variables = import_torch_checkpoint(
         args.pth, args.out,
-        sparch_path=args.sparch_path,
         lr=args.lr,
         prng_impl=args.prng_impl,
         config_overrides=_parse_sets(args.sets),
+        loaded=obj,
     )
     import json
     import os
@@ -129,7 +134,7 @@ def main(argv=None):
           f"norm={cfg['normalization']} bias={cfg['use_bias']} "
           f"bidir={cfg['bidirectional']}")
     if args.verify:
-        _verify(args.pth, args.sparch_path, cfg, variables)
+        _verify(obj, cfg, variables)
     return 0
 
 
