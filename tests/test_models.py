@@ -224,7 +224,10 @@ def _train_loss_and_grads(model, x, params_src=None):
             mutable=["batch_stats"],
         )
         logits = out[0] if isinstance(out, tuple) else out
-        return jnp.sum(logits**2), mutated
+        # f32 loss reduction even under compute_dtype=bf16 — the remat
+        # comparison needs a loss whose noise floor is reassociation,
+        # not bf16 rounding of the reduction itself
+        return jnp.sum(logits.astype(jnp.float32) ** 2), mutated
 
     (loss, mutated), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
     return loss, grads, mutated, params
@@ -237,6 +240,14 @@ def _train_loss_and_grads(model, x, params_src=None):
         ("adLIF", dict(state_init="zeros")),
         ("LiGRU", dict()),
         ("GRU", dict(bidirectional=True)),
+        # AMP composition: bf16 activation streams recompute identically
+        # (observed deltas <=5e-7 rel — reassociation only)
+        ("RadLIF", dict(state_init="uniform", compute_dtype=jnp.bfloat16)),
+        ("GRU", dict(compute_dtype=jnp.bfloat16)),
+        # Pallas composition (interpret on CPU): jax.checkpoint over the
+        # fused custom_vjp kernels; the in-kernel seed-keyed dropout
+        # masks replay on recompute (observed <=1e-6 rel)
+        ("RadLIF", dict(state_init="uniform", cell_impl="pallas")),
     ],
 )
 def test_remat_loss_and_grads_match_unrematted(model_type, kwargs):
