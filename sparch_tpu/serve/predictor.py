@@ -41,12 +41,21 @@ def load_experiment(exp_folder: str):
             "directly"
         )
     if cfg.get("frontend") == "device":
-        raise NotImplementedError(
-            "device-frontend experiments take waveform pytrees; wrap the "
-            "inner model in FbankFrontend and construct manually"
+        # the trained step took (waveforms, frame_lens); rebuild the same
+        # FbankFrontend wrapper the training loop used (train/loop.py
+        # init_model) — Predictor then accepts raw waveforms directly
+        from sparch_tpu.models.frontend import FbankFrontend
+
+        model = FbankFrontend(
+            inner=build_model_from_config(cfg, use_readout_layer=True)
         )
-    model = build_model_from_config(cfg, use_readout_layer=True)
-    sample = np.zeros((2, 8, cfg["input_shape"][-1]), np.float32)
+        sample = (
+            np.zeros((2, 400 + 7 * 160), np.float32),
+            np.full((2,), 8, np.int32),
+        )
+    else:
+        model = build_model_from_config(cfg, use_readout_layer=True)
+        sample = np.zeros((2, 8, cfg["input_shape"][-1]), np.float32)
     # the checkpoint's raw RNG key is shaped by the TRAINING process's
     # PRNG impl (--prng_impl, default rbg: (4,) uint32) — a template
     # built with this process's default impl (often threefry: (2,))
@@ -84,22 +93,36 @@ class Predictor:
 
     @classmethod
     def from_experiment(cls, exp_folder: str, batch_size: int = 128,
-                        seed: int = 0) -> "Predictor":
+                        seed: int = 0,
+                        pad_multiple: int = 100) -> "Predictor":
         """Load the best checkpoint of a CLI experiment for inference:
 
             predictor = Predictor.from_experiment("exp/test_exps/...")
             labels, probs = predictor(x)
 
-        (See :func:`load_experiment` for the underlying rebuild; use it
-        directly with ``streaming_init`` for frame-by-frame serving.)
+        ``--frontend device`` experiments serve raw waveforms (see
+        ``__call__``); ``pad_multiple`` buckets their frame counts like
+        the training loader did. (See :func:`load_experiment` for the
+        underlying rebuild; use it directly with ``streaming_init`` for
+        frame-by-frame serving.)
         """
         model, variables = load_experiment(exp_folder)
-        return cls(model, variables, batch_size=batch_size, seed=seed)
+        return cls(model, variables, batch_size=batch_size, seed=seed,
+                   pad_multiple=pad_multiple)
 
-    def __init__(self, model, variables, batch_size: int = 128, seed: int = 0):
+    def __init__(self, model, variables, batch_size: int = 128,
+                 seed: int = 0, pad_multiple: int = 100):
+        from sparch_tpu.models.frontend import FbankFrontend
+
         self.model = model
         self.variables = variables
         self.batch_size = batch_size
+        # device-frontend models take (waveforms, frame_lens); frame
+        # counts are bucketed to pad_multiple (the training loader's
+        # bounded-compile-shape policy, data/audio.py) so repeated calls
+        # reuse a handful of compiled programs
+        self._waveform = isinstance(model, FbankFrontend)
+        self.pad_multiple = pad_multiple
         # models built with state_init='uniform' (the training default,
         # reference snns.py:286-287) need a 'state' RNG even in eval; a
         # fixed key keeps inference deterministic call-to-call
@@ -123,9 +146,18 @@ class Predictor:
         self._fwd = jax.jit(fwd)
 
     def __call__(
-        self, x: np.ndarray
+        self, x, lengths=None
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Predict labels for (n, T, F) inputs; returns (labels, probs)."""
+        """Predict labels; returns (labels, probs).
+
+        Feature models (the default) take ``x: (n, T, F)``. Device-
+        frontend models (``--frontend device`` experiments) take raw
+        16 kHz waveforms: a list of 1-D float arrays (ragged OK) or an
+        ``(n, samples)`` array, with optional true per-item sample
+        ``lengths`` when rows are pre-padded.
+        """
+        if self._waveform:
+            x, lengths = self._pad_waveforms(x, lengths)
         n = x.shape[0]
         bs = self.batch_size
         probs_out = []
@@ -136,7 +168,40 @@ class Predictor:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
                 )
-            probs = np.asarray(self._fwd(self.variables, jnp.asarray(chunk)))
+            if self._waveform:
+                lens = lengths[i : i + bs]
+                if pad:
+                    lens = np.concatenate(
+                        [lens, np.zeros((pad,), lens.dtype)]
+                    )
+                arg = (jnp.asarray(chunk), jnp.asarray(lens))
+            else:
+                arg = jnp.asarray(chunk)
+            probs = np.asarray(self._fwd(self.variables, arg))
             probs_out.append(probs[: bs - pad] if pad else probs)
         probs = np.concatenate(probs_out, axis=0)
         return probs.argmax(axis=-1), probs
+
+    def _pad_waveforms(self, x, lengths):
+        """Ragged waveforms -> fixed (n, samples) + per-item FRAME counts
+        (the lengths FbankFrontend masks padded frames with), mirroring
+        the training collate exactly (data/audio.py _collate_waveforms:
+        T(L) = 1 + (L - 400)//160, frame counts bucketed to
+        pad_multiple)."""
+        waves = [np.asarray(w, np.float32) for w in x]
+        if lengths is None:
+            lengths = [len(w) for w in waves]
+        frame_lens = np.asarray(
+            [max(1 + (int(n) - 400) // 160, 0) for n in lengths],
+            dtype=np.int32,
+        )
+        max_t = max(int(frame_lens.max()), 1)
+        pm = self.pad_multiple
+        if pm > 1:
+            max_t = ((max_t + pm - 1) // pm) * pm
+        n_samples = 400 + (max_t - 1) * 160
+        out = np.zeros((len(waves), n_samples), np.float32)
+        for i, w in enumerate(waves):
+            m = min(len(w), n_samples)
+            out[i, :m] = w[:m]
+        return out, frame_lens

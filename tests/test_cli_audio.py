@@ -86,6 +86,76 @@ def test_sc_training_run_device_frontend(sc_folder, tmp_path):
     assert 0.0 <= e.test_acc <= 1.0
 
 
+def test_device_frontend_serving(sc_folder, tmp_path):
+    """Predictor.from_experiment on a --frontend device experiment: raw
+    waveforms in, probabilities out, and the serving path reproduces the
+    training eval path's outputs exactly (same collate policy: frame
+    counts T(L) = 1 + (L-400)//160, bucketed padding, masked tails)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sparch_tpu.data.audio import load_hd_or_sc
+    from sparch_tpu.serve import Predictor
+
+    exp = str(tmp_path / "exp_sc_serve")
+    run_exp.main(
+        [
+            "--dataset_name", "sc",
+            "--data_folder", sc_folder,
+            "--new_exp_folder", exp,
+            # adLIF learns where plain LIF collapses at this class count
+            # (docs/parity_synthetic_r3.json), and the best-model
+            # checkpoint only writes once valid acc improves past 0
+            "--model_type", "adLIF",
+            "--nb_layers", "2",
+            "--nb_hiddens", "16",
+            "--batch_size", "4",
+            "--nb_epochs", "4",
+            "--state_init", "zeros",
+            "--pdrop", "0.0",
+            "--pad_multiple", "20",
+            "--frontend", "device",
+        ]
+    )
+    predictor = Predictor.from_experiment(exp, batch_size=4, pad_multiple=20)
+
+    # the training loader's device-mode batch is the ground truth the
+    # serving path must reproduce
+    wav, xlens, ys = next(iter(load_hd_or_sc(
+        dataset_name="sc", data_folder=sc_folder, split="valid",
+        batch_size=4, shuffle=False, pad_multiple=20, frontend="device",
+    )))
+    # jitted like the serving path — the un-jitted op-by-op schedule
+    # drifts ~4e-3 in the T=100 recurrence (fusion reassociation), which
+    # would mask real collate/mask bugs behind a loose tolerance
+    import jax
+
+    @jax.jit
+    def ref_fwd(variables, xw, xl):
+        out, _ = predictor.model.apply(variables, (xw, xl), train=False)
+        return out / out.sum(-1, keepdims=True)
+
+    ref_probs = np.asarray(ref_fwd(
+        predictor.variables, jnp.asarray(wav), jnp.asarray(xlens)
+    ))
+
+    # serve the SAME utterances as a ragged list of true-length waveforms
+    n = wav.shape[0]
+    ragged = [wav[i, : 400 + (int(xlens[i]) - 1) * 160] for i in range(n)]
+    labels, probs = predictor(ragged)
+    np.testing.assert_allclose(probs, ref_probs, rtol=1e-5, atol=1e-7)
+    assert labels.shape == (n,)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-5)
+
+    # pre-padded 2-D input + explicit sample lengths is the same thing
+    labels2, probs2 = predictor(wav, lengths=[len(r) for r in ragged])
+    np.testing.assert_allclose(probs2, probs, rtol=1e-6)
+
+    # a sub-frame-length clip (L < 400 samples) serves without error
+    labels3, probs3 = predictor([np.zeros(150, np.float32)] + ragged[:1])
+    assert labels3.shape == (2,)
+
+
 def test_device_frontend_matches_host_pipeline(sc_folder):
     """Same model applied via the host fbank pipeline and the on-device
     frontend produces matching logits (fbank twins agree to float
