@@ -40,8 +40,28 @@ def _layer_names(model):
     return [f"layer_{i}" for i in range(n_hidden)]
 
 
+def _unwrap_frontend(model, variables):
+    """(inner model, inner variables) for FbankFrontend-wrapped models
+    (``--frontend device`` experiments); identity otherwise."""
+    from sparch_tpu.models.frontend import FbankFrontend
+
+    if not isinstance(model, FbankFrontend):
+        return model, variables
+    inner_vars = {"params": variables["params"]["inner"]}
+    if "batch_stats" in variables:
+        inner_vars["batch_stats"] = variables["batch_stats"]["inner"]
+    return model.inner, inner_vars
+
+
 def streaming_init(model, variables, batch_size: int) -> Dict:
-    """Zero-initialised streaming state for ``batch_size`` parallel streams."""
+    """Zero-initialised streaming state for ``batch_size`` parallel streams.
+
+    Device-frontend models (FbankFrontend wrappers) stream too: pass each
+    frame's 400-sample waveform WINDOW as ``x_t`` (windows advance by the
+    160-sample hop; the fbank DSP is frame-local, so per-window features
+    equal the batch fbank's exactly — ops/fbank.py constants).
+    """
+    model, variables = _unwrap_frontend(model, variables)
     if model.bidirectional:
         raise ValueError("Bidirectional models cannot run in streaming mode.")
     params = variables["params"]
@@ -104,11 +124,21 @@ def streaming_step(
 ) -> Tuple[Dict, jax.Array]:
     """Advance all layers by one frame.
 
-    ``x_t``: (B, F) input frame. Returns (new_state, readout) where
+    ``x_t``: (B, F) input frame — or, for FbankFrontend-wrapped models,
+    the (B, 400) waveform window of this frame (advance the window by the
+    160-sample hop between steps). Returns (new_state, readout) where
     ``readout`` is the cumulative-softmax class accumulator (B, classes) —
     argmax it at any time for the running decision. Without a readout
     layer, returns the top layer's spikes instead.
     """
+    from sparch_tpu.models.frontend import FbankFrontend
+
+    if isinstance(model, FbankFrontend):
+        from sparch_tpu.ops.fbank import fbank_jnp
+
+        mel = model.num_mel_bins
+        model, variables = _unwrap_frontend(model, variables)
+        x_t = fbank_jnp(x_t, mel)[:, 0, :]  # (B, 400) window -> (B, mel)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
     if not getattr(model, "is_snn", False):

@@ -62,6 +62,40 @@ def test_streaming_matches_batch(neuron_type, normalization):
     assert int(state["t"]) == T
 
 
+def test_frontend_streaming_matches_batch():
+    """Device-frontend (FbankFrontend) models stream: feeding each
+    frame's 400-sample waveform window (160-sample hop) reproduces the
+    whole-utterance batch forward — the fbank DSP is frame-local."""
+    import numpy as np
+
+    from sparch_tpu.models import build_model
+    from sparch_tpu.models.frontend import FbankFrontend
+
+    n_frames = 9
+    wav = np.random.default_rng(3).normal(
+        size=(B, 400 + (n_frames - 1) * 160)
+    ).astype(np.float32)
+    inner = build_model(
+        "adLIF", (B, None, 40), [16, C], dropout=0.0,
+        normalization="batchnorm", state_init="zeros",
+    )
+    model = FbankFrontend(inner=inner)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, wav,
+                           train=False)
+    out_batch, _ = model.apply(variables, wav, train=False)
+
+    state = streaming_init(model, variables, batch_size=B)
+    step = jax.jit(lambda s, w: streaming_step(model, variables, s, w))
+    out = None
+    for t in range(n_frames):
+        window = wav[:, t * 160 : t * 160 + 400]
+        state, out = step(state, window)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(out_batch), atol=2e-4
+    )
+    assert int(state["t"]) == n_frames
+
+
 def test_streaming_rejects_bidirectional():
     model, variables, _ = _model_and_vars(bidirectional=True)
     with pytest.raises(ValueError, match="Bidirectional"):
