@@ -33,7 +33,12 @@ import numpy as np
 
 from sparch_tpu.data.augment import AugmentChain
 from sparch_tpu.data.loader import DataLoader
-from sparch_tpu.ops.fbank import fbank_np
+from sparch_tpu.ops.fbank import (
+    FRAME_LENGTH,
+    FRAME_SHIFT,
+    fbank_np,
+    num_frames,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -82,20 +87,23 @@ def _collate_padded(batch, pad_multiple: int = 1):
 
 # Kaldi framing constants at 16 kHz (25 ms window, 10 ms shift,
 # snip_edges): frame count T(L) = 1 + (L - 400)//160 for L >= 400.
-_FRAME_LEN = 400
-_FRAME_SHIFT = 160
+_FRAME_LEN = FRAME_LENGTH
+_FRAME_SHIFT = FRAME_SHIFT
 
 
-def _collate_waveforms(batch, pad_multiple: int = 1):
-    """Device-frontend collate: pad raw waveforms so the on-device fbank
-    produces frame counts rounded to ``pad_multiple`` buckets (the same
-    bounded-compile-shape policy as the host path). xlens are the true
-    per-item FRAME counts, identical to the host collate's."""
-    xs, ys = zip(*batch)
-    xlens = np.asarray(
-        [max(1 + (len(x) - _FRAME_LEN) // _FRAME_SHIFT, 0) for x in xs],
-        dtype=np.int64,
-    )
+def pad_waveform_batch(xs, pad_multiple: int = 1):
+    """Pad raw 16 kHz waveforms so the fbank produces frame counts
+    rounded to ``pad_multiple`` buckets (bounded compile shapes).
+
+    The SINGLE waveform-padding policy: the device-frontend training
+    collate and serving (`serve.Predictor`) both call this, so the two
+    paths cannot desync. Returns ``(out, xlens)``: ``out`` a zero-padded
+    ``(n, samples)`` float32 array sized to the bucketed frame count,
+    ``xlens`` the true per-item FRAME counts (what ``FbankFrontend``
+    masks padded frames with) — identical to the host pipeline's
+    feature-frame lengths.
+    """
+    xlens = np.asarray([num_frames(len(x)) for x in xs], dtype=np.int64)
     max_t = max(int(xlens.max()), 1)
     if pad_multiple > 1:
         max_t = ((max_t + pad_multiple - 1) // pad_multiple) * pad_multiple
@@ -104,6 +112,13 @@ def _collate_waveforms(batch, pad_multiple: int = 1):
     for i, x in enumerate(xs):
         m = min(len(x), n)
         out[i, :m] = x[:m]
+    return out, xlens
+
+
+def _collate_waveforms(batch, pad_multiple: int = 1):
+    """Device-frontend collate: see :func:`pad_waveform_batch`."""
+    xs, ys = zip(*batch)
+    out, xlens = pad_waveform_batch(xs, pad_multiple)
     return out, xlens, np.asarray(ys, dtype=np.int64)
 
 

@@ -94,19 +94,28 @@ class Predictor:
     @classmethod
     def from_experiment(cls, exp_folder: str, batch_size: int = 128,
                         seed: int = 0,
-                        pad_multiple: int = 100) -> "Predictor":
+                        pad_multiple: Optional[int] = None) -> "Predictor":
         """Load the best checkpoint of a CLI experiment for inference:
 
             predictor = Predictor.from_experiment("exp/test_exps/...")
             labels, probs = predictor(x)
 
         ``--frontend device`` experiments serve raw waveforms (see
-        ``__call__``); ``pad_multiple`` buckets their frame counts like
-        the training loader did. (See :func:`load_experiment` for the
-        underlying rebuild; use it directly with ``streaming_init`` for
-        frame-by-frame serving.)
+        ``__call__``); ``pad_multiple`` buckets their frame counts —
+        left as None it is read from the experiment's own meta record
+        (the training run's ``--pad_multiple``), so serving reproduces
+        the training eval path's padded sequence lengths exactly.
+        (See :func:`load_experiment` for the underlying rebuild; use it
+        directly with ``streaming_init`` for frame-by-frame serving.)
         """
         model, variables = load_experiment(exp_folder)
+        if pad_multiple is None:
+            import json
+            import os
+
+            meta_path = os.path.join(exp_folder, "checkpoints", "meta.json")
+            with open(meta_path) as f:
+                pad_multiple = json.load(f)["model"].get("pad_multiple", 100)
         return cls(model, variables, batch_size=batch_size, seed=seed,
                    pad_multiple=pad_multiple)
 
@@ -152,10 +161,21 @@ class Predictor:
 
         Feature models (the default) take ``x: (n, T, F)``. Device-
         frontend models (``--frontend device`` experiments) take raw
-        16 kHz waveforms: a list of 1-D float arrays (ragged OK) or an
-        ``(n, samples)`` array, with optional true per-item sample
-        ``lengths`` when rows are pre-padded.
+        16 kHz waveforms: a list of 1-D float arrays (ragged OK, each
+        consumed full-length) or a pre-padded ``(n, samples)`` array —
+        which REQUIRES the true per-item sample ``lengths`` (treating
+        zero padding as signal would silently diverge from the
+        training pipeline's masked features).
         """
+        if lengths is not None and not self._waveform:
+            raise ValueError(
+                "lengths= applies only to device-frontend (waveform) "
+                "models; feature inputs carry no padding information"
+            )
+        if len(x) == 0:
+            c = self.model.num_outputs
+            return (np.zeros((0,), np.int64),
+                    np.zeros((0, c), np.float32))
         if self._waveform:
             x, lengths = self._pad_waveforms(x, lengths)
         n = x.shape[0]
@@ -184,24 +204,23 @@ class Predictor:
 
     def _pad_waveforms(self, x, lengths):
         """Ragged waveforms -> fixed (n, samples) + per-item FRAME counts
-        (the lengths FbankFrontend masks padded frames with), mirroring
-        the training collate exactly (data/audio.py _collate_waveforms:
-        T(L) = 1 + (L - 400)//160, frame counts bucketed to
-        pad_multiple)."""
+        (the lengths FbankFrontend masks padded frames with). Routed
+        through the training collate's own padding policy
+        (data/audio.py pad_waveform_batch) so serving and training
+        cannot desync."""
+        from sparch_tpu.data.audio import pad_waveform_batch
+
+        if isinstance(x, np.ndarray) and x.ndim == 2 and lengths is None:
+            raise ValueError(
+                "pre-padded (n, samples) waveform batches need lengths= "
+                "(true per-item sample counts); pass a list of 1-D "
+                "arrays instead for full-length semantics"
+            )
         waves = [np.asarray(w, np.float32) for w in x]
-        if lengths is None:
-            lengths = [len(w) for w in waves]
-        frame_lens = np.asarray(
-            [max(1 + (int(n) - 400) // 160, 0) for n in lengths],
-            dtype=np.int32,
-        )
-        max_t = max(int(frame_lens.max()), 1)
-        pm = self.pad_multiple
-        if pm > 1:
-            max_t = ((max_t + pm - 1) // pm) * pm
-        n_samples = 400 + (max_t - 1) * 160
-        out = np.zeros((len(waves), n_samples), np.float32)
-        for i, w in enumerate(waves):
-            m = min(len(w), n_samples)
-            out[i, :m] = w[:m]
-        return out, frame_lens
+        if lengths is not None:
+            if len(lengths) != len(waves):
+                raise ValueError(
+                    f"{len(lengths)} lengths for {len(waves)} waveforms"
+                )
+            waves = [w[: int(m)] for w, m in zip(waves, lengths)]
+        return pad_waveform_batch(waves, self.pad_multiple)

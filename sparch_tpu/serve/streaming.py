@@ -134,8 +134,16 @@ def streaming_step(
     from sparch_tpu.models.frontend import FbankFrontend
 
     if isinstance(model, FbankFrontend):
-        from sparch_tpu.ops.fbank import fbank_jnp
+        from sparch_tpu.ops.fbank import FRAME_LENGTH, FRAME_SHIFT, fbank_jnp
 
+        if x_t.ndim != 2 or x_t.shape[-1] != FRAME_LENGTH:
+            # a longer chunk would be silently truncated to its first
+            # frame by the [:, 0, :] below — reject instead
+            raise ValueError(
+                f"device-frontend streaming takes ONE {FRAME_LENGTH}-"
+                f"sample (B, window) per step, advanced by the "
+                f"{FRAME_SHIFT}-sample hop; got shape {x_t.shape}"
+            )
         mel = model.num_mel_bins
         model, variables = _unwrap_frontend(model, variables)
         x_t = fbank_jnp(x_t, mel)[:, 0, :]  # (B, 400) window -> (B, mel)

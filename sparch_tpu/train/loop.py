@@ -375,6 +375,10 @@ class Experiment:
             # is impl-shaped, so the template must match
             # (serve.load_experiment)
             "prng_impl": self.prng_impl,
+            # serving buckets waveform/feature padding identically to the
+            # training loader so probabilities reproduce the eval path
+            # (serve.Predictor.from_experiment)
+            "pad_multiple": self.pad_multiple,
         }
         self.net = build_model(
             self.model_type,

@@ -117,7 +117,10 @@ def test_device_frontend_serving(sc_folder, tmp_path):
             "--frontend", "device",
         ]
     )
-    predictor = Predictor.from_experiment(exp, batch_size=4, pad_multiple=20)
+    # pad_multiple deliberately NOT passed: from_experiment reads the
+    # training run's --pad_multiple 20 from the meta record
+    predictor = Predictor.from_experiment(exp, batch_size=4)
+    assert predictor.pad_multiple == 20
 
     # the training loader's device-mode batch is the ground truth the
     # serving path must reproduce

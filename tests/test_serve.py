@@ -96,6 +96,42 @@ def test_frontend_streaming_matches_batch():
     assert int(state["t"]) == n_frames
 
 
+def test_predictor_input_contracts():
+    """Misuse fails loudly: lengths on a feature model, pre-padded
+    waveforms without lengths, mismatched lengths, over-long streaming
+    windows; empty batches return empty results."""
+    import numpy as np
+
+    from sparch_tpu.models import build_model
+    from sparch_tpu.models.frontend import FbankFrontend
+    from sparch_tpu.serve import Predictor
+
+    feat_model, feat_vars, x = _model_and_vars("LIF", "none")
+    feat_pred = Predictor(feat_model, feat_vars, batch_size=B)
+    with pytest.raises(ValueError, match="lengths"):
+        feat_pred(np.asarray(x), lengths=[3] * B)
+    labels, probs = feat_pred(np.zeros((0, T, F), np.float32))
+    assert labels.shape == (0,) and probs.shape == (0, C)
+
+    inner = build_model("LIF", (B, None, 40), [8, C], state_init="zeros",
+                        normalization="none")
+    model = FbankFrontend(inner=inner)
+    wav = np.zeros((B, 400 + 160), np.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, wav,
+                           train=False)
+    wav_pred = Predictor(model, variables, batch_size=B, pad_multiple=1)
+    with pytest.raises(ValueError, match="lengths"):
+        wav_pred(wav)  # pre-padded 2-D array without lengths
+    with pytest.raises(ValueError, match="lengths"):
+        wav_pred(wav, lengths=[560])  # count mismatch
+    labels, probs = wav_pred(np.zeros((0, 560), np.float32))
+    assert labels.shape == (0,) and probs.shape == (0, C)
+
+    state = streaming_init(model, variables, batch_size=B)
+    with pytest.raises(ValueError, match="window"):
+        streaming_step(model, variables, state, wav)  # 560 > one window
+
+
 def test_streaming_rejects_bidirectional():
     model, variables, _ = _model_and_vars(bidirectional=True)
     with pytest.raises(ValueError, match="Bidirectional"):
