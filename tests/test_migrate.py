@@ -191,6 +191,35 @@ def test_finetune_imported_checkpoint_via_cli(shd_folder, tmp_path):
     assert 0.0 <= e.test_acc <= 1.0
 
 
+def test_trained_module_conversion(tmp_path):
+    """A module that has actually TRAINED (torch Adam steps) converts
+    faithfully: drifted weights and non-init batchnorm running stats
+    round-trip (untrained modules would mask a running-stat mapping bug
+    behind mean=0/var=1 defaults)."""
+    net = _ref_model("RadLIF", "batchnorm", False, False, seed=10)
+    net.train()
+    opt = torch.optim.Adam(net.parameters(), lr=1e-2)
+    loss_fn = torch.nn.CrossEntropyLoss()
+    gen = torch.Generator().manual_seed(0)
+    for _ in range(5):
+        x = torch.rand((B, T, F), generator=gen) * 4.0
+        y = torch.randint(0, C, (B,), generator=gen)
+        out, _ = net(x)
+        loss = loss_fn(out, y)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+    net.eval()
+    # training moved the running stats off their init values
+    bn_var = net.snn[0].norm.running_var.detach().numpy()
+    assert np.abs(bn_var - 1.0).max() > 1e-3
+
+    config = config_from_module(net)
+    variables = variables_from_state_dict(net.state_dict(), config)
+    assert "batch_stats" in variables
+    _forward_match(net, config, variables)
+
+
 def test_string_boolean_overrides(tmp_path):
     """CLI --set writes string values; boolean config fields must accept
     'false'/'true' spellings (bool('false') is True — a silent corruption
