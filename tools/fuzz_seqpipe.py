@@ -23,6 +23,22 @@ Two check classes per drawn config, mirroring the suite's strategy:
   shard_map, so the noise is bit-identical across meshes; the residual
   is chunked/psum'd f32 reduction order).
 
+Tolerances are SELF-CALIBRATED for deterministic cases: chaotic
+configs (unbounded relu/tanh recurrence + train-mode batchnorm at a
+near-cancelling init) amplify per-schedule reassociation noise to
+~1e-4 absolute — measured on seed-1 case 0 (LiGRU/batchnorm), where six
+pipelined factorizations scatter pairwise 7e-6..2.5e-4 around the
+single-device oracle with NO common offset while layernorm/none twins
+of the same case sit at 1e-8. Each case therefore measures its own
+noise ball via a second pipelined factorization (`_alt_factorization`);
+a true seam bug offsets both pipelined runs TOGETHER, so their mutual
+scatter stays at float noise and the tolerance stays tight. The noisy
+branch compares two pipelined factorizations directly and could in
+principle hit the same chaos (no case has yet); if one does, apply the
+same dissection before touching product code: sweep factorizations,
+check for a common offset, and swap the norm to layernorm/none as the
+conditioning control.
+
 Deterministic per --seed (case k re-runs bit-identically). Runs on the
 virtual 8-device CPU mesh:
 
