@@ -34,6 +34,14 @@ __all__ = [
 ]
 
 
+# Normalization constants — the single source for every implementation
+# that must agree numerically: the flax layers below AND the seq-pipeline
+# step's hand-rolled stats (parallel/seqpipe.py). flax momentum 0.95 ==
+# torch BatchNorm1d(momentum=0.05), the reference's setting (snns.py:239).
+BN_MOMENTUM = 0.95
+NORM_EPS = 1e-5
+
+
 def torch_linear_init(fan_in: int):
     """U[-1/sqrt(fan_in), 1/sqrt(fan_in)] — torch.nn.Linear's default."""
     bound = 1.0 / math.sqrt(fan_in)
@@ -112,13 +120,13 @@ class SeqNorm(nn.Module):
             flat = x.reshape((-1, shape[-1]))
             flat = nn.BatchNorm(
                 use_running_average=self.use_running_average,
-                momentum=0.95,  # == torch BatchNorm1d(momentum=0.05)
-                epsilon=1e-5,
+                momentum=BN_MOMENTUM,
+                epsilon=NORM_EPS,
                 axis_name=self.axis_name,
             )(flat)
             return flat.reshape(shape)
         if self.kind == "layernorm":
-            return nn.LayerNorm(epsilon=1e-5)(x)
+            return nn.LayerNorm(epsilon=NORM_EPS)(x)
         return x
 
 
@@ -135,8 +143,8 @@ class _BNAffine(nn.Module):
     """
 
     use_running_average: bool = False
-    momentum: float = 0.95
-    epsilon: float = 1e-5
+    momentum: float = BN_MOMENTUM
+    epsilon: float = NORM_EPS
     axis_name: Optional[str] = None
 
     @nn.compact
@@ -198,8 +206,8 @@ class SeqNormAffine(nn.Module):
             flat = x.reshape((-1, x.shape[-1]))
             return _BNAffine(
                 use_running_average=self.use_running_average,
-                momentum=0.95,  # == torch BatchNorm1d(momentum=0.05)
-                epsilon=1e-5,
+                momentum=BN_MOMENTUM,
+                epsilon=NORM_EPS,
                 axis_name=self.axis_name,
                 name="BatchNorm_0",
             )(flat)

@@ -49,6 +49,7 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from sparch_tpu.models.common import BN_MOMENTUM, NORM_EPS
 from sparch_tpu.ops import cells
 from sparch_tpu.ops.surrogate import spike_boxcar
 
@@ -60,7 +61,10 @@ __all__ = [
     "make_seqpipe_eval_step",
 ]
 
-_EPS = 1e-5
+# normalization constants shared with the flax layers (models/common.py)
+# so the two implementations cannot drift
+_EPS = NORM_EPS
+_MOM = BN_MOMENTUM
 
 
 def make_seq_mesh(devices=None, data: int = 1, model: int = 1) -> Mesh:
@@ -225,9 +229,16 @@ def _snn_chunk_scan(neuron, cp, threshold, wxs, state, model_axis=None):
     chain. Outputs are therefore already feature-full.
     """
     Hl = wxs[0].shape[-1]
+    adaptive = neuron in ("adLIF", "RadLIF")
 
     def stepf(carry, wx_t):
-        u, w, sf = carry  # u/w: (mb, Hl) shards; sf: (mb, Hg) full
+        # u/w: (mb, Hl) shards; sf: (mb, Hg) full. Non-adaptive cells
+        # carry no w slot (cells.lif_scan/rlif_scan carry (u, s) only) —
+        # a dead slot would ppermute an extra zeros array every tick.
+        if adaptive:
+            u, w, sf = carry
+        else:
+            u, sf = carry
         drive = wx_t[0]
         dt = drive.dtype
         # point-of-use casts mirror the scan cells (ops/cells.py): the
@@ -236,7 +247,7 @@ def _snn_chunk_scan(neuron, cp, threshold, wxs, state, model_axis=None):
         if neuron in ("RLIF", "RadLIF"):
             drive = drive + cells.rec_dot(sf, cp["V"])
         sp = _shard_slice(sf, model_axis, Hl)
-        if neuron in ("adLIF", "RadLIF"):
+        if adaptive:
             w = (cp["beta"].astype(dt) * w + cp["a"].astype(dt) * u
                  + cp["b"].astype(dt) * sp)
             drive = drive - w
@@ -244,7 +255,7 @@ def _snn_chunk_scan(neuron, cp, threshold, wxs, state, model_axis=None):
         u = a_ * (u - sp) + (1.0 - a_) * drive
         s_new = spike_boxcar(u - threshold)
         sf = _feature_gather(s_new, model_axis)
-        return (u, w, sf), sf
+        return ((u, w, sf) if adaptive else (u, sf)), sf
 
     state, spikes = jax.lax.scan(
         stepf, state, tuple(jnp.swapaxes(w, 0, 1) for w in wxs)
@@ -308,7 +319,8 @@ def _pipelined_recurrence(chunk_fn, state_widths, wxs, axis, n_micro,
     B, Tl, H = wxs[0].shape
     Ho = out_width or H
     M = n_micro
-    assert B % M == 0, f"batch {B} not divisible by microbatches {M}"
+    if B % M:  # loud here: the reshape below fails opaquely otherwise
+        raise ValueError(f"batch {B} not divisible by microbatches {M}")
     mb = B // M
     dtype = wxs[0].dtype
     Wxm = tuple(w.reshape(M, mb, Tl, H) for w in wxs)
@@ -396,10 +408,10 @@ def _norm(kind, p, stats, flat_n_global, wx, stat_axes, train,
             old_var = _shard_slice(bn_s["var"], model_axis, Hl)
             new_stats = {
                 "mean": _feature_gather(
-                    0.95 * old_mean + 0.05 * mean, model_axis
+                    _MOM * old_mean + (1 - _MOM) * mean, model_axis
                 ),
                 "var": _feature_gather(
-                    0.95 * old_var + 0.05 * var, model_axis
+                    _MOM * old_var + (1 - _MOM) * var, model_axis
                 ),
             }
         else:
@@ -589,18 +601,27 @@ def _build_seqpipe(
         # constants stay f32 here; the chunk scan casts them at point of
         # use so AMP grad accumulation matches the scan cells
         cp = _clamped(p, neuron, model_axis, Hl)
+        adaptive = neuron in ("adLIF", "RadLIF")
         if states is not None:
             # membrane/adaptation slots live as feature shards; the spike
-            # slot is carried feature-full (see _snn_chunk_scan)
-            states = (
-                _shard_slice(states[0], model_axis, Hl).astype(wx.dtype),
-                _shard_slice(states[1], model_axis, Hl).astype(wx.dtype),
-                states[2].astype(wx.dtype),
-            )
+            # slot is carried feature-full (see _snn_chunk_scan). The
+            # drawn noise always holds 3 slots (stable contract, zeros
+            # w for non-adaptive cells); the pipeline carries only what
+            # the cell reads.
+            u0 = _shard_slice(states[0], model_axis, Hl).astype(wx.dtype)
+            s0 = states[2].astype(wx.dtype)
+            if adaptive:
+                w0 = _shard_slice(
+                    states[1], model_axis, Hl
+                ).astype(wx.dtype)
+                states = (u0, w0, s0)
+            else:
+                states = (u0, s0)
+        widths = (Hl, Hl, Hg) if adaptive else (Hl, Hg)
         return _pipelined_recurrence(
             functools.partial(_snn_chunk_scan, neuron, cp, threshold,
                               model_axis=model_axis),
-            (Hl, Hl, Hg), (wx,), "seq", n_micro, init_state=states,
+            widths, (wx,), "seq", n_micro, init_state=states,
             out_width=Hg,
         )
 
@@ -799,9 +820,8 @@ def _build_seqpipe(
         grads, (ce, out, rates, new_stats) = jax.grad(
             loss_fn, has_aux=True
         )(state.params)
-        merged = jax.tree.map(lambda s: s, state.batch_stats)
-        if new_stats:
-            merged = _merge_stats(state.batch_stats, new_stats)
+        merged = (_merge_stats(state.batch_stats, new_stats)
+                  if new_stats else state.batch_stats)
         new_state = state.apply_gradients(grads, merged).replace(rng=rng)
         pred = jnp.argmax(out, axis=-1)
         metrics = {
