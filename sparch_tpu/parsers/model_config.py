@@ -136,8 +136,11 @@ def add_model_options(parser):
         "(jax.checkpoint): activations/residual streams are recomputed "
         "from each layer's input instead of stored, at the cost of one "
         "extra forward. Whether that shrinks peak HBM is up to XLA's "
-        "memory-aware scheduling (TPU has it; CPU does not — see "
-        "tools/measure_remat.py). RNG streams replay, so gradients "
+        "memory-aware scheduling: measured 3.0x temp-peak saving on "
+        "TPU (RadLIF 3x512, T=1000, B=128 — docs/measure_remat_tpu.json) "
+        "but a ~1.17x REGRESSION on the CPU backend, whose scheduler "
+        "hoists the recomputes (tools/measure_remat.py). RNG streams "
+        "replay, so gradients "
         "match the stored-activation run (up to float reassociation). "
         "Try it when long sequences / wide stacks OOM or force a "
         "smaller batch.",
