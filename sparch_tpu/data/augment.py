@@ -137,7 +137,19 @@ def _sox_reverb(x, rng, sample_rate=16000):
     reverberance = float(rng.integers(0, 100))
     hf_damping = float(rng.integers(0, 100))
     room_scale = float(rng.integers(0, 100))
+    return _reverb_fixed(
+        x, reverberance, hf_damping, room_scale, sample_rate, rng
+    )
 
+
+def _reverb_fixed(
+    x, reverberance, hf_damping, room_scale, sample_rate=16000, rng=None
+):
+    """The deterministic core of :func:`_sox_reverb`: sox ``reverb r d s``
+    with explicit percentages. Split out so golden fixtures generated
+    against real sox (tools/gen_augment_goldens.py uses
+    torchaudio_augmentations.Reverb with min==max parameter ranges) can
+    pin the clean-room Freeverb byte-for-byte at fixed parameters."""
     scale = room_scale / 100.0 * 0.9 + 0.1
     a = -1.0 / math.log(1.0 - 0.3)
     b = 100.0 / (math.log(1.0 - 0.98) * a + 1.0)
@@ -150,6 +162,8 @@ def _sox_reverb(x, rng, sample_rate=16000):
         wet_l = _freeverb_channel(x64, sample_rate, scale, 0.0, feedback, damp)
         wet_r = _freeverb_channel(x64, sample_rate, scale, 1.0, feedback, damp)
     except ImportError:  # scipy missing: decaying-noise RIR approximation
+        if rng is None:
+            raise
         n = int(0.25 * sample_rate)
         t = np.arange(n, dtype=np.float32) / sample_rate
         rir = rng.normal(0.0, 1.0, size=n).astype(np.float32) * np.exp(

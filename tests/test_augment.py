@@ -8,6 +8,7 @@ import pytest
 from sparch_tpu.data.augment import (
     AugmentChain,
     _freeverb_channel,
+    _reverb_fixed,
     _sox_reverb,
     _COMB_LENGTHS,
     _ALLPASS_LENGTHS,
@@ -236,6 +237,95 @@ def test_reverberance_extends_decay():
         return float(np.sum(wet[8000:] ** 2))
 
     assert tail_energy(0.98) > 100 * tail_energy(0.3)
+
+
+def test_matches_package_goldens_if_generated():
+    """Auto-pin against the actual torchaudio_augmentations package.
+
+    tools/gen_augment_goldens.py records package behaviour wherever the
+    package exists (it cannot be installed in this zero-egress image) into
+    tests/data/augment_golden.npz; this test then pins our NumPy
+    re-implementation against it: exact polarity/gain maps (including
+    clip behaviour on >1 amplitudes), the Noise std definition via pooled
+    residual variance (ddof-sensitive at n=8), RandomApply's probability
+    direction, and the clean-room Freeverb against real sox output at
+    fixed (reverberance, damping, room-scale). Only the keys present are
+    asserted, so partial fixtures (older package versions) still pin what
+    they can."""
+    import os
+    import re
+
+    path = os.path.join(
+        os.path.dirname(__file__), "data", "augment_golden.npz"
+    )
+    if not os.path.exists(path):
+        pytest.skip(
+            "package goldens not generated (torchaudio_augmentations is "
+            "not installable in this zero-egress image; run "
+            "tools/gen_augment_goldens.py where it exists and commit "
+            "tests/data/augment_golden.npz)"
+        )
+    g = np.load(path)
+    checked = 0
+    if "polarity_in" in g:
+        np.testing.assert_array_equal(-g["polarity_in"], g["polarity_out"])
+        checked += 1
+    if "gain_in" in g:
+        for key in g.files:
+            m = re.fullmatch(r"gain_db_m(\d+)_out", key)
+            if m:
+                db = -float(m.group(1))
+                ours = g["gain_in"] * np.float32(10.0 ** (db / 20.0))
+                np.testing.assert_allclose(ours, g[key], atol=1e-6)
+                checked += 1
+    if "gain_loud_in" in g:
+        ours = g["gain_loud_in"] * np.float32(10.0 ** (-1.0 / 20.0))
+        np.testing.assert_allclose(
+            ours, g["gain_loud_db_m1_out"], atol=1e-6,
+            err_msg="package clips gain output where we do not",
+        )
+        checked += 1
+    if "noise_resid_var" in g:
+        # our semantic: noise std = snr * np.std(x) (ddof=0); torch.std
+        # would be 14% larger in variance at n=8, sampling SE is ~0.5%
+        predicted = (float(g["noise_snr"]) * float(np.std(g["noise_in"]))) ** 2
+        assert abs(float(g["noise_resid_var"]) / predicted - 1.0) < 0.05
+        n_total = float(g["noise_draws"]) * g["noise_in"].size
+        assert abs(float(g["noise_resid_mean"])) < 5.0 * np.sqrt(
+            float(g["noise_resid_var"]) / n_total
+        )
+        checked += 1
+    for p, key in ((0.8, "ra_p08"), (0.3, "ra_p03")):
+        if f"{key}_freq" in g:
+            n = float(g[f"{key}_n"])
+            tol = 4.0 * np.sqrt(p * (1.0 - p) / n)
+            assert abs(float(g[f"{key}_freq"]) - p) < tol
+            checked += 1
+    if "reverb_in" in g:
+        from sparch_tpu.data.augment import _reverb_fixed
+
+        for key in g.files:
+            m = re.fullmatch(r"reverb_out_r(\d+)_d(\d+)_s(\d+)", key)
+            if m:
+                r, d, s = (float(v) for v in m.groups())
+                ours = _reverb_fixed(g["reverb_in"], r, d, s, 16000)
+                np.testing.assert_allclose(
+                    ours, g[key], atol=5e-4, err_msg=key
+                )
+                checked += 1
+    assert checked > 0, f"fixture {path} exists but has no known keys"
+
+
+def test_reverb_fixed_is_the_sampled_core():
+    """_sox_reverb == _reverb_fixed at the drawn percentages (the golden
+    pin above exercises _reverb_fixed; this ties it to the sampled path)."""
+    x = np.zeros(4000, np.float32)
+    x[0] = 1.0
+    rng = np.random.default_rng(7)
+    out = _sox_reverb(x, rng)
+    rng2 = np.random.default_rng(7)
+    r, d, s = (float(rng2.integers(0, 100)) for _ in range(3))
+    np.testing.assert_array_equal(out, _reverb_fixed(x, r, d, s, 16000))
 
 
 def test_chain_runs_and_is_seed_deterministic():
