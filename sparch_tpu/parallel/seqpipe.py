@@ -59,6 +59,7 @@ __all__ = [
     "draw_noise",
     "make_seqpipe_train_step",
     "make_seqpipe_eval_step",
+    "make_seqpipe_predict",
 ]
 
 # normalization constants shared with the flax layers (models/common.py)
@@ -852,10 +853,29 @@ def _build_seqpipe(
             "spike_rate": rates.mean() if model.is_snn else jnp.zeros(()),
         }
 
+    def predict(params, batch_stats, x, rng=None):
+        # inference forward: the raw readout output (summed per-step
+        # softmax posteriors for SNNs, logits for ANNs — exactly what the
+        # single-chip Predictor normalizes), no labels/metrics
+        if uniform_init:
+            if rng is None:
+                raise ValueError(
+                    "state_init='uniform' inference needs an rng argument"
+                )
+            noise = draw_noise(model, rng, x.shape, train=False)
+        else:
+            noise = {}
+        out, _, _ = _fwd(params, batch_stats, x, noise, False)
+        return out
+
     # donate the input state like train.steps.make_train_step: without it
     # every step holds a second full copy of params + Adam moments on the
     # very path that exists for memory-constrained long sequences
-    return jax.jit(train_step, donate_argnums=(0,)), jax.jit(eval_step)
+    return (
+        jax.jit(train_step, donate_argnums=(0,)),
+        jax.jit(eval_step),
+        jax.jit(predict),
+    )
 
 
 def make_seqpipe_train_step(model, mesh: Mesh, n_micro: int = 4, **kw):
@@ -868,6 +888,18 @@ def make_seqpipe_eval_step(model, mesh: Mesh, n_micro: int = 4):
     running BatchNorm statistics (the eval counterpart of
     :func:`make_seqpipe_train_step`)."""
     return _build_seqpipe(model, mesh, n_micro)[1]
+
+
+def make_seqpipe_predict(model, mesh: Mesh, n_micro: int = 4):
+    """Time-pipelined inference forward:
+    ``(params, batch_stats, x[, rng]) -> readout output``.
+
+    The serving counterpart of the step pair — long-sequence inference
+    sharded over the mesh's ``seq`` (and optionally ``data``) axis with
+    the same pipelined recurrence as training, so streaming-scale inputs
+    that do not fit one chip's HBM serve across chips.
+    ``sparch_tpu.serve.Predictor`` wraps this when given a mesh."""
+    return _build_seqpipe(model, mesh, n_micro)[2]
 
 
 def _merge_stats(old, new):

@@ -120,7 +120,16 @@ class Predictor:
                    pad_multiple=pad_multiple)
 
     def __init__(self, model, variables, batch_size: int = 128,
-                 seed: int = 0, pad_multiple: int = 100):
+                 seed: int = 0, pad_multiple: int = 100,
+                 mesh=None, n_micro: int = 4):
+        """``mesh``: a ``jax.sharding.Mesh`` with a ``seq`` axis (and
+        optionally ``data``/``model`` axes — ``parallel.seqpipe.
+        make_seq_mesh``) runs inference time-sharded across its devices
+        with the same pipelined recurrence as seq-parallel training, for
+        long-sequence inputs that exceed one chip's HBM. Constraints
+        (checked loudly): feature-input models only, ``batch_size``
+        divisible by data-axis-size x ``n_micro``, and each call's T
+        divisible by the ``seq`` axis size."""
         from sparch_tpu.models.frontend import FbankFrontend
 
         self.model = model
@@ -142,8 +151,7 @@ class Predictor:
         )
         is_snn = getattr(model, "is_snn", False)
 
-        def fwd(variables, x):
-            out, _ = model.apply(variables, x, train=False, rngs=rngs)
+        def _normalize(out):
             if is_snn:
                 # the SNN readout already emits a sum of per-step softmax
                 # posteriors (reference snns.py:808-825): normalising by
@@ -151,6 +159,62 @@ class Predictor:
                 # would saturate on the O(T) score range
                 return out / jnp.sum(out, axis=-1, keepdims=True)
             return jax.nn.softmax(out, axis=-1)
+
+        self._seq_mesh = mesh
+        if mesh is not None:
+            if self._waveform:
+                raise ValueError(
+                    "seq-sharded serving takes feature inputs; run the "
+                    "fbank frontend on host (ops.fbank.fbank_np) or use "
+                    "the single-chip waveform path"
+                )
+            if "seq" not in mesh.axis_names:
+                raise ValueError(
+                    f"mesh axes {mesh.axis_names} have no 'seq' axis; "
+                    "build one with parallel.seqpipe.make_seq_mesh"
+                )
+            from sparch_tpu.parallel.seqpipe import (
+                make_seqpipe_predict, seq_batch_sharding,
+            )
+
+            n_data = dict(zip(mesh.axis_names, mesh.devices.shape)).get(
+                "data", 1
+            )
+            if batch_size % (n_data * n_micro):
+                raise ValueError(
+                    f"batch_size {batch_size} not divisible by data axis "
+                    f"({n_data}) x n_micro ({n_micro})"
+                )
+            self._n_seq = dict(
+                zip(mesh.axis_names, mesh.devices.shape)
+            )["seq"]
+            predict = make_seqpipe_predict(model, mesh, n_micro)
+            x_sharding = seq_batch_sharding(mesh)
+            state_key = (
+                jax.random.PRNGKey(seed)
+                if getattr(model, "state_init", None) == "uniform"
+                else None
+            )
+
+            def fwd(variables, x):
+                if x.shape[1] % self._n_seq:
+                    raise ValueError(
+                        f"sequence length {x.shape[1]} not divisible by "
+                        f"the mesh's seq axis ({self._n_seq})"
+                    )
+                x = jax.device_put(jnp.asarray(x), x_sharding)
+                out = predict(
+                    variables["params"], variables.get("batch_stats", {}),
+                    x, state_key,
+                )
+                return _normalize(out)
+
+            self._fwd = fwd
+            return
+
+        def fwd(variables, x):
+            out, _ = model.apply(variables, x, train=False, rngs=rngs)
+            return _normalize(out)
 
         self._fwd = jax.jit(fwd)
 

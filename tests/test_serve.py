@@ -44,6 +44,89 @@ def test_predictor_batching_and_padding():
     np.testing.assert_allclose(want, probs, atol=1e-5)
 
 
+def _seq_model_and_vars(model_type="RadLIF", bidirectional=False,
+                        state_init="zeros"):
+    """Shapes compatible with the 8-device CPU mesh: T divisible by the
+    seq axis, batch by data x n_micro."""
+    Bs, Ts, Fs, Hs = 8, 16, 10, 16
+    model = build_model(
+        model_type, (Bs, Ts, Fs), [Hs, C], dropout=0.0,
+        normalization="batchnorm", state_init=state_init,
+        bidirectional=bidirectional, cell_impl="scan",
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (Bs, Ts, Fs))
+    rngs = {"params": jax.random.PRNGKey(1)}
+    if state_init == "uniform":
+        rngs["state"] = jax.random.PRNGKey(3)
+    variables = model.init(rngs, x)
+    _, mut = model.apply(
+        variables, x * 2.0, train=True, mutable=["batch_stats"],
+        rngs={"dropout": jax.random.PRNGKey(2),
+              **({"state": jax.random.PRNGKey(4)}
+                 if state_init == "uniform" else {})},
+    )
+    return model, {**variables, **mut}, x
+
+
+@pytest.mark.parametrize(
+    "model_type,bidirectional",
+    [("RadLIF", False), ("RadLIF", True), ("GRU", False)],
+)
+def test_seq_sharded_predictor_matches_single_chip(model_type,
+                                                   bidirectional):
+    """Predictor over a (data=2, seq=4) mesh returns the single-chip
+    probabilities (f32 reduction-order tolerance), including through the
+    batch-padding path (n not a multiple of batch_size)."""
+    from sparch_tpu.parallel.seqpipe import make_seq_mesh
+
+    model, variables, x = _seq_model_and_vars(model_type, bidirectional)
+    single = Predictor(model, variables, batch_size=8)
+    mesh = make_seq_mesh(jax.devices()[:8], data=2)
+    sharded = Predictor(
+        model, variables, batch_size=8, mesh=mesh, n_micro=2
+    )
+    l1, p1 = single(np.asarray(x))
+    l2, p2 = sharded(np.asarray(x))
+    np.testing.assert_allclose(p2, p1, atol=2e-5)
+    np.testing.assert_array_equal(l2, l1)
+    l3, p3 = sharded(np.asarray(x)[:6])  # pads 6 -> 8 inside
+    np.testing.assert_allclose(p3, p1[:6], atol=2e-5)
+
+
+def test_seq_sharded_predictor_uniform_init_deterministic():
+    """'uniform' state init: the fixed per-predictor key keeps the mesh
+    path deterministic call-to-call and across mesh layouts."""
+    from sparch_tpu.parallel.seqpipe import make_seq_mesh
+
+    model, variables, x = _seq_model_and_vars(state_init="uniform")
+    outs = []
+    for n_seq in (2, 8):
+        mesh = make_seq_mesh(jax.devices()[:n_seq])
+        pred = Predictor(
+            model, variables, batch_size=8, mesh=mesh, n_micro=2, seed=9
+        )
+        outs.append(pred(np.asarray(x))[1])
+        np.testing.assert_array_equal(pred(np.asarray(x))[1], outs[-1])
+    np.testing.assert_allclose(outs[1], outs[0], atol=1e-5)
+
+
+def test_seq_sharded_predictor_validation():
+    from sparch_tpu.parallel.seqpipe import make_seq_mesh
+
+    model, variables, x = _seq_model_and_vars()
+    mesh = make_seq_mesh(jax.devices()[:8], data=2)
+    with pytest.raises(ValueError, match="divisible by data axis"):
+        Predictor(model, variables, batch_size=6, mesh=mesh, n_micro=4)
+    import jax.sharding as shd
+
+    no_seq = shd.Mesh(np.array(jax.devices()[:2]), ("data",))
+    with pytest.raises(ValueError, match="no 'seq' axis"):
+        Predictor(model, variables, batch_size=8, mesh=no_seq)
+    pred = Predictor(model, variables, batch_size=8, mesh=mesh, n_micro=2)
+    with pytest.raises(ValueError, match="not divisible by"):
+        pred(np.asarray(x)[:, :13, :])  # T=13 vs seq axis 4
+
+
 @pytest.mark.parametrize("neuron_type", ["LIF", "adLIF", "RLIF", "RadLIF"])
 @pytest.mark.parametrize("normalization", ["batchnorm", "layernorm", "none"])
 def test_streaming_matches_batch(neuron_type, normalization):
