@@ -89,6 +89,70 @@ def bench_train_step(cell_impl="scan"):
     return _diff_time(run)
 
 
+def bench_train_step_stream(cell_impl="auto", copies=2):
+    """Input-stream-sensitive channel: identical training step, but each
+    iteration dynamic-slices a different raster out of a stacked device
+    buffer, so the input read cannot be cached/folded across iterations.
+    ``time_fn``'s perturbation formulation is nearly blind to input-path
+    costs (adLIF moves <2% where the device trace shows 2.11x — see
+    docs/STATUS.md "Input-raster compression"); this channel makes a
+    layout/stream regression on the input path visible in BENCH_r*.json.
+    Recorded as detail.stream_step_ms, not the headline (historical
+    comparability)."""
+    import jax
+
+    from sparch_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+    jax.config.update("jax_default_prng_impl", "rbg")
+
+    from sparch_tpu.models import build_model
+    from sparch_tpu.train.state import create_train_state
+    from sparch_tpu.train.steps import make_train_step
+
+    model = build_model(
+        "RadLIF",
+        (B, T, F),
+        [H, H, C],
+        dropout=0.1,
+        normalization="batchnorm",
+        state_init="uniform",
+        cell_impl=cell_impl,
+    )
+    rng = np.random.default_rng(0)
+    xs = (rng.random((copies, B, T, F)) < 0.02).astype(np.float32)
+    y = (np.arange(B) % C).astype(np.int64)
+    state0 = create_train_state(
+        model, xs[0], lr=1e-2, rng=jax.random.PRNGKey(0)
+    )
+    step = make_train_step(model, donate=False)
+
+    xs = jax.device_put(xs)
+    y = jax.device_put(y)
+
+    def loop(state, n):
+        def body(i, s):
+            xb = jax.lax.dynamic_index_in_dim(
+                xs, i % copies, 0, keepdims=False
+            )
+            s2, _ = step(s, xb, y)
+            return s2
+
+        return jax.lax.fori_loop(0, n, body, state)
+
+    jitted = {}
+
+    def run(n):
+        if n not in jitted:
+            jitted[n] = jax.jit(lambda s: loop(s, n))
+        t0 = time.perf_counter()
+        out = jitted[n](state0)
+        float(out.step)  # host fetch = sync
+        return time.perf_counter() - t0
+
+    return _diff_time(run)
+
+
 def bench_matmul_roofline():
     """Matmul skeleton of the same fwd+bwd: hoisted projections + per-layer
     sequential linear recurrences, differentiated w.r.t. all weights."""
@@ -187,6 +251,7 @@ def main():
     step_pallas = median3(lambda: bench_train_step("auto"))  # default
     step_scan = bench_train_step("scan")
     step_time = min(step_pallas, step_scan)
+    step_stream = median3(lambda: bench_train_step_stream("auto"))
     roofline_time = median3(bench_matmul_roofline)
     utt_per_sec = B / step_time
     roofline_utt_per_sec = B / roofline_time
@@ -201,6 +266,7 @@ def main():
                     "step_time_ms": round(step_time * 1e3, 3),
                     "pallas_step_ms": round(step_pallas * 1e3, 3),
                     "scan_step_ms": round(step_scan * 1e3, 3),
+                    "stream_step_ms": round(step_stream * 1e3, 3),
                     "matmul_roofline_ms": round(roofline_time * 1e3, 3),
                     "config": f"RadLIF 3x{H} B{B} T{T} F{F} C{C}",
                 },
