@@ -150,7 +150,12 @@ class LiGRULayer(_ANNLayerBase):
 
     Separate normalisation per gate path (anns.py:400-407)."""
 
-    _pallas_h_cap = 1536  # two resident (V, dV) pairs (see FusedCellPolicy)
+    # Two resident (V, dV) pairs. Measured on v5e (tools/probe_vmem.py,
+    # bf16-MXU affine): H=1536 fused 2.76 ms vs scan 4.43 (1.6x, batch
+    # tile 128 under the byte-accurate plan); H=2048 exceeds the 128M
+    # VMEM capacity by 3.76M at the smallest useful tile — a hardware
+    # bound, not a planning artifact.
+    _pallas_h_cap = 1536
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -180,8 +185,12 @@ class LiGRULayer(_ANNLayerBase):
 class GRULayer(_ANNLayerBase):
     """Full GRU layer (Cho et al. 2014; reference anns.py:465-595)."""
 
-    # three resident (V, dV) pairs: H=1280 measured OOM (VMEM) on v5e,
-    # H=1024 compiles with full gradients (see FusedCellPolicy)
+    # Three resident (V, dV) pairs. Measured on v5e (tools/probe_vmem.py):
+    # H=1024 fused 2.41 ms vs scan 5.43 (2.25x, batch tile 64); H=1280
+    # bf16 COMPILES under the calibrated plan + 120M scoped limit but the
+    # starved batch tile (32) makes it 5% SLOWER than the scan fallback
+    # (5.71 vs 5.46 ms) — and the f32 mode demands 145.9M of the 128M
+    # capacity there. Scan is simply the right program above 1024.
     _pallas_h_cap = 1024
 
     @nn.compact

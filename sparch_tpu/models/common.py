@@ -248,6 +248,10 @@ class FusedCellPolicy:
     # unroll fewer steps per grid cell (_pick_tc caps tc at 4 for
     # H >= 1536) so Mosaic compiles stay in seconds; measured v5e RadLIF
     # fwd+bwd vs scan: 1.3x faster at H=1536, 1.5x at H=2048.
+    # Round-4 wide-H measurement campaign (tools/probe_vmem.py, real
+    # v5e): the caps are now DERIVED from compile+timing probes rather
+    # than guessed — lifting them further is measured counterproductive
+    # or impossible even with bf16-resident V (see each cell's note).
     _pallas_h_cap = 2048
 
     def _use_pallas(self) -> bool:

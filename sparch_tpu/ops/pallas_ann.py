@@ -63,9 +63,20 @@ from sparch_tpu.ops.pallas_cells import (
     _tile_plan,
     _LANE,
     _SUBLANE,
+    _VMEM_LIMIT_WIDE,
 )
 
 __all__ = ["rnn_pallas", "ligru_pallas", "gru_pallas"]
+
+# The ANN kernels' tile-plan budget. Unlike the SNN kernels' conservative
+# 4-bytes-per-element model (whose 64 MiB budget + known-good caps are
+# left untouched), the byte-accurate _plan_vmem model is calibrated
+# against a measured Mosaic breakdown: at GRU f32 Hp=1280 (tc=10, bt=32)
+# the model predicts 116M and Mosaic demanded 145.9M of the 128M
+# capacity — a 1.25x model-to-Mosaic factor, i.e. ~102M of effective
+# model-units capacity. 96 MiB leaves margin while keeping every
+# previously-compiling configuration's (tc, bt) choice.
+_ANN_VMEM_BUDGET = 96 * 1024 * 1024
 
 # per-mode static structure: (n_inputs, gate residual streams)
 _MODES = {
@@ -75,12 +86,34 @@ _MODES = {
 }
 
 
-def _plan_streams(mode: str) -> int:
-    """The _tile_plan stream count — ONE definition used by BOTH the
-    forward and backward wrappers, because the kernels' batch tiles must
-    match exactly: the fused-dropout mask regeneration keys on the
-    batch-tile index (same invariant as the SNN kernels' streams=4)."""
-    return 3 * _MODES[mode]["n_wx"] + 2
+def _plan_vmem(mode: str, affine: bool, mxu_bf16: bool,
+               has_dropout: bool):
+    """Byte-accurate ``_tile_plan`` inputs — ONE definition used by BOTH
+    the forward and backward wrappers, because the kernels' batch tiles
+    must match exactly: the fused-dropout mask regeneration keys on the
+    batch-tile index (same invariant as the SNN kernels' streams=4).
+
+    Returns ``(stream_bytes, mat_bytes)``:
+
+    - streams: the max of the forward and backward double-buffered
+      time-major compositions. Forward: n_wx Wx inputs (planned at f32 —
+      worst incoming dtype) + the y/raw/gate residual outputs (bf16 in
+      the bf16-MXU mode). Backward: g + raw y + gates in, dWx out (all
+      the stream dtype) + the raw Wx streams again when affine.
+    - mats: per gate, the resident V (double-buffered, bf16 in the
+      bf16-MXU mode) + the f32 dV output window + its revisit copy.
+      Calibrated against the measured GRU Hp=1280 Mosaic breakdown:
+      f32 demanded 145.9M of 128M at (tc=10, bt=32) — the old
+      one-f32-pair accounting predicted 50M — while the bf16 mode
+      compiles there (tools/probe_vmem.py)."""
+    m = _MODES[mode]
+    n_wx, n_g = m["n_wx"], len(m["gates"])
+    s = 2 if mxu_bf16 else 4  # residual/adjoint stream element bytes
+    n_raw = 1 if has_dropout else 0
+    fwd = 4 * n_wx + s * (1 + n_raw + n_g)
+    bwd = s * (2 + n_g + n_wx) + (4 * n_wx if affine else 0)
+    vb = 2 if mxu_bf16 else 4
+    return max(fwd, bwd), m["n_v"] * (2 * vb + 8)
 
 
 def _dotT(x, v, mxu_bf16):
@@ -245,7 +278,9 @@ def _ann_forward(wxs, scales, shifts, vs, y0, seed, *, mode, drop_rate,
     Hp = _round_up(H, _LANE)
     Bp = _round_up(B, _SUBLANE)
     tc = _pick_tc(T, Hp)
-    bt = _tile_plan(Bp, Hp, streams=_plan_streams(mode), tc=tc)
+    sb, mb = _plan_vmem(mode, affine, mxu_bf16, has_dropout)
+    bt = _tile_plan(Bp, Hp, tc=tc, stream_bytes=sb, mat_bytes=mb,
+                    budget=_ANN_VMEM_BUDGET)
     n_chunks = (T + tc - 1) // tc
 
     def pad_stream(x):
@@ -315,7 +350,7 @@ def _ann_forward(wxs, scales, shifts, vs, y0, seed, *, mode, drop_rate,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((bt, Hp), jnp.float32)] * (1 + n_carry),
         interpret=_interpret(),
-        compiler_params=_compiler_params(),
+        compiler_params=_compiler_params(_VMEM_LIMIT_WIDE),
     )(*wxs_p, *aff_ops, *vs_p, y0_p, *seed_ops)
 
     y_logical = jnp.swapaxes(outs[0][:, :B, :H], 0, 1)
@@ -496,7 +531,9 @@ def _ann_backward(g, wxs, residuals, scales, vs, seed, *, mode, drop_rate,
     sdt = jnp.bfloat16 if mxu_bf16 else dtype  # g/dWx stream dtype
     _, Bp, Hp = y_seq.shape
     tc = _pick_tc(T, Hp)
-    bt = _tile_plan(Bp, Hp, streams=_plan_streams(mode), tc=tc)
+    sb, mb = _plan_vmem(mode, affine, mxu_bf16, has_dropout)
+    bt = _tile_plan(Bp, Hp, tc=tc, stream_bytes=sb, mat_bytes=mb,
+                    budget=_ANN_VMEM_BUDGET)
     n_chunks = (T + tc - 1) // tc
 
     g_p = jnp.swapaxes(
@@ -571,7 +608,7 @@ def _ann_backward(g, wxs, residuals, scales, vs, seed, *, mode, drop_rate,
         ),
         scratch_shapes=[pltpu.VMEM((bt, Hp), jnp.float32)],
         interpret=_interpret(),
-        compiler_params=_compiler_params(),
+        compiler_params=_compiler_params(_VMEM_LIMIT_WIDE),
     )(g_p, *seed_ops, y_seq, *gate_seqs, yb, *aff_ops, *vs_p)
 
     dwxs = [jnp.swapaxes(o[:, :B, :H], 0, 1) for o in outs[:n_wx]]

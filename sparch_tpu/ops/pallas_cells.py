@@ -138,17 +138,26 @@ def _pick_tc(T: int, Hp: int = 0) -> int:
 # recurrent products at ~25% efficiency — measured 3.3x slower backward).
 # 64 MiB keeps bt=128 up to H=1024 (the SC bidirectional config) with the
 # plan's conservative 4-bytes-per-element stream accounting.
+# The LIMIT is the hard scoped-vmem bound handed to Mosaic. The SNN
+# kernels keep the round-3 96 MiB (the limit is also a Mosaic scheduling
+# input, so a raise is not free: the north-star RadLIF bench is pinned
+# against this value). The ANN kernels pass 120 MiB of the 128 MiB
+# capacity instead — their byte-accurate plan (pallas_ann._plan_vmem,
+# budget 96M x the 1.25 model-to-Mosaic calibration factor) tops out at
+# ~120M, and the measured raised-tile configs (LiGRU 1536 @ bt=128:
+# 116M real) need the headroom.
 _VMEM_BUDGET = 64 * 1024 * 1024
 _VMEM_LIMIT = 96 * 1024 * 1024
+_VMEM_LIMIT_WIDE = 120 * 1024 * 1024
 
 
-def _compiler_params():
+def _compiler_params(limit: int = _VMEM_LIMIT):
     # shape_invariant_numerics=False restores Mosaic's permissive handling
     # of float add-reductions over offset layouts (the batch-dim sums of
     # the gradient accumulators); all reduced values are explicitly
     # sanitised in-kernel, so padding cannot leak into the sums.
     return pltpu.CompilerParams(
-        vmem_limit_bytes=_VMEM_LIMIT,
+        vmem_limit_bytes=limit,
         shape_invariant_numerics=False,
     )
 
@@ -162,18 +171,33 @@ def _keep_u32(drop_rate: float) -> int:
     return min(2**32 - 1, int(round((1.0 - drop_rate) * 2**32)))
 
 
-def _tile_plan(Bp: int, Hp: int, streams: int, tc: int = _TC):
-    """Pick the batch tile so `streams` double-buffered (tc, bt, Hp) blocks
-    + V/VT + a few (bt, Hp) state buffers fit the VMEM budget. Prefer the
-    full 128 MXU rows; shrink only for very wide layers."""
+def _tile_plan(Bp: int, Hp: int, streams: int = None, tc: int = _TC, *,
+               stream_bytes: int = None, mat_bytes: int = 8,
+               budget: int = _VMEM_BUDGET):
+    """Pick the batch tile so the double-buffered (tc, bt, Hp) stream
+    blocks + resident (Hp, Hp) matrices + a few (bt, Hp) state buffers
+    fit the VMEM budget. Prefer the full 128 MXU rows; shrink only for
+    very wide layers.
+
+    ``stream_bytes``: total bytes per (tc·bt·Hp) element summed over
+    every double-buffered time-major stream (defaults to 4 bytes x
+    ``streams`` — the SNN kernels' all-f32 accounting, kept bit-identical
+    for their call sites). ``mat_bytes``: total resident (Hp, Hp) bytes
+    per element across the V matrices and their dV accumulators (default
+    8 = one f32 V+dV pair; the multi-gate ANN kernels pass their true
+    per-mode value — see ``pallas_ann._plan_vmem``, calibrated against
+    the measured GRU Hp=1280 Mosaic OOM breakdown)."""
+    if stream_bytes is None:
+        stream_bytes = 4 * streams
     bt = Bp
     for cand in (128, 64, 32, 16, 8):
         if Bp % cand == 0:
             bt = cand
             break
-    while bt > _SUBLANE and 4 * (
-        2 * streams * bt * tc * Hp + 2 * Hp * Hp + 6 * bt * Hp
-    ) > _VMEM_BUDGET:
+    while bt > _SUBLANE and (
+        2 * stream_bytes * bt * tc * Hp + mat_bytes * Hp * Hp
+        + 24 * bt * Hp
+    ) > budget:
         bt //= 2
     return bt
 

@@ -414,19 +414,24 @@ def test_fwd_bwd_tile_plans_agree_by_construction():
     backward MUST pick the same tile for every shape (the invariant a
     review once caught violated at H=768/B=128, where only the backward's
     plan shrank the tile). Guarded at the source level: every _tile_plan
-    call in the ANN kernels must draw its stream count from the single
-    _plan_streams definition, and the SNN kernels must pin the same
-    literal on both sides."""
+    call in the ANN kernels must draw its byte budget from the single
+    _plan_vmem definition with the same (mode, affine, mxu_bf16, dropout)
+    inputs, and the SNN kernels must pin the same literal on both sides."""
     import inspect
     import re
 
     from sparch_tpu.ops import pallas_ann, pallas_cells
 
     ann_src = inspect.getsource(pallas_ann)
-    ann_calls = re.findall(r"_tile_plan\(Bp, Hp, streams=([^,]+), tc=tc\)",
-                           ann_src)
-    assert len(ann_calls) == 2, ann_calls  # forward + backward
-    assert all(c == "_plan_streams(mode)" for c in ann_calls), ann_calls
+    ann_plans = re.findall(
+        r"sb, mb = _plan_vmem\(([^)]+)\)\n"
+        r"\s*bt = _tile_plan\(Bp, Hp, tc=tc, stream_bytes=sb, "
+        r"mat_bytes=mb,\n\s*budget=_ANN_VMEM_BUDGET\)",
+        ann_src,
+    )
+    assert len(ann_plans) == 2, ann_plans  # forward + backward
+    assert ann_plans[0] == ann_plans[1] == \
+        "mode, affine, mxu_bf16, has_dropout", ann_plans
 
     snn_src = inspect.getsource(pallas_cells)
     snn_calls = re.findall(r"_tile_plan\(Bp, Hp, streams=(\d+), tc=tc\)",

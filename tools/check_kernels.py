@@ -591,6 +591,24 @@ def build_cases():
          functools.partial(ann_case, "ligru", bf16=True, loose=True,
                            v_scale=(128 / W["H"]) ** 0.5, **W))
     )
+    # wide-BATCH x wide-H: B=128 is where the byte-accurate tile plan
+    # (pallas_ann._plan_vmem) raises the batch tiles (GRU 1024 -> bt 64,
+    # LiGRU 1024 -> bt 128) — pins the raised-tile numerics on the chip.
+    # TPU-only (the "/tpu" suffix): a B=128 x H=1024 case in interpret
+    # mode takes >15 min of pure emulation, so the CPU fallback skips it.
+    WB = dict(B=128, T=10, H=1024)
+    cases.append(
+        ("gru/b128bf16/tpu",
+         functools.partial(ann_case, "gru", affine=True, bf16=True,
+                           wx_bf16=True, loose=True,
+                           v_scale=(128 / WB["H"]) ** 0.5, **WB))
+    )
+    cases.append(
+        ("ligru/b128bf16/tpu",
+         functools.partial(ann_case, "ligru", affine=True, bf16=True,
+                           wx_bf16=True, loose=True,
+                           v_scale=(128 / WB["H"]) ** 0.5, **WB))
+    )
     return cases
 
 
@@ -625,6 +643,11 @@ def main():
     n_fail = 0
     for name, thunk in build_cases():
         if args.only and args.only not in name:
+            continue
+        if name.endswith("/tpu") and backend != "tpu":
+            print(f"SKIP  {name:<16} (compiled-Mosaic only; interpret "
+                  "mode would emulate B=128 x H=1024 for >15 min)",
+                  flush=True)
             continue
         try:
             if "bf16" in name or "wx16" in name or name == "ligru/wide":
