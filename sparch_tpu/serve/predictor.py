@@ -196,18 +196,27 @@ class Predictor:
                 else None
             )
 
+            # one jitted program per call: the pipelined forward AND the
+            # probability normalisation (un-jitted dispatches pay tens of
+            # ms of tunnel latency each on the serving hot path)
+            @jax.jit
+            def _predict_probs(params, batch_stats, x):
+                return _normalize(predict(params, batch_stats, x,
+                                          state_key))
+
             def fwd(variables, x):
                 if x.shape[1] % self._n_seq:
                     raise ValueError(
                         f"sequence length {x.shape[1]} not divisible by "
                         f"the mesh's seq axis ({self._n_seq})"
                     )
-                x = jax.device_put(jnp.asarray(x), x_sharding)
-                out = predict(
+                # device_put of the host array straight to the mesh
+                # sharding — no intermediate default-device copy
+                x = jax.device_put(x, x_sharding)
+                return _predict_probs(
                     variables["params"], variables.get("batch_stats", {}),
-                    x, state_key,
+                    x,
                 )
-                return _normalize(out)
 
             self._fwd = fwd
             return

@@ -302,7 +302,6 @@ def test_matches_package_goldens_if_generated():
             assert abs(float(g[f"{key}_freq"]) - p) < tol
             checked += 1
     if "reverb_in" in g:
-        from sparch_tpu.data.augment import _reverb_fixed
 
         for key in g.files:
             m = re.fullmatch(r"reverb_out_r(\d+)_d(\d+)_s(\d+)", key)

@@ -5,9 +5,11 @@ breakdown (it itemises per-buffer demand — the data `_tile_plan` fixes
 must be derived from).
 
 Usage: python tools/probe_vmem.py MODE H [--B 128] [--T 100] [--f32]
-       [--bwd] [--drop 0.1] [--affine]
-MODE in {rnn, ligru, gru, radlif, lif}. Compile-only (no dispatch), so a
-probe is cheap even over the tunnel. Prints one JSON line.
+       [--fwd_only] [--drop 0.1] [--affine] [--time]
+MODE in {rnn, ligru, gru}. The default probe compiles forward AND
+backward (the real training footprint); ``--fwd_only`` opts out.
+Compile-only (no dispatch), so a probe is cheap even over the tunnel.
+Prints one JSON line.
 """
 import argparse
 import json
@@ -45,7 +47,6 @@ def main():
 
     B, T, H = args.B, args.T, args.H
     mxu_bf16 = not args.f32
-    key = jax.random.PRNGKey(0)
     wx = jnp.zeros((B, T, H), jnp.float32)
     v = jnp.zeros((H, H), jnp.float32)
     y0 = jnp.zeros((B, H), jnp.float32)
@@ -57,7 +58,9 @@ def main():
             args.mode, 1
         ),
     ) if args.affine else {}
-    drop = dict(drop_rate=args.drop, drop_seed=jnp.uint32(1)) \
+    # the kernels' SMEM seed ref is (2,)-shaped (see check_kernels.py)
+    drop = dict(drop_rate=args.drop,
+                drop_seed=jnp.array([1, 3], jnp.int32)) \
         if args.drop else {}
 
     if args.mode in ("rnn", "ligru", "gru"):
@@ -79,7 +82,7 @@ def main():
 
         target = (
             (lambda: loss()) if args.fwd_only
-            else (lambda: _grad_of(f, wx, v, y0, mxu_bf16, aff, drop,
+            else (lambda: _grad_of(wx, v, y0, mxu_bf16, aff, drop,
                                    args.mode))
         )
     else:
@@ -127,15 +130,19 @@ def main():
 def _time_pair(mode, wx, v, y0, mxu_bf16, aff, drop):
     """fwd+bwd ms/step: fused kernel vs the scan-cell fallback the model
     would use above the cap (quadratic loss for data-dependent adjoints,
-    like bench.py's roofline)."""
+    like bench.py's roofline).
+
+    Fairness: the model's above-cap fallback pays the BN affine and the
+    dropout OUTSIDE the kernel (`_proj`'s SeqNorm + `_post`'s
+    nn.Dropout, models/ann.py), so under --affine/--drop the scan side
+    applies the equivalent elementwise ops — otherwise scan_ms
+    underestimates the real fallback and biases the cap decision."""
     import jax
     import jax.numpy as jnp
 
     from sparch_tpu.ops import cells
     from sparch_tpu.ops import pallas_ann as pa
     from sparch_tpu.utils.timing import time_fn
-
-    n_wx = {"rnn": 1, "ligru": 2, "gru": 3}[mode]
 
     def fused_loss(wx, v, y0):
         fns = {
@@ -151,15 +158,31 @@ def _time_pair(mode, wx, v, y0, mxu_bf16, aff, drop):
         return 0.5 * jnp.sum(out * out)
 
     def scan_loss(wx, v, y0):
+        if aff:
+            gates = [
+                wx * sc + sh
+                for sc, sh in zip(aff["scales"], aff["shifts"])
+            ]
+        else:
+            gates = [wx] * {"rnn": 1, "ligru": 2, "gru": 3}[mode]
         fns = {
-            "rnn": lambda: cells.rnn_scan(wx, v, y0),
-            "ligru": lambda: cells.ligru_scan(wx, wx, v, v, y0),
-            "gru": lambda: cells.gru_scan(wx, wx, wx, v, v, v, y0),
+            "rnn": lambda: cells.rnn_scan(gates[0], v, y0),
+            "ligru": lambda: cells.ligru_scan(
+                gates[0], gates[1], v, v, y0
+            ),
+            "gru": lambda: cells.gru_scan(
+                gates[0], gates[1], gates[2], v, v, v, y0
+            ),
         }
         out = fns[mode]()
+        if drop:
+            keep = 1.0 - drop["drop_rate"]
+            mask = jax.random.bernoulli(
+                jax.random.PRNGKey(0), keep, out.shape
+            )
+            out = jnp.where(mask, out / keep, 0.0)
         return 0.5 * jnp.sum(out * out)
 
-    del n_wx
     fused = time_fn(jax.grad(fused_loss, argnums=(0, 1, 2)), wx, v, y0,
                     iters=16, repeats=3)
     scan = time_fn(jax.grad(scan_loss, argnums=(0, 1, 2)), wx, v, y0,
@@ -167,7 +190,7 @@ def _time_pair(mode, wx, v, y0, mxu_bf16, aff, drop):
     return round(fused * 1e3, 3), round(scan * 1e3, 3)
 
 
-def _grad_of(f, wx, v, y0, mxu_bf16, aff, drop, mode):
+def _grad_of(wx, v, y0, mxu_bf16, aff, drop, mode):
     import jax
     import jax.numpy as jnp
 
