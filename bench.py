@@ -39,7 +39,7 @@ def _diff_time(run):
     return max((hi - lo) / ITERS, 1e-9)
 
 
-def bench_train_step(cell_impl="scan"):
+def bench_train_step(cell_impl="scan", compute_dtype=None):
     import jax
 
     from sparch_tpu.utils.cache import enable_compile_cache
@@ -59,6 +59,7 @@ def bench_train_step(cell_impl="scan"):
         normalization="batchnorm",
         state_init="uniform",
         cell_impl=cell_impl,
+        compute_dtype=compute_dtype,
     )
     rng = np.random.default_rng(0)
     x = (rng.random((B, T, F)) < 0.02).astype(np.float32)  # spike-raster-like
@@ -252,6 +253,13 @@ def main():
     step_scan = bench_train_step("scan")
     step_time = min(step_pallas, step_scan)
     step_stream = median3(lambda: bench_train_step_stream("auto"))
+    # mixed-precision channel (--compute_dtype bfloat16): recorded, not
+    # the headline — the roofline comparison stays f32 apples-to-apples
+    import jax.numpy as jnp
+
+    step_amp = median3(
+        lambda: bench_train_step("auto", compute_dtype=jnp.bfloat16)
+    )
     roofline_time = median3(bench_matmul_roofline)
     utt_per_sec = B / step_time
     roofline_utt_per_sec = B / roofline_time
@@ -267,6 +275,7 @@ def main():
                     "pallas_step_ms": round(step_pallas * 1e3, 3),
                     "scan_step_ms": round(step_scan * 1e3, 3),
                     "stream_step_ms": round(step_stream * 1e3, 3),
+                    "amp_step_ms": round(step_amp * 1e3, 3),
                     "matmul_roofline_ms": round(roofline_time * 1e3, 3),
                     "config": f"RadLIF 3x{H} B{B} T{T} F{F} C{C}",
                 },

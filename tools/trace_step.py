@@ -2,9 +2,10 @@
 """Capture a device trace of a full train step and print the per-op
 time budget (aggregated by fusion/kernel name).
 
-Usage: python tools/trace_step.py [outdir] [MODEL] [H] [NB_LAYERS]
+Usage: python tools/trace_step.py [outdir] [MODEL] [H] [NB_LAYERS] [bf16]
 (defaults: the north-star RadLIF 3x512; e.g. `... /tmp/t adLIF 128 2`
-for the small-config floor investigation)
+for the small-config floor investigation; a trailing `bf16` arg traces
+the `--compute_dtype bfloat16` AMP build instead)
 """
 import glob
 import gzip
@@ -31,9 +32,13 @@ def main():
     from sparch_tpu.train.state import create_train_state
     from sparch_tpu.train.steps import make_train_step
 
+    amp = len(sys.argv) > 5 and sys.argv[5] == "bf16"
+    import jax.numpy as jnp
+
     model = build_model(model_name, (B, T, F),
                         [H] * (nb_layers - 1) + [C], dropout=0.1,
-                        normalization="batchnorm", state_init="uniform")
+                        normalization="batchnorm", state_init="uniform",
+                        compute_dtype=jnp.bfloat16 if amp else None)
     rng = np.random.default_rng(0)
     x = jax.device_put((rng.random((B, T, F)) < 0.02).astype(np.float32))
     y = jax.device_put((np.arange(B) % C).astype(np.int64))
