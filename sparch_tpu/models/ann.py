@@ -151,10 +151,11 @@ class LiGRULayer(_ANNLayerBase):
     Separate normalisation per gate path (anns.py:400-407)."""
 
     # Two resident (V, dV) pairs. Measured on v5e (tools/probe_vmem.py,
-    # bf16-MXU affine): H=1536 fused 2.76 ms vs scan 4.43 (1.6x, batch
-    # tile 128 under the byte-accurate plan); H=2048 exceeds the 128M
-    # VMEM capacity by 3.76M at the smallest useful tile — a hardware
-    # bound, not a planning artifact.
+    # bf16-MXU affine; FAIR A/B — the scan side pays the affine the real
+    # fallback pays outside the kernel): H=1536 fused 2.84 ms vs scan
+    # 4.53 (1.6x, batch tile 128 under the byte-accurate plan); H=2048
+    # exceeds the 128M VMEM capacity by 3.76M at the smallest useful
+    # tile — a hardware bound, not a planning artifact.
     _pallas_h_cap = 1536
 
     @nn.compact
@@ -185,12 +186,14 @@ class LiGRULayer(_ANNLayerBase):
 class GRULayer(_ANNLayerBase):
     """Full GRU layer (Cho et al. 2014; reference anns.py:465-595)."""
 
-    # Three resident (V, dV) pairs. Measured on v5e (tools/probe_vmem.py):
-    # H=1024 fused 2.41 ms vs scan 5.43 (2.25x, batch tile 64); H=1280
-    # bf16 COMPILES under the calibrated plan + 120M scoped limit but the
-    # starved batch tile (32) makes it 5% SLOWER than the scan fallback
-    # (5.71 vs 5.46 ms) — and the f32 mode demands 145.9M of the 128M
-    # capacity there. Scan is simply the right program above 1024.
+    # Three resident (V, dV) pairs. Measured on v5e (tools/probe_vmem.py,
+    # FAIR A/B — the scan side pays the affine the real fallback pays
+    # outside the kernel): H=1024 fused 2.27 ms vs scan 5.32 (2.3x,
+    # batch tile 64); H=1280 bf16 COMPILES under the calibrated plan +
+    # 120M scoped limit but the starved batch tile (32) makes it 4-5%
+    # SLOWER than the scan fallback (5.78 vs 5.54 ms fair) — and the f32
+    # mode demands 145.9M of the 128M capacity there. Scan is simply the
+    # right program above 1024.
     _pallas_h_cap = 1024
 
     @nn.compact
