@@ -135,3 +135,210 @@ def test_all_gather_distinct_shards():
     )
     out = fn(x)
     np.testing.assert_array_equal(np.asarray(out[0]), np.asarray(x))
+
+
+# ---------------------------------------------------------------------------
+# TP fused cell kernels vs the scan cells (the semantic reference)
+# ---------------------------------------------------------------------------
+
+from sparch_tpu.ops import cells  # noqa: E402
+
+
+def _quantize(x, scale=64.0):
+    """Snap to multiples of 1/scale so any-order f32 sums are exact (and
+    bf16-exact for |x| <= 1): spike trains then match bit-for-bit."""
+    return jnp.round(x * scale) / scale
+
+
+def _tp_inputs(key, B, T, H, adaptive):
+    ks = jax.random.split(key, 8)
+    Wx = jax.random.normal(ks[0], (B, T, H), jnp.float32) * 1.5
+    alpha = jax.random.uniform(
+        ks[1], (H,), minval=cells.ALPHA_LIM[0], maxval=cells.ALPHA_LIM[1]
+    )
+    V = _quantize(jax.random.normal(ks[2], (H, H), jnp.float32) * 0.3)
+    V = jnp.clip(V, -1.0, 1.0)
+    u0 = jax.random.uniform(ks[3], (B, H))
+    s0 = jax.random.uniform(ks[4], (B, H))
+    extra = {}
+    if adaptive:
+        extra = dict(
+            beta=jax.random.uniform(
+                ks[5], (H,), minval=cells.BETA_LIM[0],
+                maxval=cells.BETA_LIM[1],
+            ),
+            a=jax.random.uniform(ks[6], (H,), minval=-1.0, maxval=1.0),
+            b=jax.random.uniform(ks[7], (H,), minval=0.0, maxval=2.0),
+            w0=jnp.zeros((B, H)),
+        )
+    return Wx, alpha, V, u0, s0, extra
+
+
+def _tp_cell_caller(kind, mesh, nd, threshold, mxu_bf16=False):
+    """Full-array function running the TP kernel sharded over 'model'."""
+
+    def per_shard(Wx, alpha, V, u0, s0, *extras):
+        if kind == "rlif":
+            return pallas_tp.rlif_tp_pallas(
+                Wx, alpha, V, threshold, u0, s0,
+                axis_name="model", num_devices=nd, mxu_bf16=mxu_bf16,
+            )
+        beta, a, b, w0 = extras
+        return pallas_tp.radlif_tp_pallas(
+            Wx, alpha, beta, a, b, V, threshold, u0, w0, s0,
+            axis_name="model", num_devices=nd, mxu_bf16=mxu_bf16,
+        )
+
+    n_extra = 0 if kind == "rlif" else 4
+    extra_specs = (P("model"),) * 3 + (P(None, "model"),) if n_extra else ()
+    return _shmap(
+        per_shard, mesh,
+        (P(None, None, "model"), P("model"), P(None, "model"),
+         P(None, "model"), P(None, "model")) + extra_specs,
+        P(None, None, "model"),
+    )
+
+
+def _oracle(kind, Wx, alpha, V, u0, s0, extra, threshold):
+    if kind == "rlif":
+        return cells.rlif_scan(Wx, alpha, V, threshold, u0, s0)
+    return cells.radlif_scan(
+        Wx, alpha, extra["beta"], extra["a"], extra["b"], V, threshold,
+        u0, extra["w0"], s0,
+    )
+
+
+@pytest.mark.parametrize("kind", ["rlif", "radlif"])
+@pytest.mark.parametrize("nd,T", [(2, 20), (4, 23)])
+def test_tp_cell_forward_matches_scan(kind, nd, T):
+    """TP fused forward == scan cells on the gathered arrays, bit-exact
+    (V quantized so the sharded recurrent dot is order-independent).
+    T=23 exercises the out-of-bounds tail chunk."""
+    mesh = _mesh(nd)
+    B, H = 8, 128 * nd
+    threshold = 1.0
+    Wx, alpha, V, u0, s0, extra = _tp_inputs(
+        jax.random.PRNGKey(42), B, T, H, kind == "radlif"
+    )
+    fn = _tp_cell_caller(kind, mesh, nd, threshold)
+    args = (Wx, alpha, V, u0, s0)
+    if kind == "radlif":
+        args += (extra["beta"], extra["a"], extra["b"], extra["w0"])
+    s_tp = fn(*args)
+    s_ref = _oracle(kind, Wx, alpha, V, u0, s0, extra, threshold)
+    assert float(jnp.abs(s_ref).sum()) > 0, "degenerate case: no spikes"
+    np.testing.assert_array_equal(np.asarray(s_tp), np.asarray(s_ref))
+
+
+@pytest.mark.parametrize("kind", ["rlif", "radlif"])
+@pytest.mark.parametrize("nd,T", [(2, 23), (4, 20)])
+def test_tp_cell_grads_match_scan(kind, nd, T):
+    """All gradients (Wx, alpha, [beta,a,b], V, u0, [w0], s0) of the TP
+    kernel match the scan cells' autodiff through the same loss."""
+    mesh = _mesh(nd)
+    B, H = 8, 128 * nd
+    threshold = 1.0
+    Wx, alpha, V, u0, s0, extra = _tp_inputs(
+        jax.random.PRNGKey(7), B, T, H, kind == "radlif"
+    )
+    R = jax.random.normal(jax.random.PRNGKey(9), (B, T, H), jnp.float32)
+    fn = _tp_cell_caller(kind, mesh, nd, threshold)
+
+    if kind == "rlif":
+        args = (Wx, alpha, V, u0, s0)
+        loss_tp = lambda *a: jnp.sum(fn(*a) * R)  # noqa: E731
+        loss_ref = lambda Wx, alpha, V, u0, s0: jnp.sum(  # noqa: E731
+            cells.rlif_scan(Wx, alpha, V, threshold, u0, s0) * R
+        )
+    else:
+        args = (
+            Wx, alpha, V, u0, s0,
+            extra["beta"], extra["a"], extra["b"], extra["w0"],
+        )
+        loss_tp = lambda *a: jnp.sum(fn(*a) * R)  # noqa: E731
+
+        def loss_ref(Wx, alpha, V, u0, s0, beta, a, b, w0):
+            return jnp.sum(
+                cells.radlif_scan(
+                    Wx, alpha, beta, a, b, V, threshold, u0, w0, s0
+                ) * R
+            )
+
+    argnums = tuple(range(len(args)))
+    g_tp = jax.grad(loss_tp, argnums)(*args)
+    g_ref = jax.grad(loss_ref, argnums)(*args)
+    names = ("Wx", "alpha", "V", "u0", "s0", "beta", "a", "b", "w0")
+    for name, gt, gr in zip(names, g_tp, g_ref):
+        scale = max(float(jnp.abs(gr).max()), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(gt), np.asarray(gr), rtol=0, atol=3e-5 * scale,
+            err_msg=f"grad mismatch: {name}",
+        )
+
+
+def test_tp_cell_bf16_mode():
+    """mxu_bf16 staging: 0/1 spikes and the quantized V are bf16-exact, so
+    the forward stays bit-exact; the backward's bf16 D staging bounds the
+    gradient agreement at the documented bf16-stream band."""
+    nd, B, T = 4, 8, 20
+    mesh = _mesh(nd)
+    H = 128 * nd
+    threshold = 1.0
+    Wx, alpha, V, u0, s0, _ = _tp_inputs(
+        jax.random.PRNGKey(3), B, T, H, False
+    )
+    # bf16-exact initial spikes (they ride the gather in f32, but keep the
+    # case clean)
+    s0 = jnp.round(s0)
+    fn = _tp_cell_caller("rlif", mesh, nd, threshold, mxu_bf16=True)
+    s_tp = fn(Wx, alpha, V, u0, s0)
+    s_ref = cells.rlif_scan(Wx, alpha, V, threshold, u0, s0)
+    np.testing.assert_array_equal(
+        np.asarray(s_tp).astype(np.float32), np.asarray(s_ref)
+    )
+    R = jax.random.normal(jax.random.PRNGKey(5), (B, T, H), jnp.float32)
+    g_tp = jax.grad(lambda *a: jnp.sum(fn(*a).astype(jnp.float32) * R),
+                    (0, 2))(Wx, alpha, V, u0, s0)
+    g_ref = jax.grad(
+        lambda Wx, V: jnp.sum(
+            cells.rlif_scan(Wx, alpha, V, threshold, u0, s0) * R
+        ),
+        (0, 1),
+    )(Wx, V)
+    for name, gt, gr in zip(("Wx", "V"), g_tp, g_ref):
+        scale = max(float(jnp.abs(gr).max()), 1e-3)
+        np.testing.assert_allclose(
+            np.asarray(gt, dtype=np.float32), np.asarray(gr),
+            rtol=0, atol=1.5e-2 * scale, err_msg=f"bf16 grad: {name}",
+        )
+
+
+def test_tp_cell_composed_dp_tp_mesh():
+    """The MESH-dict device ids keep the exchanges inside each TP group
+    when a data axis is composed in front (dp x tp 2x2)."""
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs 4 devices")
+    mesh = Mesh(np.array(devs[:4]).reshape(2, 2), ("data", "model"))
+    nd, B, T = 2, 16, 20  # B=16: the data axis halves the per-shard batch
+    H = 128 * nd
+    threshold = 1.0
+    Wx, alpha, V, u0, s0, _ = _tp_inputs(
+        jax.random.PRNGKey(11), B, T, H, False
+    )
+
+    def per_shard(Wx, alpha, V, u0, s0):
+        return pallas_tp.rlif_tp_pallas(
+            Wx, alpha, V, threshold, u0, s0,
+            axis_name="model", num_devices=nd,
+        )
+
+    fn = _shmap(
+        per_shard, mesh,
+        (P("data", None, "model"), P("model"), P(None, "model"),
+         P("data", "model"), P("data", "model")),
+        P("data", None, "model"),
+    )
+    s_tp = fn(Wx, alpha, V, u0, s0)
+    s_ref = cells.rlif_scan(Wx, alpha, V, threshold, u0, s0)
+    np.testing.assert_array_equal(np.asarray(s_tp), np.asarray(s_ref))
