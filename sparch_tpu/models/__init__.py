@@ -76,6 +76,13 @@ def build_model_from_config(config, **overrides):
 
     cfg = {**config, **overrides}
     dtype = jnp.bfloat16 if cfg.get("compute_dtype") == "bfloat16" else None
+    cell_impl = cfg.get("cell_impl", "auto")
+    if cell_impl == "pallas_tp":
+        # the TP mesh is a process-local object, not part of the saved
+        # architecture; serving/migration rebuild single-process (or
+        # seq-sharded via Predictor(mesh=...)) — 'auto' picks the right
+        # single-chip path for the same param tree
+        cell_impl = "auto"
     return build_model(
         cfg["model_type"],
         tuple(cfg["input_shape"]),
@@ -87,7 +94,7 @@ def build_model_from_config(config, **overrides):
         bidirectional=cfg["bidirectional"],
         use_readout_layer=cfg.get("use_readout_layer", True),
         state_init=cfg.get("state_init", "uniform"),
-        cell_impl=cfg.get("cell_impl", "auto"),
+        cell_impl=cell_impl,
         compute_dtype=dtype,
         remat=cfg.get("remat", False),
     )

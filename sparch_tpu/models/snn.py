@@ -22,7 +22,7 @@ Differences from the reference (deliberate, documented):
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -67,6 +67,25 @@ class _SpikingLayerBase(FusedCellPolicy, nn.Module):
     compute_dtype: Optional[jnp.dtype] = None
     bn_axis_name: Optional[str] = None
     mxu_precision: str = "default"
+    # tensor-parallel fused cells (cell_impl='pallas_tp'): the mesh whose
+    # `tp_axis` shards the neurons; `tp_batch_axis` names the data axis
+    # the batch is sharded over (None for an unsharded batch)
+    tp_mesh: Optional[Any] = None
+    tp_axis: str = "model"
+    tp_batch_axis: Optional[str] = "data"
+
+    def _tp(self):
+        """Validated (mesh, axis, batch_axis) for the pallas_tp path.
+        Normalization/dropout stay OUTSIDE the TP kernels (apply-mode
+        norm, _post dropout): above the single-chip caps that is the
+        measured-~free arrangement (STATUS 'Wide layers' fair A/B), and
+        it keeps the distributed kernel surface small."""
+        if self.tp_mesh is None:
+            raise ValueError(
+                "cell_impl='pallas_tp' needs tp_mesh=<jax.sharding.Mesh "
+                "with a '%s' axis>" % self.tp_axis
+            )
+        return self.tp_mesh, self.tp_axis, self.tp_batch_axis
 
     def _fold_norm(self) -> bool:
         """On the fused-kernel path, batchnorm/none are folded into the
@@ -138,6 +157,15 @@ class LIFLayer(_SpikingLayerBase):
     def __call__(self, x, train: bool = False):
         Wx, scale, shift = self._pre(x, train)
         u0, s0 = self._init_states(Wx, 2)
+        if self.cell_impl == "pallas_tp":
+            from sparch_tpu.ops import pallas_tp
+
+            mesh, axis, baxis = self._tp()
+            s = pallas_tp.lif_tp_sharded(
+                mesh, Wx, self._alpha(), self.threshold, u0, s0,
+                tp_axis=axis, batch_axis=baxis, mxu_bf16=self._mxu_bf16(),
+            )
+            return self._post(s, train)
         if self._use_pallas():
             from sparch_tpu.ops import pallas_cells
 
@@ -161,6 +189,16 @@ class adLIFLayer(_SpikingLayerBase):
         Wx, scale, shift = self._pre(x, train)
         u0, w0, s0 = self._init_states(Wx, 3)
         beta, a, b = self._adaptation_params()
+        if self.cell_impl == "pallas_tp":
+            from sparch_tpu.ops import pallas_tp
+
+            mesh, axis, baxis = self._tp()
+            s = pallas_tp.adlif_tp_sharded(
+                mesh, Wx, self._alpha(), beta, a, b, self.threshold,
+                u0, w0, s0,
+                tp_axis=axis, batch_axis=baxis, mxu_bf16=self._mxu_bf16(),
+            )
+            return self._post(s, train)
         if self._use_pallas():
             from sparch_tpu.ops import pallas_cells
 
@@ -186,6 +224,15 @@ class RLIFLayer(_SpikingLayerBase):
     def __call__(self, x, train: bool = False):
         Wx, scale, shift = self._pre(x, train)
         u0, s0 = self._init_states(Wx, 2)
+        if self.cell_impl == "pallas_tp":
+            from sparch_tpu.ops import pallas_tp
+
+            mesh, axis, baxis = self._tp()
+            s = pallas_tp.rlif_tp_sharded(
+                mesh, Wx, self._alpha(), self._V(), self.threshold, u0, s0,
+                tp_axis=axis, batch_axis=baxis, mxu_bf16=self._mxu_bf16(),
+            )
+            return self._post(s, train)
         if self._use_pallas():
             from sparch_tpu.ops import pallas_cells
 
@@ -211,6 +258,16 @@ class RadLIFLayer(_SpikingLayerBase):
         Wx, scale, shift = self._pre(x, train)
         u0, w0, s0 = self._init_states(Wx, 3)
         beta, a, b = self._adaptation_params()
+        if self.cell_impl == "pallas_tp":
+            from sparch_tpu.ops import pallas_tp
+
+            mesh, axis, baxis = self._tp()
+            s = pallas_tp.radlif_tp_sharded(
+                mesh, Wx, self._alpha(), beta, a, b, self._V(),
+                self.threshold, u0, w0, s0,
+                tp_axis=axis, batch_axis=baxis, mxu_bf16=self._mxu_bf16(),
+            )
+            return self._post(s, train)
         if self._use_pallas():
             from sparch_tpu.ops import pallas_cells
 
@@ -311,6 +368,9 @@ class SNN(nn.Module):
     bn_axis_name: Optional[str] = None
     mxu_precision: str = "default"
     remat: bool = False
+    tp_mesh: Optional[Any] = None
+    tp_axis: str = "model"
+    tp_batch_axis: Optional[str] = "data"
 
     @property
     def is_snn(self) -> bool:
@@ -376,6 +436,9 @@ class SNN(nn.Module):
                 compute_dtype=self.compute_dtype,
                 bn_axis_name=self.bn_axis_name,
                 mxu_precision=self.mxu_precision,
+                tp_mesh=self.tp_mesh,
+                tp_axis=self.tp_axis,
+                tp_batch_axis=self.tp_batch_axis,
                 name=f"layer_{i}",
             )(x, train)  # positional: remat pins arg 2 (train) static
             all_spikes.append(x)

@@ -203,6 +203,14 @@ def _tile_plan(Bp: int, Hp: int, streams: int = None, tc: int = _TC, *,
 
 
 def _interpret() -> bool:
+    # Default interpret-mode decision: the PROCESS default backend. Wrong
+    # when a kernel is traced for a mesh on a DIFFERENT platform (the
+    # driver's dryrun builds a virtual CPU mesh while the axon TPU plugin
+    # owns the default backend) — entry points that know their mesh
+    # (ops/pallas_tp.py sharded wrappers) pass an explicit ``interpret``
+    # instead, threaded through the custom_vjp closures because the bwd
+    # kernel binds only when the OUTER grad is traced, long after any
+    # wrapper scope has exited.
     return jax.default_backend() != "tpu"
 
 
@@ -407,9 +415,13 @@ def _forward_pallas(
     Wx, scale, shift, alpha, beta, a, b, V, threshold, u0, w0, s0, seed,
     *, recurrent: bool, adaptive: bool, affine: bool, drop_rate: float,
     save_residuals: bool, mxu_bf16: bool = False,
+    interpret: bool | None = None,
 ):
     """Run the fused forward. Params must already be clamped/masked.
-    Returns s, or (s, residuals)."""
+    Returns s, or (s, residuals). ``interpret`` pins interpret mode for
+    callers whose mesh platform differs from the default backend
+    (ops/pallas_tp.py); None = decide from the default backend."""
+    interp = _interpret() if interpret is None else bool(interpret)
     B, T, H = Wx.shape
     dtype = jnp.float32
     # Spike streams are bf16 in the bf16-MXU mode: raw spikes are 0/1
@@ -493,7 +505,7 @@ def _forward_pallas(
         adaptive=adaptive,
         affine=affine,
         drop_rate=drop_rate,
-        use_hw_prng=not _interpret(),
+        use_hw_prng=not interp,
         save_residuals=save_residuals,
         mxu_bf16=mxu_bf16,
     )
@@ -558,7 +570,7 @@ def _forward_pallas(
             pltpu.VMEM((bt, Hp), jnp.float32),
             pltpu.VMEM((bt, Hp), jnp.float32),  # carried s @ V
         ],
-        interpret=_interpret(),
+        interpret=interp,
         compiler_params=_compiler_params(),
     )(Wx_p, scale_p, shift_p, alpha_p, beta_p, a_p, b_p, V_p,
       u0_p, w0_p, s0_p, *seed_ops)
@@ -824,12 +836,13 @@ def _bwd_kernel(
 def _backward_pallas(
     g, Wx, residuals, scale, alpha, beta, a, b, V, threshold, seed,
     *, recurrent: bool, adaptive: bool, affine: bool, drop_rate: float,
-    mxu_bf16: bool = False,
+    mxu_bf16: bool = False, interpret: bool | None = None,
 ):
     """Fused reverse-time BPTT. Params must already be clamped/masked;
     ``residuals`` are the forward kernel's padded outputs
     (u_pd, ub, sb, wend). Returns (dWx, dscale, dshift, dV,
     dalpha, dbeta, da, db, du0, dw0, ds0) w.r.t. the clamped parameters."""
+    interp = _interpret() if interpret is None else bool(interpret)
     u_pd, ub, sb, wend = residuals
     B, T, H = g.shape
     dtype = jnp.float32
@@ -888,7 +901,7 @@ def _backward_pallas(
         adaptive=adaptive,
         affine=affine,
         drop_rate=drop_rate,
-        use_hw_prng=not _interpret(),
+        use_hw_prng=not interp,
         mxu_bf16=mxu_bf16,
     )
     seed_ops = ()
@@ -954,7 +967,7 @@ def _backward_pallas(
             pltpu.VMEM((bt, Hp), jnp.float32),
             pltpu.VMEM((bt, Hp), jnp.float32),  # carried A @ V^T
         ],
-        interpret=_interpret(),
+        interpret=interp,
         compiler_params=_compiler_params(),
     )(
         g_p, *wx_ops, *seed_ops, u_pd, ub, sb, wend,
@@ -995,7 +1008,8 @@ def _clip_and_mask(alpha, beta, a, b, V, recurrent, adaptive):
 
 @functools.lru_cache(maxsize=None)
 def _make_op(recurrent: bool, adaptive: bool, affine: bool, threshold: float,
-             drop_rate: float = 0.0, mxu_bf16: bool = False):
+             drop_rate: float = 0.0, mxu_bf16: bool = False,
+             interpret: bool | None = None):
     """Build (and memoize) the custom_vjp op for a fixed static threshold —
     the kernels need a concrete Python float, so threshold (and the
     dropout rate) cannot be traced operands."""
@@ -1007,6 +1021,7 @@ def _make_op(recurrent: bool, adaptive: bool, affine: bool, threshold: float,
             Wx, scale, shift, *cm[:4], cm[4], threshold, u0, w0, s0, seed,
             recurrent=recurrent, adaptive=adaptive, affine=affine,
             drop_rate=drop_rate, save_residuals=False, mxu_bf16=mxu_bf16,
+            interpret=interpret,
         )
 
     def fwd(Wx, scale, shift, alpha, beta, a, b, V, u0, w0, s0, seed):
@@ -1015,6 +1030,7 @@ def _make_op(recurrent: bool, adaptive: bool, affine: bool, threshold: float,
             Wx, scale, shift, *cm[:4], cm[4], threshold, u0, w0, s0, seed,
             recurrent=recurrent, adaptive=adaptive, affine=affine,
             drop_rate=drop_rate, save_residuals=True, mxu_bf16=mxu_bf16,
+            interpret=interpret,
         )
         # non-affine: a zero-length slice keeps Wx's dtype reachable for
         # the tangent casts below without holding the 26 MB array alive
@@ -1052,7 +1068,7 @@ def _make_op(recurrent: bool, adaptive: bool, affine: bool, threshold: float,
             g, wx_saved, residuals, scale,
             alpha_c, beta_c, a_c, b_c, V_m, threshold, seed,
             recurrent=recurrent, adaptive=adaptive, affine=affine,
-            drop_rate=drop_rate, mxu_bf16=mxu_bf16,
+            drop_rate=drop_rate, mxu_bf16=mxu_bf16, interpret=interpret,
         )
 
         (dalpha,) = alpha_vjp(dalpha_c)
@@ -1088,10 +1104,12 @@ def _make_op(recurrent: bool, adaptive: bool, affine: bool, threshold: float,
 
 
 def _call_op(Wx, scale, shift, alpha, beta, a, b, V, threshold, u0, w0, s0,
-             *, recurrent, adaptive, mxu_bf16, drop_rate=0.0, drop_seed=None):
+             *, recurrent, adaptive, mxu_bf16, drop_rate=0.0, drop_seed=None,
+             interpret=None):
     affine = scale is not None
     op = _make_op(recurrent, adaptive, affine, float(threshold),
-                  float(drop_rate), mxu_bf16)
+                  float(drop_rate), mxu_bf16,
+                  None if interpret is None else bool(interpret))
     H = Wx.shape[-1]
     if not affine:
         scale = jnp.zeros((H,), Wx.dtype)
@@ -1103,7 +1121,7 @@ def _call_op(Wx, scale, shift, alpha, beta, a, b, V, threshold, u0, w0, s0,
 
 def radlif_pallas(Wx, alpha, beta, a, b, V, threshold, u0, w0, s0,
                   mxu_bf16: bool = False, scale=None, shift=None,
-                  drop_rate: float = 0.0, drop_seed=None):
+                  drop_rate: float = 0.0, drop_seed=None, interpret=None):
     """Fused RadLIF layer recurrence (drop-in for cells.radlif_scan).
     With ``scale``/``shift`` the normalization affine is applied on load
     (drive = scale*Wx + shift) and their gradients are returned. With
@@ -1113,24 +1131,24 @@ def radlif_pallas(Wx, alpha, beta, a, b, V, threshold, u0, w0, s0,
     return _call_op(Wx, scale, shift, alpha, beta, a, b, V, threshold,
                     u0, w0, s0, recurrent=True, adaptive=True,
                     mxu_bf16=mxu_bf16, drop_rate=drop_rate,
-                    drop_seed=drop_seed)
+                    drop_seed=drop_seed, interpret=interpret)
 
 
 def rlif_pallas(Wx, alpha, V, threshold, u0, s0, mxu_bf16: bool = False,
                 scale=None, shift=None, drop_rate: float = 0.0,
-                drop_seed=None):
+                drop_seed=None, interpret=None):
     """Fused RLIF layer recurrence (drop-in for cells.rlif_scan)."""
     z = jnp.zeros_like(alpha)
     zs = jnp.zeros_like(u0)
     return _call_op(Wx, scale, shift, alpha, z, z, z, V, threshold,
                     u0, zs, s0, recurrent=True, adaptive=False,
                     mxu_bf16=mxu_bf16, drop_rate=drop_rate,
-                    drop_seed=drop_seed)
+                    drop_seed=drop_seed, interpret=interpret)
 
 
 def adlif_pallas(Wx, alpha, beta, a, b, threshold, u0, w0, s0,
                  scale=None, shift=None, drop_rate: float = 0.0,
-                 drop_seed=None, mxu_bf16: bool = False):
+                 drop_seed=None, mxu_bf16: bool = False, interpret=None):
     """Fused adLIF layer recurrence (drop-in for cells.adlif_scan).
     ``mxu_bf16`` halves the s/g/dWx stream traffic (no MXU products
     exist here — raw spikes are 0/1, exactly representable, so the
@@ -1142,12 +1160,12 @@ def adlif_pallas(Wx, alpha, beta, a, b, threshold, u0, w0, s0,
     return _call_op(Wx, scale, shift, alpha, beta, a, b, V, threshold,
                     u0, w0, s0, recurrent=False, adaptive=True,
                     mxu_bf16=mxu_bf16, drop_rate=drop_rate,
-                    drop_seed=drop_seed)
+                    drop_seed=drop_seed, interpret=interpret)
 
 
 def lif_pallas(Wx, alpha, threshold, u0, s0, scale=None, shift=None,
                drop_rate: float = 0.0, drop_seed=None,
-               mxu_bf16: bool = False):
+               mxu_bf16: bool = False, interpret=None):
     """Fused LIF layer recurrence (drop-in for cells.lif_scan).
     ``mxu_bf16``: see adlif_pallas."""
     z = jnp.zeros_like(alpha)
@@ -1156,7 +1174,7 @@ def lif_pallas(Wx, alpha, threshold, u0, s0, scale=None, shift=None,
     return _call_op(Wx, scale, shift, alpha, z, z, z, V, threshold,
                     u0, zs, s0, recurrent=False, adaptive=False,
                     mxu_bf16=mxu_bf16, drop_rate=drop_rate,
-                    drop_seed=drop_seed)
+                    drop_seed=drop_seed, interpret=interpret)
 
 
 # ---------------------------------------------------------------------------

@@ -71,8 +71,15 @@ _LANE = 128
 _SUBLANE = 8
 
 
-def _interpret():
-    if jax.default_backend() != "tpu":
+def _interpret(flag=None):
+    """Interpret-mode params. ``flag`` pins the decision (the sharded
+    entry points derive it from their MESH's platform — the process
+    default backend may be the axon TPU while the mesh is the virtual
+    CPU one, and the custom_vjp bwd binds its pallas_call only when the
+    OUTER grad is traced, so the flag must ride the op closures)."""
+    if flag is None:
+        flag = jax.default_backend() != "tpu"
+    if flag:
         return pltpu.InterpretParams()
     return False
 
@@ -599,7 +606,7 @@ def _tp_bwd_kernel(
 def _tp_forward(
     Wx, alpha, beta, a, b, Vcol, threshold, u0, w0, s0,
     *, adaptive: bool, save_residuals: bool, mxu_bf16: bool,
-    axis_name: str, num_devices: int,
+    axis_name: str, num_devices: int, interpret=None,
 ):
     """Per-shard fused TP forward (run under shard_map on the TP axis).
     Params must already be clamped/diag-masked. Shapes: Wx (B, T, Hl);
@@ -686,7 +693,7 @@ def _tp_forward(
             pltpu.SemaphoreType.DMA((2, nd1)),
             pltpu.SemaphoreType.DMA((2, nd1)),
         ],
-        interpret=_interpret(),
+        interpret=_interpret(interpret),
         compiler_params=pltpu.CompilerParams(
             # Mosaic requires None when no barrier semaphore is used (P=1)
             collective_id=2 if num_devices > 1 else None,
@@ -717,6 +724,7 @@ def _tp_forward(
 def _tp_backward(
     g, residuals, alpha, beta, a, b, Vrow, threshold,
     *, adaptive: bool, mxu_bf16: bool, axis_name: str, num_devices: int,
+    interpret=None,
 ):
     """Per-shard fused TP backward. ``Vrow`` is the (Hl, P*Hl) row shard
     (V[shard, :]); returns dV row-sharded (transposed back to the column
@@ -788,7 +796,7 @@ def _tp_backward(
             pltpu.SemaphoreType.DMA((2, nd1)),
             pltpu.SemaphoreType.DMA((2, nd1)),
         ],
-        interpret=_interpret(),
+        interpret=_interpret(interpret),
         compiler_params=pltpu.CompilerParams(
             collective_id=3 if num_devices > 1 else None,
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -812,7 +820,7 @@ def _tp_backward(
 
 @functools.lru_cache(maxsize=None)
 def _get_tp_op(adaptive: bool, threshold: float, mxu_bf16: bool,
-               axis_name: str, num_devices: int):
+               axis_name: str, num_devices: int, interpret=None):
     """custom_vjp'd per-shard TP cell op (one cached instance per config,
     mirroring pallas_cells._make_op)."""
 
@@ -821,6 +829,7 @@ def _get_tp_op(adaptive: bool, threshold: float, mxu_bf16: bool,
             Wx, alpha, beta, a, b, Vcol, threshold, u0, w0, s0,
             adaptive=adaptive, save_residuals=False, mxu_bf16=mxu_bf16,
             axis_name=axis_name, num_devices=num_devices,
+            interpret=interpret,
         )
         return s.astype(Wx.dtype)
 
@@ -833,6 +842,7 @@ def _get_tp_op(adaptive: bool, threshold: float, mxu_bf16: bool,
             Wx, alpha, beta, a, b, Vcol, threshold, u0, w0, s0,
             adaptive=adaptive, save_residuals=True, mxu_bf16=mxu_bf16,
             axis_name=axis_name, num_devices=num_devices,
+            interpret=interpret,
         )
         return s.astype(Wx.dtype), (res, alpha, beta, a, b, Vcol)
 
@@ -848,6 +858,7 @@ def _get_tp_op(adaptive: bool, threshold: float, mxu_bf16: bool,
             gcot, res, alpha, beta, a, b, Vrow, threshold,
             adaptive=adaptive, mxu_bf16=mxu_bf16,
             axis_name=axis_name, num_devices=num_devices,
+            interpret=interpret,
         )
         dVcol = lax.all_to_all(
             dV_rows, axis_name, split_axis=1, concat_axis=0, tiled=True
@@ -876,7 +887,7 @@ def zero_diag_shard(Vcol, axis_name: str):
 
 def rlif_tp_pallas(Wx, alpha, Vcol, threshold, u0, s0, *,
                    axis_name: str, num_devices: int,
-                   mxu_bf16: bool = False):
+                   mxu_bf16: bool = False, interpret=None):
     """Tensor-parallel fused RLIF (per-shard; run under shard_map).
     Semantics: cells.rlif_scan on the gathered arrays
     (reference snns.py:554-578)."""
@@ -886,13 +897,13 @@ def rlif_tp_pallas(Wx, alpha, Vcol, threshold, u0, s0, *,
     Vcol = zero_diag_shard(Vcol, axis_name)
     z = jnp.zeros_like(alpha)
     op = _get_tp_op(False, float(threshold), bool(mxu_bf16),
-                    axis_name, int(num_devices))
+                    axis_name, int(num_devices), interpret=interpret)
     return op(Wx, alpha, z, z, z, Vcol, u0, jnp.zeros_like(u0), s0)
 
 
 def radlif_tp_pallas(Wx, alpha, beta, a, b, Vcol, threshold, u0, w0, s0,
                      *, axis_name: str, num_devices: int,
-                     mxu_bf16: bool = False):
+                     mxu_bf16: bool = False, interpret=None):
     """Tensor-parallel fused RadLIF (per-shard; run under shard_map).
     Semantics: cells.radlif_scan on the gathered arrays
     (reference snns.py:696-727)."""
@@ -904,13 +915,22 @@ def radlif_tp_pallas(Wx, alpha, beta, a, b, Vcol, threshold, u0, w0, s0,
     b = jnp.clip(b, *cells.B_LIM)
     Vcol = zero_diag_shard(Vcol, axis_name)
     op = _get_tp_op(True, float(threshold), bool(mxu_bf16),
-                    axis_name, int(num_devices))
+                    axis_name, int(num_devices), interpret=interpret)
     return op(Wx, alpha, beta, a, b, Vcol, u0, w0, s0)
 
 
 # ---------------------------------------------------------------------------
 # Full-array sharded entry points (model-layer integration)
 # ---------------------------------------------------------------------------
+
+
+def _mesh_interpret(mesh) -> bool:
+    """Interpret-mode decision from the MESH's platform (the process
+    default backend may differ — e.g. axon TPU default while the
+    dryrun's mesh is virtual-CPU). Threaded explicitly into the op
+    closures: the custom_vjp bwd binds its pallas_call only when the
+    OUTER grad is traced, long after any wrapper scope has exited."""
+    return mesh.devices.flat[0].platform != "tpu"
 
 
 def _tp_mesh_specs(mesh, tp_axis: str, batch_axis):
@@ -941,20 +961,26 @@ def rlif_tp_sharded(mesh, Wx, alpha, V, threshold, u0, s0, *,
     per-step in-kernel spike all-gather. Drop-in for cells.rlif_scan."""
     nd, b, P = _tp_mesh_specs(mesh, tp_axis, batch_axis)
     _validate_tp(Wx.shape[-1], nd)
+    interp = _mesh_interpret(mesh)
 
     def per_shard(Wx, alpha, V, u0, s0):
         return rlif_tp_pallas(
             Wx, alpha, V, threshold, u0, s0,
             axis_name=tp_axis, num_devices=nd, mxu_bf16=mxu_bf16,
+            interpret=interp,
         ).astype(Wx.dtype)
 
-    fn = jax.shard_map(
+    # jit the shard_map (the recommended composition): an EAGER grad of a
+    # bare shard_map trips an XLA sharding-override assertion on the 1-D
+    # P(tp_axis) parameter cotangents (jit-of-grad and grad-of-jit are
+    # both fine; observed on jax 0.9 CPU mesh)
+    fn = jax.jit(jax.shard_map(
         per_shard, mesh=mesh,
         in_specs=(P(b, None, tp_axis), P(tp_axis), P(None, tp_axis),
                   P(b, tp_axis), P(b, tp_axis)),
         out_specs=P(b, None, tp_axis),
         check_vma=False,
-    )
+    ))
     return fn(Wx, alpha, V, u0, s0)
 
 
@@ -965,20 +991,27 @@ def radlif_tp_sharded(mesh, Wx, alpha, beta, a, b_ad, V, threshold,
     nd, b, P = _tp_mesh_specs(mesh, tp_axis, batch_axis)
     _validate_tp(Wx.shape[-1], nd)
 
+    interp = _mesh_interpret(mesh)
+
     def per_shard(Wx, alpha, beta, a, b_ad, V, u0, w0, s0):
         return radlif_tp_pallas(
             Wx, alpha, beta, a, b_ad, V, threshold, u0, w0, s0,
             axis_name=tp_axis, num_devices=nd, mxu_bf16=mxu_bf16,
+            interpret=interp,
         ).astype(Wx.dtype)
 
-    fn = jax.shard_map(
+    # jit the shard_map (the recommended composition): an EAGER grad of a
+    # bare shard_map trips an XLA sharding-override assertion on the 1-D
+    # P(tp_axis) parameter cotangents (jit-of-grad and grad-of-jit are
+    # both fine; observed on jax 0.9 CPU mesh)
+    fn = jax.jit(jax.shard_map(
         per_shard, mesh=mesh,
         in_specs=(P(b, None, tp_axis), P(tp_axis), P(tp_axis), P(tp_axis),
                   P(tp_axis), P(None, tp_axis),
                   P(b, tp_axis), P(b, tp_axis), P(b, tp_axis)),
         out_specs=P(b, None, tp_axis),
         check_vma=False,
-    )
+    ))
     return fn(Wx, alpha, beta, a, b_ad, V, u0, w0, s0)
 
 
@@ -991,18 +1024,25 @@ def lif_tp_sharded(mesh, Wx, alpha, threshold, u0, s0, *,
 
     nd, b, P = _tp_mesh_specs(mesh, tp_axis, batch_axis)
 
+    interp = _mesh_interpret(mesh)
+
     def per_shard(Wx, alpha, u0, s0):
         return pallas_cells.lif_pallas(
             Wx, alpha, threshold, u0, s0, mxu_bf16=mxu_bf16,
+            interpret=interp,
         ).astype(Wx.dtype)
 
-    fn = jax.shard_map(
+    # jit the shard_map (the recommended composition): an EAGER grad of a
+    # bare shard_map trips an XLA sharding-override assertion on the 1-D
+    # P(tp_axis) parameter cotangents (jit-of-grad and grad-of-jit are
+    # both fine; observed on jax 0.9 CPU mesh)
+    fn = jax.jit(jax.shard_map(
         per_shard, mesh=mesh,
         in_specs=(P(b, None, tp_axis), P(tp_axis),
                   P(b, tp_axis), P(b, tp_axis)),
         out_specs=P(b, None, tp_axis),
         check_vma=False,
-    )
+    ))
     return fn(Wx, alpha, u0, s0)
 
 
@@ -1014,17 +1054,23 @@ def adlif_tp_sharded(mesh, Wx, alpha, beta, a, b_ad, threshold, u0, w0, s0,
 
     nd, b, P = _tp_mesh_specs(mesh, tp_axis, batch_axis)
 
+    interp = _mesh_interpret(mesh)
+
     def per_shard(Wx, alpha, beta, a, b_ad, u0, w0, s0):
         return pallas_cells.adlif_pallas(
             Wx, alpha, beta, a, b_ad, threshold, u0, w0, s0,
-            mxu_bf16=mxu_bf16,
+            mxu_bf16=mxu_bf16, interpret=interp,
         ).astype(Wx.dtype)
 
-    fn = jax.shard_map(
+    # jit the shard_map (the recommended composition): an EAGER grad of a
+    # bare shard_map trips an XLA sharding-override assertion on the 1-D
+    # P(tp_axis) parameter cotangents (jit-of-grad and grad-of-jit are
+    # both fine; observed on jax 0.9 CPU mesh)
+    fn = jax.jit(jax.shard_map(
         per_shard, mesh=mesh,
         in_specs=(P(b, None, tp_axis), P(tp_axis), P(tp_axis), P(tp_axis),
                   P(tp_axis), P(b, tp_axis), P(b, tp_axis), P(b, tp_axis)),
         out_specs=P(b, None, tp_axis),
         check_vma=False,
-    )
+    ))
     return fn(Wx, alpha, beta, a, b_ad, u0, w0, s0)

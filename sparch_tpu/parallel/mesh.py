@@ -60,13 +60,20 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
-def _pspec_for_param(path: str, shape) -> P:
+def _pspec_for_param(path: str, shape, v_cols: bool = False) -> P:
     """Name-based tensor-parallel partitioning rule for SNN/ANN params.
 
     Hidden layers: feedforward kernels column-sharded (output/hidden dim on
     'model'), per-neuron constants and norm scales sharded on 'model',
     recurrent V row-sharded (contracting dim on 'model' -> psum after the
     per-step matmul). Readout params stay replicated (tiny).
+
+    ``v_cols`` flips the recurrent matrices to COLUMN sharding — the
+    layout the tensor-parallel fused kernels consume (ops/pallas_tp.py:
+    each chip computes ``s_full @ V[:, shard]`` after an in-kernel spike
+    all-gather, so V lives output-dim-sharded in VMEM). Storing V the
+    way the kernel reads it avoids an all-to-all at every shard_map
+    entry.
     """
     if "readout" in path:
         return P()
@@ -78,13 +85,13 @@ def _pspec_for_param(path: str, shape) -> P:
     if leaf in ("alpha", "beta", "a", "b"):
         return P("model")
     if leaf == "V" or leaf in ("Vz", "Vr"):
-        return P("model", None)
+        return P(None, "model") if v_cols else P("model", None)
     if leaf in ("scale", "mean", "var"):
         return P("model")
     return P()
 
 
-def model_param_pspecs(tree):
+def model_param_pspecs(tree, v_cols: bool = False):
     """Build a PartitionSpec pytree for params/batch_stats via name rules."""
     flat = jax.tree_util.tree_flatten_with_path(tree)
     specs = {}
@@ -98,20 +105,24 @@ def model_param_pspecs(tree):
 
     paths_leaves, treedef = flat
     spec_leaves = [
-        _pspec_for_param(path_str(kp), leaf.shape) for kp, leaf in paths_leaves
+        _pspec_for_param(path_str(kp), leaf.shape, v_cols=v_cols)
+        for kp, leaf in paths_leaves
     ]
     return jax.tree_util.tree_unflatten(treedef, spec_leaves)
 
 
-def shard_state(state, mesh: Mesh, tensor_parallel: bool = False):
+def shard_state(state, mesh: Mesh, tensor_parallel: bool = False,
+                v_cols: bool = False):
     """Place a TrainState on the mesh: replicated by default; with
     ``tensor_parallel`` the hidden dimension of params/batch_stats/opt_state
-    moments is sharded over 'model'."""
+    moments is sharded over 'model' (``v_cols`` column-shards the
+    recurrent matrices for the fused-kernel TP path, see
+    ``_pspec_for_param``)."""
     if not tensor_parallel:
         return replicate(state, mesh)
 
-    param_specs = model_param_pspecs(state.params)
-    stats_specs = model_param_pspecs(state.batch_stats)
+    param_specs = model_param_pspecs(state.params, v_cols=v_cols)
+    stats_specs = model_param_pspecs(state.batch_stats, v_cols=v_cols)
 
     def put(tree, specs):
         return jax.tree.map(

@@ -99,10 +99,14 @@ def add_model_options(parser):
     parser.add_argument(
         "--cell_impl",
         type=str,
-        choices=["auto", "scan", "pallas"],
+        choices=["auto", "scan", "pallas", "pallas_tp"],
         default="auto",
         help="Neuron recurrence implementation: fused Pallas TPU kernels or "
-        "XLA lax.scan. 'auto' uses Pallas on TPU, scan elsewhere.",
+        "XLA lax.scan. 'auto' uses Pallas on TPU, scan elsewhere. "
+        "'pallas_tp' (spiking models, --mesh_model >= 2) runs the fused "
+        "kernels neuron-sharded over the 'model' mesh axis with in-kernel "
+        "ICI collectives — the fused-kernel path for layers wider than "
+        "one chip's VMEM cap.",
     )
     parser.add_argument(
         "--compute_dtype",

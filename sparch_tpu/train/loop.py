@@ -215,6 +215,19 @@ class Experiment:
             reg_fmax=self.reg_fmax,
         )
         self._eval_step = make_eval_step(self.net)
+        # pallas_tp: ragged batches (B not divisible by the 'data' axis)
+        # run through the scan twin — same math, GSPMD-sharded, no
+        # shard_map divisibility constraint
+        self._tp_fb_train_step = self._tp_fb_eval_step = None
+        if self._tp_fallback_net is not None:
+            self._tp_fb_train_step = make_train_step(
+                self._tp_fallback_net,
+                use_regularizers=self.use_regularizers,
+                reg_factor=self.reg_factor,
+                reg_fmin=self.reg_fmin,
+                reg_fmax=self.reg_fmax,
+            )
+            self._tp_fb_eval_step = make_eval_step(self._tp_fallback_net)
         self._pipe_train_step = self._pipe_eval_step = None
         if self.seq_mesh is not None:
             from sparch_tpu.parallel.seqpipe import (
@@ -380,10 +393,7 @@ class Experiment:
             # (serve.Predictor.from_experiment)
             "pad_multiple": self.pad_multiple,
         }
-        self.net = build_model(
-            self.model_type,
-            input_shape,
-            layer_sizes,
+        build_kw = dict(
             threshold=self.threshold,
             dropout=self.pdrop,
             normalization=self.normalization,
@@ -391,15 +401,63 @@ class Experiment:
             bidirectional=self.bidirectional,
             use_readout_layer=True,
             state_init=self.state_init,
-            cell_impl=self.cell_impl,
             compute_dtype=None if self.compute_dtype == "float32" else dtype,
             remat=self.remat,
         )
+        # Tensor-parallel fused cells: neuron-sharded Pallas kernels with
+        # per-step in-kernel ICI collectives (ops/pallas_tp.py) — the
+        # fused-kernel path for layers wider than one chip's VMEM cap.
+        # A scan twin (identical param tree) handles init and the ragged
+        # final batch (shard_map needs B divisible by the 'data' axis;
+        # the plain GSPMD step doesn't).
+        self._tp_fallback_net = None
+        if self.cell_impl == "pallas_tp":
+            if self.model_type not in SNN_NEURON_TYPES:
+                raise ValueError(
+                    "--cell_impl pallas_tp covers the spiking models "
+                    "(LIF/adLIF/RLIF/RadLIF); the ANN cells tensor-"
+                    "parallelise via GSPMD scan (--cell_impl auto)"
+                )
+            if self.mesh_model < 2:
+                raise ValueError(
+                    "--cell_impl pallas_tp needs --mesh_model >= 2 (the "
+                    "kernels shard neurons over the 'model' mesh axis)"
+                )
+            if self.seq_mesh is not None:
+                raise ValueError(
+                    "--cell_impl pallas_tp does not compose with "
+                    "--seq_parallel (the time-pipelined step shards the "
+                    "recurrence itself)"
+                )
+            if self.nb_hiddens % (self.mesh_model * 128):
+                raise ValueError(
+                    f"--cell_impl pallas_tp needs --nb_hiddens divisible "
+                    f"by mesh_model*128 = {self.mesh_model * 128} (lane-"
+                    f"aligned neuron shards), got {self.nb_hiddens}"
+                )
+            self.net = build_model(
+                self.model_type, input_shape, layer_sizes,
+                cell_impl="pallas_tp", tp_mesh=self.mesh, tp_axis="model",
+                tp_batch_axis="data", **build_kw,
+            )
+            self._tp_fallback_net = build_model(
+                self.model_type, input_shape, layer_sizes,
+                cell_impl="scan", **build_kw,
+            )
+        else:
+            self.net = build_model(
+                self.model_type, input_shape, layer_sizes,
+                cell_impl=self.cell_impl, **build_kw,
+            )
 
         if self.frontend == "device":
             from sparch_tpu.models.frontend import FbankFrontend
 
             self.net = FbankFrontend(inner=self.net)
+            if self._tp_fallback_net is not None:
+                self._tp_fallback_net = FbankFrontend(
+                    inner=self._tp_fallback_net
+                )
             # smallest waveform batch producing 8 fbank frames, + lengths
             sample = (
                 np.zeros((2, 400 + 7 * 160), np.float32),
@@ -407,8 +465,16 @@ class Experiment:
             )
         else:
             sample = np.zeros((2, 8, self.nb_inputs), np.float32)
+        # init through the scan twin on the pallas_tp path: identical
+        # param tree, and the un-jitted init never dispatches the
+        # distributed kernels (whose tiny 2-sample init batch would not
+        # even divide the mesh)
+        init_net = (
+            self._tp_fallback_net if self._tp_fallback_net is not None
+            else self.net
+        )
         self.state = create_train_state(
-            self.net, sample, self.lr, jax.random.PRNGKey(self.seed)
+            init_net, sample, self.lr, jax.random.PRNGKey(self.seed)
         )
 
         self._restored_meta = {}
@@ -425,7 +491,8 @@ class Experiment:
             self.state = replicate(self.state, self.seq_mesh)
         else:
             self.state = shard_state(
-                self.state, self.mesh, tensor_parallel=self.mesh_model > 1
+                self.state, self.mesh, tensor_parallel=self.mesh_model > 1,
+                v_cols=self.cell_impl == "pallas_tp",
             )
 
         self.nb_params = sum(
@@ -461,6 +528,16 @@ class Experiment:
             and T % seq == 0
         )
 
+    def _tp_ok(self, x):
+        """Whether this batch's shapes fit the pallas_tp shard_map: the
+        batch must divide the 'data' axis AND leave each shard a
+        sublane-aligned (multiple-of-8) slice for the kernels. Ragged
+        batches run the scan-twin fallback step (same math, GSPMD)."""
+        n_data = self.mesh.devices.shape[0]
+        lead = jax.tree.leaves(x)[0]
+        B = lead.shape[0]
+        return B % n_data == 0 and (B // n_data) % 8 == 0
+
     def _put_batch(self, x, y):
         """Shard on 'data' when divisible; a ragged final batch runs
         replicated (one extra compile, exact reference semantics — no
@@ -495,7 +572,13 @@ class Experiment:
                 )
             else:
                 x, y = self._put_batch(x, y)
-                self.state, metrics = self._train_step(self.state, x, y)
+                step = (
+                    self._tp_fb_train_step
+                    if self._tp_fb_train_step is not None
+                    and not self._tp_ok(x)
+                    else self._train_step
+                )
+                self.state, metrics = step(self.state, x, y)
             losses.append(metrics["loss"])
             accs.append(metrics["acc"])
             rates.append(metrics["spike_rate"])
@@ -536,7 +619,13 @@ class Experiment:
                 metrics = self._pipe_eval_step(self.state, xs, y, step_rng)
             else:
                 x, y = self._put_batch(x, y)
-                metrics = self._eval_step(self.state, x, y, step_rng)
+                step = (
+                    self._tp_fb_eval_step
+                    if self._tp_fb_eval_step is not None
+                    and not self._tp_ok(x)
+                    else self._eval_step
+                )
+                metrics = step(self.state, x, y, step_rng)
             losses.append(metrics["loss"])
             accs.append(metrics["acc"])
             rates.append(metrics["spike_rate"])

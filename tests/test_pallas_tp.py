@@ -342,3 +342,116 @@ def test_tp_cell_composed_dp_tp_mesh():
     s_tp = fn(Wx, alpha, V, u0, s0)
     s_ref = cells.rlif_scan(Wx, alpha, V, threshold, u0, s0)
     np.testing.assert_array_equal(np.asarray(s_tp), np.asarray(s_ref))
+
+
+# ---------------------------------------------------------------------------
+# Model-level integration: SNN(cell_impl='pallas_tp') == SNN(scan)
+# ---------------------------------------------------------------------------
+
+from sparch_tpu.models import build_model  # noqa: E402
+from sparch_tpu.models.snn import SNN  # noqa: E402
+
+
+def _quantize_V(variables):
+    """Snap recurrent matrices to 1/64 grid so the sharded dot is
+    order-exact (same trick as the kernel-level tests)."""
+    import flax
+
+    params = flax.core.unfreeze(variables["params"])
+    for lname, leaves in params.items():
+        if isinstance(leaves, dict) and "V" in leaves:
+            leaves["V"] = _quantize(leaves["V"] * 3.0)
+    out = dict(variables)
+    out["params"] = flax.core.freeze(params)
+    return out
+
+
+@pytest.mark.parametrize("neuron,bidir,nd", [
+    ("RadLIF", False, 4), ("RLIF", True, 2), ("LIF", False, 2),
+    ("adLIF", False, 2),
+])
+def test_snn_pallas_tp_matches_scan(neuron, bidir, nd):
+    """Full SNN forward + gradients with cell_impl='pallas_tp' match the
+    scan model from identical variables/rngs (TP mesh; dropout and
+    normalization live outside the TP kernels, so they are the exact
+    same ops on both paths). Everything here must run JITTED: an eager
+    backward dispatches the interpret-mode collectives one primitive at
+    a time, and on a warm 1-vCPU process the simulator's device-barrier
+    deadline expires mid-rendezvous (observed: passes alone, hard-aborts
+    after a dozen prior tests in the same process)."""
+    mesh = _mesh(nd)
+    B, T, F, H, C = 8, 20, 40, 128 * nd, 20
+    kw = dict(
+        input_shape=(B, T, F), layer_sizes=[H, C], neuron_type=neuron,
+        dropout=0.1, normalization="batchnorm", bidirectional=bidir,
+        state_init="uniform",
+    )
+    scan_model = SNN(cell_impl="scan", **kw)
+    tp_model = SNN(cell_impl="pallas_tp", tp_mesh=mesh,
+                   tp_batch_axis=None, **kw)
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, T, F), jnp.float32)
+    rngs = {"params": jax.random.PRNGKey(1), "state": jax.random.PRNGKey(2),
+            "dropout": jax.random.PRNGKey(3)}
+    variables = _quantize_V(scan_model.init(rngs, x, train=True))
+    apply_rngs = {"state": jax.random.PRNGKey(4),
+                  "dropout": jax.random.PRNGKey(5)}
+
+    def run(model, variables):
+        @jax.jit
+        def fwd(variables):
+            return model.apply(
+                variables, x, train=True, rngs=apply_rngs,
+                mutable=["batch_stats"],
+            )
+
+        (out, rates), updates = fwd(variables)
+        return out, rates, updates
+
+    out_s, rates_s, bs_s = run(scan_model, variables)
+    out_t, rates_t, bs_t = run(tp_model, variables)
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(out_s),
+                               rtol=0, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(rates_t), np.asarray(rates_s))
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=0, atol=1e-6
+        ),
+        bs_t, bs_s,
+    )
+
+    y = jax.random.randint(jax.random.PRNGKey(6), (B,), 0, C)
+
+    def loss_fn(model):
+        def f(params):
+            vs = dict(variables)
+            vs["params"] = params
+            (out, rates), _ = model.apply(
+                vs, x, train=True, rngs=apply_rngs,
+                mutable=["batch_stats"],
+            )
+            ce = -jnp.mean(
+                jax.nn.log_softmax(out)[jnp.arange(B), y]
+            )
+            return ce + 0.1 * jnp.sum(rates)
+        return f
+
+    g_s = jax.jit(jax.grad(loss_fn(scan_model)))(variables["params"])
+    g_t = jax.jit(jax.grad(loss_fn(tp_model)))(variables["params"])
+
+    flat_s = jax.tree_util.tree_flatten_with_path(g_s)[0]
+    flat_t = jax.tree_util.tree_flatten_with_path(g_t)[0]
+    for (path_s, a), (path_t, b) in zip(flat_s, flat_t):
+        scale = max(float(jnp.abs(a).max()), 1e-4)
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=0, atol=5e-5 * scale,
+            err_msg=f"param grad mismatch at {jax.tree_util.keystr(path_s)}",
+        )
+
+
+def test_snn_pallas_tp_requires_mesh():
+    model = SNN(input_shape=(8, 10, 4), layer_sizes=[256, 20],
+                neuron_type="RLIF", cell_impl="pallas_tp")
+    x = jnp.zeros((8, 10, 4))
+    with pytest.raises(ValueError, match="tp_mesh"):
+        model.init({"params": jax.random.PRNGKey(0),
+                    "state": jax.random.PRNGKey(1)}, x, train=False)

@@ -167,3 +167,67 @@ def test_maybe_initialize_noop_without_coordinator(monkeypatch):
     )
     assert mh.maybe_initialize() is False
     assert "initialize" not in calls
+
+
+def test_pallas_tp_train_step_matches_scan():
+    """The trainer wiring for cell_impl='pallas_tp': a full train step
+    over a (data=1, model=2) mesh with v_cols state sharding matches the
+    single-device scan step's loss/metrics (same param tree; the fused
+    TP kernels run under the interpret-mode DMA simulation on the CPU
+    mesh)."""
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    if len(devs) < 2:
+        pytest.skip("needs 2 devices")
+    mesh = make_mesh(devices=devs[:2], model=2)
+
+    H = 256  # 2 x 128-lane shards
+    x, y = _batch(4)
+    scan_model = build_model(
+        "RadLIF", (B, T, F), [H, C], dropout=0.0, state_init="zeros",
+        normalization="batchnorm", cell_impl="scan",
+    )
+    tp_model = build_model(
+        "RadLIF", (B, T, F), [H, C], dropout=0.0, state_init="zeros",
+        normalization="batchnorm", cell_impl="pallas_tp",
+        tp_mesh=mesh, tp_axis="model", tp_batch_axis="data",
+    )
+    state = create_train_state(scan_model, x, lr=1e-2,
+                               rng=jax.random.PRNGKey(0))
+
+    # column-sharded V on the fused-TP path (the layout the kernel reads)
+    specs = model_param_pspecs(state.params, v_cols=True)
+    assert specs["layer_0"]["V"] == P(None, "model")
+
+    state_tp = shard_state(state, mesh, tensor_parallel=True, v_cols=True)
+    step_tp = make_train_step(tp_model, donate=False)
+    xs = jax.device_put(x, batch_sharding(mesh))
+    ys = jax.device_put(y, batch_sharding(mesh))
+    s_tp, m_tp = step_tp(state_tp, xs, ys)
+
+    step_ref = make_train_step(scan_model, donate=False)
+    s_ref, m_ref = step_ref(state, x, y)
+
+    np.testing.assert_allclose(
+        float(m_tp["loss"]), float(m_ref["loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(m_tp["spike_rate"]), float(m_ref["spike_rate"]), atol=1e-6
+    )
+    assert float(m_tp["acc"]) == float(m_ref["acc"])
+
+
+def test_build_model_from_config_downgrades_pallas_tp():
+    """Serving/migration rebuild from meta.json without a process mesh:
+    a recorded cell_impl='pallas_tp' maps to 'auto' (same param tree)."""
+    from sparch_tpu.models import build_model_from_config
+
+    cfg = dict(
+        model_type="RLIF", input_shape=(4, 6, 12), layer_sizes=[256, 4],
+        normalization="batchnorm", use_bias=False, bidirectional=False,
+        cell_impl="pallas_tp",
+    )
+    net = build_model_from_config(cfg)
+    assert net.cell_impl == "auto"
+    assert net.tp_mesh is None

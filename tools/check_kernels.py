@@ -312,6 +312,83 @@ def spiking_dropout_case(variant, *, B, T, H, p=0.3, bf16=False):
     return m, fails
 
 
+def tp_case(variant, *, B, T, H, bf16=False):
+    """P=1 tensor-parallel fused cells on the CURRENT backend: compiles
+    the in-kernel collective machinery (the remote DMAs degenerate to
+    self-copies at num_devices=1 — the only TP configuration a single
+    chip can run) and checks the forward + ALL gradients against the
+    scan cells. Multi-device semantics are pinned on the virtual CPU
+    mesh (tests/test_pallas_tp.py); no multi-chip TPU exists in this
+    environment (ops/pallas_tp.py module docstring)."""
+    from jax.sharding import Mesh  # noqa: E402
+
+    from sparch_tpu.ops import pallas_tp  # noqa: E402
+
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("model",))
+    rng = np.random.default_rng(zlib.crc32(f"tp-{variant}".encode()))
+    d = _spiking_data(rng, B, T, H)
+    names = _SPIKING[variant][0]
+    tp_fn = getattr(pallas_tp, f"{variant}_tp_sharded")
+    scan = getattr(cells, f"{variant}_scan")
+
+    def reorder(kw):
+        if variant == "rlif":
+            return (kw["Wx"], kw["alpha"], kw["V"], THR, kw["u0"], kw["s0"])
+        return (kw["Wx"], kw["alpha"], kw["beta"], kw["a"], kw["b"],
+                kw["V"], THR, kw["u0"], kw["w0"], kw["s0"])
+
+    def pallas_fn(kw):
+        return tp_fn(mesh, *reorder(kw), tp_axis="model", batch_axis=None,
+                     mxu_bf16=bf16)
+
+    def scan_fn(kw):
+        return scan(*reorder(kw))
+
+    wgt = _weights((T, H))
+
+    @jax.jit
+    def metrics():
+        def loss(fn):
+            def inner(*args):
+                kw = dict(zip(names, args))
+                for k in d:
+                    kw.setdefault(k, d[k])
+                return (fn(kw) * wgt).sum()
+            return inner
+
+        args = tuple(d[n] for n in names)
+        out_p = pallas_fn(dict(d))
+        gp = jax.grad(loss(pallas_fn), argnums=tuple(range(len(args))))(*args)
+        with jax.default_matmul_precision("highest"):
+            out_s = scan_fn(dict(d))
+            gs = jax.grad(loss(scan_fn),
+                          argnums=tuple(range(len(args))))(*args)
+        m = {
+            "spike_agree": jnp.mean((out_p == out_s).astype(jnp.float32)),
+            "fwd_finite": jnp.all(jnp.isfinite(out_p)).astype(jnp.float32),
+        }
+        for n, x, y in zip(names, gp, gs):
+            m[f"g_{n}"] = _rel(x, y)
+        m["grads_finite"] = functools.reduce(
+            jnp.logical_and, [jnp.all(jnp.isfinite(x)) for x in gp]
+        ).astype(jnp.float32)
+        return m
+
+    m = {k: float(v) for k, v in metrics().items()}
+    fails = []
+    agree_lim = 0.99 if bf16 else 0.99999
+    grad_lim = 0.1 if bf16 else 1e-4
+    if m["spike_agree"] < agree_lim:
+        fails.append(f"spike_agree={m['spike_agree']:.6f}<{agree_lim}")
+    if not m["fwd_finite"] or not m["grads_finite"]:
+        fails.append("non-finite values")
+    worst = max((v, k) for k, v in m.items() if k.startswith("g_"))
+    if worst[0] > grad_lim:
+        fails.append(f"grad {worst[1]}={worst[0]:.2e}>{grad_lim}")
+    m["worst_grad"] = worst[0]
+    return m, fails
+
+
 def readout_case(*, B, T, H):
     rng = np.random.default_rng(99)
     Wx = jnp.asarray(rng.uniform(-3, 3, (B, T, H)), jnp.float32)
@@ -602,6 +679,19 @@ def build_cases():
          functools.partial(ann_case, "gru", affine=True, bf16=True,
                            wx_bf16=True, loose=True,
                            v_scale=(128 / WB["H"]) ** 0.5, **WB))
+    )
+    # tensor-parallel fused cells at P=1: compiles the in-kernel
+    # collective machinery (self-copy DMAs) on the current backend
+    cases.append(
+        ("rlif/tp1", functools.partial(tp_case, "rlif", B=16, T=20, H=128))
+    )
+    cases.append(
+        ("radlif/tp1",
+         functools.partial(tp_case, "radlif", B=16, T=20, H=128))
+    )
+    cases.append(
+        ("radlif/tp1bf16",
+         functools.partial(tp_case, "radlif", bf16=True, B=16, T=20, H=128))
     )
     cases.append(
         ("ligru/b128bf16/tpu",
