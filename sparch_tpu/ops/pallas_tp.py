@@ -260,8 +260,11 @@ def _rs_kernel(x_ref, out_ref, stage, slots, send_sems, recv_sems, *,
 
 def tp_reduce_scatter(x, *, axis_name: str, num_devices: int,
                       rounds: int = 3):
-    """Per-shard (B, H) partial -> (rounds, B, Hloc); round r returns
-    ``sum_chips(x)[:, my_shard] + r``.
+    """Per-shard (B, H) partial -> (rounds, B, Hloc); chained rounds:
+    round 0 reduces ``x`` itself; round r>0 re-stages ``x + acc[:, 0:1]``
+    (the previous round's reduced first column, broadcast) and reduces
+    that — the consumption chain that makes two parity slots sufficient
+    (see _rs_kernel). tests/test_pallas_tp.py pins the recurrence.
 
     Test harness for the in-kernel reduce-scatter (call under shard_map)."""
     B, H = x.shape
@@ -844,10 +847,15 @@ def _get_tp_op(adaptive: bool, threshold: float, mxu_bf16: bool,
             axis_name=axis_name, num_devices=num_devices,
             interpret=interpret,
         )
-        return s.astype(Wx.dtype), (res, alpha, beta, a, b, Vcol)
+        # zero-length state slices ride along as dtype tokens: the bwd's
+        # du0/dw0/ds0 cotangents must match the primal dtypes
+        # (custom_vjp contract — mirrors pallas_cells._make_op)
+        return s.astype(Wx.dtype), (
+            res, alpha, beta, a, b, Vcol, u0[:0], w0[:0], s0[:0]
+        )
 
     def bwd(pack, gcot):
-        res, alpha, beta, a, b, Vcol = pack
+        res, alpha, beta, a, b, Vcol, u0_tok, w0_tok, s0_tok = pack
         # the backward contracts over V's columns: derive the row shard
         # V[shard, :] with one all_to_all (block transpose of the
         # column sharding), and transpose dV back the same way
@@ -868,7 +876,15 @@ def _get_tp_op(adaptive: bool, threshold: float, mxu_bf16: bool,
             da = jnp.zeros_like(a)
             db = jnp.zeros_like(b)
             dw0 = jnp.zeros_like(du0)
-        return dWx, dalpha, dbeta, da, db, dVcol, du0, dw0, ds0
+        # tangent dtypes must match the primals (custom_vjp contract)
+        return (
+            dWx,
+            dalpha.astype(alpha.dtype), dbeta.astype(beta.dtype),
+            da.astype(a.dtype), db.astype(b.dtype),
+            dVcol.astype(Vcol.dtype),
+            du0.astype(u0_tok.dtype), dw0.astype(w0_tok.dtype),
+            ds0.astype(s0_tok.dtype),
+        )
 
     op.defvjp(fwd, bwd)
     return op
@@ -954,14 +970,17 @@ def _validate_tp(H: int, nd: int):
         )
 
 
-def rlif_tp_sharded(mesh, Wx, alpha, V, threshold, u0, s0, *,
-                    tp_axis: str = "model", batch_axis=None,
-                    mxu_bf16: bool = False):
-    """Full-array RLIF over a mesh: neuron-sharded fused kernels with the
-    per-step in-kernel spike all-gather. Drop-in for cells.rlif_scan."""
-    nd, b, P = _tp_mesh_specs(mesh, tp_axis, batch_axis)
-    _validate_tp(Wx.shape[-1], nd)
-    interp = _mesh_interpret(mesh)
+# The sharded entry points cache their jitted shard_map per
+# (mesh, config) tuple: without the cache an EAGER (non-jitted) caller
+# would rebuild + retrace the closure every invocation. All shipped
+# call sites are inside jitted train/eval steps (where the jit is
+# inlined and this cache is moot), but the direct API shouldn't be a
+# retrace footgun.
+
+
+@functools.lru_cache(maxsize=None)
+def _rlif_tp_fn(mesh, threshold, tp_axis, b, nd, mxu_bf16, interp):
+    from jax.sharding import PartitionSpec as P
 
     def per_shard(Wx, alpha, V, u0, s0):
         return rlif_tp_pallas(
@@ -974,24 +993,30 @@ def rlif_tp_sharded(mesh, Wx, alpha, V, threshold, u0, s0, *,
     # bare shard_map trips an XLA sharding-override assertion on the 1-D
     # P(tp_axis) parameter cotangents (jit-of-grad and grad-of-jit are
     # both fine; observed on jax 0.9 CPU mesh)
-    fn = jax.jit(jax.shard_map(
+    return jax.jit(jax.shard_map(
         per_shard, mesh=mesh,
         in_specs=(P(b, None, tp_axis), P(tp_axis), P(None, tp_axis),
                   P(b, tp_axis), P(b, tp_axis)),
         out_specs=P(b, None, tp_axis),
         check_vma=False,
     ))
+
+
+def rlif_tp_sharded(mesh, Wx, alpha, V, threshold, u0, s0, *,
+                    tp_axis: str = "model", batch_axis=None,
+                    mxu_bf16: bool = False):
+    """Full-array RLIF over a mesh: neuron-sharded fused kernels with the
+    per-step in-kernel spike all-gather. Drop-in for cells.rlif_scan."""
+    nd, b, _ = _tp_mesh_specs(mesh, tp_axis, batch_axis)
+    _validate_tp(Wx.shape[-1], nd)
+    fn = _rlif_tp_fn(mesh, float(threshold), tp_axis, b, nd,
+                     bool(mxu_bf16), _mesh_interpret(mesh))
     return fn(Wx, alpha, V, u0, s0)
 
 
-def radlif_tp_sharded(mesh, Wx, alpha, beta, a, b_ad, V, threshold,
-                      u0, w0, s0, *, tp_axis: str = "model",
-                      batch_axis=None, mxu_bf16: bool = False):
-    """Full-array RadLIF over a mesh (drop-in for cells.radlif_scan)."""
-    nd, b, P = _tp_mesh_specs(mesh, tp_axis, batch_axis)
-    _validate_tp(Wx.shape[-1], nd)
-
-    interp = _mesh_interpret(mesh)
+@functools.lru_cache(maxsize=None)
+def _radlif_tp_fn(mesh, threshold, tp_axis, b, nd, mxu_bf16, interp):
+    from jax.sharding import PartitionSpec as P
 
     def per_shard(Wx, alpha, beta, a, b_ad, V, u0, w0, s0):
         return radlif_tp_pallas(
@@ -1000,11 +1025,8 @@ def radlif_tp_sharded(mesh, Wx, alpha, beta, a, b_ad, V, threshold,
             interpret=interp,
         ).astype(Wx.dtype)
 
-    # jit the shard_map (the recommended composition): an EAGER grad of a
-    # bare shard_map trips an XLA sharding-override assertion on the 1-D
-    # P(tp_axis) parameter cotangents (jit-of-grad and grad-of-jit are
-    # both fine; observed on jax 0.9 CPU mesh)
-    fn = jax.jit(jax.shard_map(
+    # (see _rlif_tp_fn for the jit-of-shard_map rationale)
+    return jax.jit(jax.shard_map(
         per_shard, mesh=mesh,
         in_specs=(P(b, None, tp_axis), P(tp_axis), P(tp_axis), P(tp_axis),
                   P(tp_axis), P(None, tp_axis),
@@ -1012,19 +1034,24 @@ def radlif_tp_sharded(mesh, Wx, alpha, beta, a, b_ad, V, threshold,
         out_specs=P(b, None, tp_axis),
         check_vma=False,
     ))
+
+
+def radlif_tp_sharded(mesh, Wx, alpha, beta, a, b_ad, V, threshold,
+                      u0, w0, s0, *, tp_axis: str = "model",
+                      batch_axis=None, mxu_bf16: bool = False):
+    """Full-array RadLIF over a mesh (drop-in for cells.radlif_scan)."""
+    nd, b, _ = _tp_mesh_specs(mesh, tp_axis, batch_axis)
+    _validate_tp(Wx.shape[-1], nd)
+    fn = _radlif_tp_fn(mesh, float(threshold), tp_axis, b, nd,
+                       bool(mxu_bf16), _mesh_interpret(mesh))
     return fn(Wx, alpha, beta, a, b_ad, V, u0, w0, s0)
 
 
-def lif_tp_sharded(mesh, Wx, alpha, threshold, u0, s0, *,
-                   tp_axis: str = "model", batch_axis=None,
-                   mxu_bf16: bool = False):
-    """Neuron-sharded LIF: no recurrence, so no cross-shard dependency —
-    the single-chip fused kernel simply runs per shard."""
+@functools.lru_cache(maxsize=None)
+def _lif_tp_fn(mesh, threshold, tp_axis, b, mxu_bf16, interp):
+    from jax.sharding import PartitionSpec as P
+
     from sparch_tpu.ops import pallas_cells
-
-    nd, b, P = _tp_mesh_specs(mesh, tp_axis, batch_axis)
-
-    interp = _mesh_interpret(mesh)
 
     def per_shard(Wx, alpha, u0, s0):
         return pallas_cells.lif_pallas(
@@ -1032,29 +1059,32 @@ def lif_tp_sharded(mesh, Wx, alpha, threshold, u0, s0, *,
             interpret=interp,
         ).astype(Wx.dtype)
 
-    # jit the shard_map (the recommended composition): an EAGER grad of a
-    # bare shard_map trips an XLA sharding-override assertion on the 1-D
-    # P(tp_axis) parameter cotangents (jit-of-grad and grad-of-jit are
-    # both fine; observed on jax 0.9 CPU mesh)
-    fn = jax.jit(jax.shard_map(
+    # (see _rlif_tp_fn for the jit-of-shard_map rationale)
+    return jax.jit(jax.shard_map(
         per_shard, mesh=mesh,
         in_specs=(P(b, None, tp_axis), P(tp_axis),
                   P(b, tp_axis), P(b, tp_axis)),
         out_specs=P(b, None, tp_axis),
         check_vma=False,
     ))
+
+
+def lif_tp_sharded(mesh, Wx, alpha, threshold, u0, s0, *,
+                   tp_axis: str = "model", batch_axis=None,
+                   mxu_bf16: bool = False):
+    """Neuron-sharded LIF: no recurrence, so no cross-shard dependency —
+    the single-chip fused kernel simply runs per shard."""
+    nd, b, _ = _tp_mesh_specs(mesh, tp_axis, batch_axis)
+    fn = _lif_tp_fn(mesh, float(threshold), tp_axis, b,
+                    bool(mxu_bf16), _mesh_interpret(mesh))
     return fn(Wx, alpha, u0, s0)
 
 
-def adlif_tp_sharded(mesh, Wx, alpha, beta, a, b_ad, threshold, u0, w0, s0,
-                     *, tp_axis: str = "model", batch_axis=None,
-                     mxu_bf16: bool = False):
-    """Neuron-sharded adLIF (single-chip fused kernel per shard)."""
+@functools.lru_cache(maxsize=None)
+def _adlif_tp_fn(mesh, threshold, tp_axis, b, mxu_bf16, interp):
+    from jax.sharding import PartitionSpec as P
+
     from sparch_tpu.ops import pallas_cells
-
-    nd, b, P = _tp_mesh_specs(mesh, tp_axis, batch_axis)
-
-    interp = _mesh_interpret(mesh)
 
     def per_shard(Wx, alpha, beta, a, b_ad, u0, w0, s0):
         return pallas_cells.adlif_pallas(
@@ -1062,15 +1092,21 @@ def adlif_tp_sharded(mesh, Wx, alpha, beta, a, b_ad, threshold, u0, w0, s0,
             mxu_bf16=mxu_bf16, interpret=interp,
         ).astype(Wx.dtype)
 
-    # jit the shard_map (the recommended composition): an EAGER grad of a
-    # bare shard_map trips an XLA sharding-override assertion on the 1-D
-    # P(tp_axis) parameter cotangents (jit-of-grad and grad-of-jit are
-    # both fine; observed on jax 0.9 CPU mesh)
-    fn = jax.jit(jax.shard_map(
+    # (see _rlif_tp_fn for the jit-of-shard_map rationale)
+    return jax.jit(jax.shard_map(
         per_shard, mesh=mesh,
         in_specs=(P(b, None, tp_axis), P(tp_axis), P(tp_axis), P(tp_axis),
                   P(tp_axis), P(b, tp_axis), P(b, tp_axis), P(b, tp_axis)),
         out_specs=P(b, None, tp_axis),
         check_vma=False,
     ))
+
+
+def adlif_tp_sharded(mesh, Wx, alpha, beta, a, b_ad, threshold, u0, w0, s0,
+                     *, tp_axis: str = "model", batch_axis=None,
+                     mxu_bf16: bool = False):
+    """Neuron-sharded adLIF (single-chip fused kernel per shard)."""
+    nd, b, _ = _tp_mesh_specs(mesh, tp_axis, batch_axis)
+    fn = _adlif_tp_fn(mesh, float(threshold), tp_axis, b,
+                      bool(mxu_bf16), _mesh_interpret(mesh))
     return fn(Wx, alpha, beta, a, b_ad, u0, w0, s0)
