@@ -14,7 +14,7 @@ API parity (reference anns.py:57-67):
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -53,6 +53,13 @@ class _ANNLayerBase(FusedCellPolicy, nn.Module):
     bn_axis_name: Optional[str] = None
     cell_impl: str = "auto"
     mxu_precision: str = "default"
+    # tensor-parallel fused cells (cell_impl='pallas_tp'): the mesh whose
+    # `tp_axis` shards the neurons; `tp_batch_axis` names the data axis
+    # the batch is sharded over (None for an unsharded batch). The _tp()
+    # validator lives on FusedCellPolicy (shared with the SNN layers).
+    tp_mesh: Optional[Any] = None
+    tp_axis: str = "model"
+    tp_batch_axis: Optional[str] = "data"
 
     def _proj(self, x, train, name):
         """Hoisted input projection + flattened-sequence norm for one gate."""
@@ -127,6 +134,17 @@ class RNNLayer(_ANNLayerBase):
     def __call__(self, x, train: bool = False):
         if self.bidirectional:
             x = bidir_concat(x)
+        if self.cell_impl == "pallas_tp":
+            from sparch_tpu.ops import pallas_tp_ann
+
+            mesh, axis, baxis = self._tp()
+            Wx = self._proj(x, train, "W")
+            y0 = jnp.zeros((Wx.shape[0], Wx.shape[2]), jnp.float32)
+            y = pallas_tp_ann.rnn_tp_sharded(
+                mesh, Wx, self._V(), y0,
+                tp_axis=axis, batch_axis=baxis, mxu_bf16=self._mxu_bf16(),
+            )
+            return self._post(y, train)
         if self._use_pallas():
             from sparch_tpu.ops import pallas_ann
 
@@ -162,6 +180,18 @@ class LiGRULayer(_ANNLayerBase):
     def __call__(self, x, train: bool = False):
         if self.bidirectional:
             x = bidir_concat(x)
+        if self.cell_impl == "pallas_tp":
+            from sparch_tpu.ops import pallas_tp_ann
+
+            mesh, axis, baxis = self._tp()
+            Wx = self._proj(x, train, "W")
+            Wzx = self._proj(x, train, "Wz")
+            y0 = jnp.zeros((Wx.shape[0], Wx.shape[2]), jnp.float32)
+            y = pallas_tp_ann.ligru_tp_sharded(
+                mesh, Wx, Wzx, self._V("V"), self._V("Vz"), y0,
+                tp_axis=axis, batch_axis=baxis, mxu_bf16=self._mxu_bf16(),
+            )
+            return self._post(y, train)
         if self._use_pallas():
             from sparch_tpu.ops import pallas_ann
 
@@ -200,6 +230,20 @@ class GRULayer(_ANNLayerBase):
     def __call__(self, x, train: bool = False):
         if self.bidirectional:
             x = bidir_concat(x)
+        if self.cell_impl == "pallas_tp":
+            from sparch_tpu.ops import pallas_tp_ann
+
+            mesh, axis, baxis = self._tp()
+            Wx = self._proj(x, train, "W")
+            Wzx = self._proj(x, train, "Wz")
+            Wrx = self._proj(x, train, "Wr")
+            y0 = jnp.zeros((Wx.shape[0], Wx.shape[2]), jnp.float32)
+            y = pallas_tp_ann.gru_tp_sharded(
+                mesh, Wx, Wzx, Wrx,
+                self._V("V"), self._V("Vz"), self._V("Vr"), y0,
+                tp_axis=axis, batch_axis=baxis, mxu_bf16=self._mxu_bf16(),
+            )
+            return self._post(y, train)
         if self._use_pallas():
             from sparch_tpu.ops import pallas_ann
 
@@ -273,6 +317,9 @@ class ANN(nn.Module):
     cell_impl: str = "auto"
     mxu_precision: str = "default"
     remat: bool = False
+    tp_mesh: Optional[Any] = None
+    tp_axis: str = "model"
+    tp_batch_axis: Optional[str] = "data"
 
     @property
     def is_snn(self) -> bool:
@@ -321,6 +368,9 @@ class ANN(nn.Module):
                 bn_axis_name=self.bn_axis_name,
                 cell_impl=self.cell_impl,
                 mxu_precision=self.mxu_precision,
+                tp_mesh=self.tp_mesh,
+                tp_axis=self.tp_axis,
+                tp_batch_axis=self.tp_batch_axis,
                 name=f"layer_{i}",
             )(x, train)  # positional: remat pins arg 2 (train) static
 

@@ -241,6 +241,21 @@ class FusedCellPolicy:
     prevents the two model families drifting apart.
     """
 
+    def _tp(self):
+        """Validated (mesh, axis, batch_axis) for the pallas_tp path.
+        Normalization/dropout stay OUTSIDE the TP kernels (apply-mode
+        norm, _post dropout): above the single-chip caps that is the
+        measured-~free arrangement (STATUS 'Wide layers' fair A/B), and
+        it keeps the distributed kernel surface small. Shared by the SNN
+        and ANN layer bases (both declare tp_mesh/tp_axis/tp_batch_axis
+        fields)."""
+        if self.tp_mesh is None:
+            raise ValueError(
+                "cell_impl='pallas_tp' needs tp_mesh=<jax.sharding.Mesh "
+                "with a '%s' axis>" % self.tp_axis
+            )
+        return self.tp_mesh, self.tp_axis, self.tp_batch_axis
+
     # Widest layer the fused kernels accept on the 'auto' path: they keep
     # every recurrent matrix AND its dV accumulator resident in VMEM
     # (2*H^2 f32 per gate = 33 MB at H=2048), so multi-gate ANN cells

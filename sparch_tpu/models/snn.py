@@ -74,19 +74,6 @@ class _SpikingLayerBase(FusedCellPolicy, nn.Module):
     tp_axis: str = "model"
     tp_batch_axis: Optional[str] = "data"
 
-    def _tp(self):
-        """Validated (mesh, axis, batch_axis) for the pallas_tp path.
-        Normalization/dropout stay OUTSIDE the TP kernels (apply-mode
-        norm, _post dropout): above the single-chip caps that is the
-        measured-~free arrangement (STATUS 'Wide layers' fair A/B), and
-        it keeps the distributed kernel surface small."""
-        if self.tp_mesh is None:
-            raise ValueError(
-                "cell_impl='pallas_tp' needs tp_mesh=<jax.sharding.Mesh "
-                "with a '%s' axis>" % self.tp_axis
-            )
-        return self.tp_mesh, self.tp_axis, self.tp_batch_axis
-
     def _fold_norm(self) -> bool:
         """On the fused-kernel path, batchnorm/none are folded into the
         kernel as a per-feature affine on the input drive; layernorm

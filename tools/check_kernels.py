@@ -389,6 +389,82 @@ def tp_case(variant, *, B, T, H, bf16=False):
     return m, fails
 
 
+def ann_tp_case(mode, *, B, T, H, bf16=False):
+    """P=1 tensor-parallel fused ANN cells (RNN/LiGRU/GRU) on the
+    CURRENT backend: compiles the in-kernel collective machinery (the
+    remote DMAs degenerate to self-copies at num_devices=1, incl. the
+    GRU's two-exchange steps and the stacked backward exchange) and
+    checks the forward + ALL gradients against the scan cells.
+    Multi-device semantics are pinned on the virtual CPU mesh
+    (tests/test_pallas_tp_ann.py)."""
+    from jax.sharding import Mesh  # noqa: E402
+
+    from sparch_tpu.ops import pallas_tp_ann  # noqa: E402
+
+    mesh = Mesh(np.asarray(jax.devices()[:1]), ("model",))
+    rng = np.random.default_rng(zlib.crc32(f"anntp-{mode}".encode()))
+    d = _ann_data(rng, mode, B, T, H)
+    wx_names, v_names = _ANN[mode]
+    names = wx_names + v_names + ("y0",)
+    tp_fn = getattr(pallas_tp_ann, f"{mode}_tp_sharded")
+    scan = getattr(cells, f"{mode}_scan")
+    wgt = _weights((T, H))
+
+    def pallas_fn(kw):
+        a = [kw[n] for n in wx_names] + [kw[n] for n in v_names] + [
+            kw["y0"]
+        ]
+        return tp_fn(mesh, *a, tp_axis="model", batch_axis=None,
+                     mxu_bf16=bf16)
+
+    def scan_fn(kw):
+        return scan(*[kw[n] for n in names])
+
+    @jax.jit
+    def metrics():
+        args = tuple(d[n] for n in names)
+
+        def loss(fn):
+            def inner(*a):
+                kw = dict(zip(names, a))
+                return (fn(kw).astype(jnp.float32) * wgt).sum()
+            return inner
+
+        out_p = pallas_fn(dict(d)).astype(jnp.float32)
+        gp = jax.grad(loss(pallas_fn),
+                      argnums=tuple(range(len(names))))(*args)
+        with jax.default_matmul_precision("highest"):
+            out_s = scan_fn(dict(d))
+            gs = jax.grad(loss(scan_fn),
+                          argnums=tuple(range(len(names))))(*args)
+        m = {
+            "fwd_rel": _rel(out_p, out_s),
+            "fwd_finite": jnp.all(jnp.isfinite(out_p)).astype(jnp.float32),
+        }
+        gmetric = _relmean if bf16 else _rel
+        for n, x, y in zip(names, gp, gs):
+            m[f"g_{n}"] = gmetric(x.astype(jnp.float32), y)
+        m["grads_finite"] = functools.reduce(
+            jnp.logical_and,
+            [jnp.all(jnp.isfinite(x.astype(jnp.float32))) for x in gp],
+        ).astype(jnp.float32)
+        return m
+
+    m = {k: float(v) for k, v in metrics().items()}
+    fails = []
+    fwd_lim = 0.03 if bf16 else 1e-5
+    grad_lim = 0.02 if bf16 else 1e-4
+    if m["fwd_rel"] > fwd_lim:
+        fails.append(f"fwd_rel={m['fwd_rel']:.2e}>{fwd_lim}")
+    if not m["fwd_finite"] or not m["grads_finite"]:
+        fails.append("non-finite values")
+    worst = max((v, k) for k, v in m.items() if k.startswith("g_"))
+    if worst[0] > grad_lim:
+        fails.append(f"grad {worst[1]}={worst[0]:.2e}>{grad_lim}")
+    m["worst_grad"] = worst[0]
+    return m, fails
+
+
 def readout_case(*, B, T, H):
     rng = np.random.default_rng(99)
     Wx = jnp.asarray(rng.uniform(-3, 3, (B, T, H)), jnp.float32)
@@ -698,6 +774,19 @@ def build_cases():
          functools.partial(ann_case, "ligru", affine=True, bf16=True,
                            wx_bf16=True, loose=True,
                            v_scale=(128 / WB["H"]) ** 0.5, **WB))
+    )
+    # tensor-parallel fused ANN cells at P=1 (pallas_tp_ann): compiles
+    # the in-kernel collective machinery incl. the GRU's two-exchange
+    # steps and the stacked backward exchanges (self-copy DMAs)
+    for mode in ("rnn", "ligru", "gru"):
+        cases.append(
+            (f"{mode}/tp1",
+             functools.partial(ann_tp_case, mode, B=16, T=20, H=128))
+        )
+    cases.append(
+        ("gru/tp1bf16",
+         functools.partial(ann_tp_case, "gru", bf16=True,
+                           B=16, T=20, H=128))
     )
     return cases
 
