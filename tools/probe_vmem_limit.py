@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Probe the Mosaic scoped-vmem limit's effect on the plain fused RadLIF
+kernel (fwd+bwd) at the north-star config, and compare against the P=1
+TP twin. docs/ab_tp_p1_r5.json measured the degenerate-TP kernel FASTER
+than the plain kernel (-21% at H=512 f32, -16% bf16); the TP kernels
+pass vmem_limit=100M while the plain SNN kernels pin 96M (a Mosaic
+scheduling input — pallas_cells._VMEM_LIMIT comment). This isolates
+whether the limit explains the gap.
+
+Usage: python tools/probe_vmem_limit.py [--json FILE]
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--json", default="")
+    ap.add_argument("--limits", default="64,96,100,112,128")
+    ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--H", type=int, default=512)
+    ap.add_argument("--B", type=int, default=128)
+    ap.add_argument("--repeat", type=int, default=1)
+    args = ap.parse_args()
+
+    from sparch_tpu.utils.cache import enable_compile_cache
+
+    enable_compile_cache()
+
+    import jax
+    import jax.numpy as jnp
+
+    from sparch_tpu.ops import pallas_cells
+    from sparch_tpu.utils.timing import time_fn
+
+    B, T, H = args.B, 100, args.H
+    rng = np.random.default_rng(11)
+    wx = jnp.asarray(rng.uniform(-0.8, 0.8, (B, T, H)), jnp.float32)
+    v = jnp.asarray(rng.uniform(-0.15, 0.15, (H, H)), jnp.float32)
+    y0 = jnp.asarray(rng.uniform(0, 1, (B, H)), jnp.float32)
+    alpha = jnp.asarray(rng.uniform(0.36, 0.96, H), jnp.float32)
+    beta = jnp.asarray(rng.uniform(0.96, 0.99, H), jnp.float32)
+    a = jnp.asarray(rng.uniform(-1, 1, H), jnp.float32)
+    b = jnp.asarray(rng.uniform(0, 2, H), jnp.float32)
+    w0 = jnp.zeros((B, H), jnp.float32)
+
+    def fwdbwd(fn):
+        def step(wx, v):
+            def loss(wx, v):
+                out = fn(wx, v).astype(jnp.float32)
+                return jnp.sum(out * out)
+
+            l, g = jax.value_and_grad(loss, (0, 1))(wx, v)
+            return l + g[0].astype(jnp.float32).sum() + \
+                g[1].astype(jnp.float32).sum()
+        return step
+
+    from jax.experimental import pallas as pl  # noqa: F401
+    from jax.experimental.pallas import tpu as pltpu
+
+    results = []
+    for mib in [int(x) for x in args.limits.split(",")]:
+        # _compiler_params' default arg binds _VMEM_LIMIT at def time;
+        # swap the function itself (call sites resolve via module
+        # globals) so every kernel in this iteration gets `mib`.
+        def _probe_params(limit=None, _mib=mib):
+            return pltpu.CompilerParams(
+                vmem_limit_bytes=_mib * 1024 * 1024,
+                shape_invariant_numerics=False,
+            )
+
+        pallas_cells._compiler_params = _probe_params
+
+        def single(wx, v):
+            return pallas_cells.radlif_pallas(
+                wx, alpha, beta, a, b, v, 1.0, y0, w0, y0,
+                mxu_bf16=args.bf16,
+            )
+
+        try:
+            mss = [round(time_fn(fwdbwd(single), wx, v, iters=16) * 1e3, 4)
+                   for _ in range(args.repeat)]
+            rec = {"vmem_limit_mib": mib, "ms": min(mss), "runs": mss}
+        except Exception as e:  # noqa: BLE001
+            rec = {"vmem_limit_mib": mib,
+                   "error": f"{type(e).__name__}: {str(e)[:200]}"}
+        print(json.dumps(rec), flush=True)
+        results.append(rec)
+
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump({"backend": jax.default_backend(), "B": B, "T": T,
+                       "H": H, "bf16": args.bf16, "results": results}, f,
+                      indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
