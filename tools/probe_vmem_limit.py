@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--H", type=int, default=512)
     ap.add_argument("--B", type=int, default=128)
     ap.add_argument("--repeat", type=int, default=1)
+    ap.add_argument("--iters", type=int, default=64,
+                    help="fori iterations per timed loop; small values "
+                    "(16) let tunnel-latency noise swamp the differenced "
+                    "measurement (observed: impossible ~0 ms readings)")
     args = ap.parse_args()
 
     from sparch_tpu.utils.cache import enable_compile_cache
@@ -64,8 +68,11 @@ def main():
     from jax.experimental import pallas as pl  # noqa: F401
     from jax.experimental.pallas import tpu as pltpu
 
-    results = []
-    for mib in [int(x) for x in args.limits.split(",")]:
+    limits = [int(x) for x in args.limits.split(",")]
+    runs = {mib: [] for mib in limits}
+    errors = {}
+
+    def measure(mib):
         # _compiler_params' default arg binds _VMEM_LIMIT at def time;
         # swap the function itself (call sites resolve via module
         # globals) so every kernel in this iteration gets `mib`.
@@ -83,15 +90,34 @@ def main():
                 mxu_bf16=args.bf16,
             )
 
-        try:
-            mss = [round(time_fn(fwdbwd(single), wx, v, iters=16) * 1e3, 4)
-                   for _ in range(args.repeat)]
-            rec = {"vmem_limit_mib": mib, "ms": min(mss), "runs": mss}
-        except Exception as e:  # noqa: BLE001
-            rec = {"vmem_limit_mib": mib,
-                   "error": f"{type(e).__name__}: {str(e)[:200]}"}
-        print(json.dumps(rec), flush=True)
-        results.append(rec)
+        return round(
+            time_fn(fwdbwd(single), wx, v, iters=args.iters) * 1e3, 4)
+
+    # Interleave limits across repeats (A/B/A/B) so slow drift in tunnel
+    # latency hits every limit equally instead of biasing one.
+    for rep in range(args.repeat):
+        for mib in limits:
+            if mib in errors:
+                continue
+            try:
+                ms = measure(mib)
+                runs[mib].append(ms)
+                print(json.dumps({"rep": rep, "vmem_limit_mib": mib,
+                                  "ms": ms}), flush=True)
+            except Exception as e:  # noqa: BLE001
+                errors[mib] = f"{type(e).__name__}: {str(e)[:200]}"
+                print(json.dumps({"rep": rep, "vmem_limit_mib": mib,
+                                  "error": errors[mib]}), flush=True)
+
+    results = []
+    for mib in limits:
+        if mib in errors:
+            results.append({"vmem_limit_mib": mib, "error": errors[mib]})
+        else:
+            mss = sorted(runs[mib])
+            results.append({"vmem_limit_mib": mib,
+                            "ms": mss[len(mss) // 2],  # median
+                            "runs": runs[mib]})
 
     if args.json:
         with open(args.json, "w") as f:
