@@ -24,6 +24,11 @@ def main():
     ap.add_argument("--json", default="")
     ap.add_argument("--limits", default="64,96,100,112,128")
     ap.add_argument("--bf16", action="store_true")
+    ap.add_argument("--cell", default="radlif",
+                    choices=("radlif", "ligru", "gru"),
+                    help="radlif probes pallas_cells' limit; ligru/gru "
+                    "probe pallas_ann's (its _compiler_params import "
+                    "binding is patched instead)")
     ap.add_argument("--H", type=int, default=512)
     ap.add_argument("--B", type=int, default=128)
     ap.add_argument("--repeat", type=int, default=1)
@@ -40,7 +45,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from sparch_tpu.ops import pallas_cells
+    from sparch_tpu.ops import pallas_ann, pallas_cells
     from sparch_tpu.utils.timing import time_fn
 
     B, T, H = args.B, 100, args.H
@@ -82,13 +87,37 @@ def main():
                 shape_invariant_numerics=False,
             )
 
-        pallas_cells._compiler_params = _probe_params
+        if args.cell == "radlif":
+            pallas_cells._compiler_params = _probe_params
 
-        def single(wx, v):
-            return pallas_cells.radlif_pallas(
-                wx, alpha, beta, a, b, v, 1.0, y0, w0, y0,
-                mxu_bf16=args.bf16,
-            )
+            def single(wx, v):
+                return pallas_cells.radlif_pallas(
+                    wx, alpha, beta, a, b, v, 1.0, y0, w0, y0,
+                    mxu_bf16=args.bf16,
+                )
+        else:
+            # pallas_ann bound _compiler_params at import; patch ITS
+            # global. _make_ann_op caches per config, but the pallas_call
+            # params are read at trace time (inside _ann_forward), and
+            # each `single` closure below is a fresh jit entry.
+            pallas_ann._compiler_params = _probe_params
+            wz = jnp.asarray(
+                rng.uniform(-0.8, 0.8, (B, T, H)), jnp.float32)
+            vz = jnp.asarray(
+                rng.uniform(-0.15, 0.15, (H, H)), jnp.float32)
+            if args.cell == "ligru":
+                def single(wx, v):
+                    return pallas_ann.ligru_pallas(
+                        wx, wz, v, vz, y0, mxu_bf16=args.bf16)
+            else:
+                wr = jnp.asarray(
+                    rng.uniform(-0.8, 0.8, (B, T, H)), jnp.float32)
+                vr = jnp.asarray(
+                    rng.uniform(-0.15, 0.15, (H, H)), jnp.float32)
+
+                def single(wx, v):
+                    return pallas_ann.gru_pallas(
+                        wx, wz, wr, v, vz, vr, y0, mxu_bf16=args.bf16)
 
         return round(
             time_fn(fwdbwd(single), wx, v, iters=args.iters) * 1e3, 4)
@@ -121,7 +150,8 @@ def main():
 
     if args.json:
         with open(args.json, "w") as f:
-            json.dump({"backend": jax.default_backend(), "B": B, "T": T,
+            json.dump({"backend": jax.default_backend(), "cell": args.cell,
+                       "B": B, "T": T,
                        "H": H, "bf16": args.bf16, "results": results}, f,
                       indent=1)
     return 0
