@@ -116,6 +116,27 @@ def _plan_vmem(mode: str, affine: bool, mxu_bf16: bool,
     return max(fwd, bwd), m["n_v"] * (2 * vb + 8)
 
 
+def _ann_scoped_limit(sb: int, mb: int, bt: int, tc: int, Hp: int) -> int:
+    """Plan-derived Mosaic scoped-vmem limit for the ANN kernels.
+
+    The limit is a Mosaic SCHEDULING input, not just a capacity guard —
+    tight limits run markedly faster (see pallas_cells._scoped_limit and
+    docs/probe_vmem_limit_*.json: 1.1-2.0x on the spiking kernels, ~15%
+    on LiGRU/GRU H=512 bf16 measured on the real v5e). Unlike the SNN
+    kernels' empirical width bands, the ANN kernels have a byte-accurate
+    demand model (_plan_vmem, calibrated on the captured GRU f32 Hp=1280
+    Mosaic OOM breakdown: Mosaic real = model x 1.25), so the limit is
+    model x 1.25 calibration x ~1.16 margin, floored at 40 MiB and
+    clamped to the old fixed 120 MiB. Cross-checks against measured
+    bounds: LiGRU 1536 bt=128 -> 120M (Mosaic real 116M fits); GRU 512
+    bf16 -> 54M (48M compiles on chip); LiGRU 512 bf16 -> 38->40M floor
+    (40M compiles on chip). The on-chip check_kernels ANN matrix
+    (plain/affine/dropout/bf16/wide/raised-tile) gates the formula."""
+    model = 2 * sb * bt * tc * Hp + mb * Hp * Hp + 24 * bt * Hp
+    limit = int(model * 1.45)
+    return max(40 * 1024 * 1024, min(_VMEM_LIMIT_WIDE, limit))
+
+
 def _dotT(x, v, mxu_bf16):
     """x @ v^T (contract v's second axis), f32 accumulation."""
     if mxu_bf16:
@@ -350,7 +371,8 @@ def _ann_forward(wxs, scales, shifts, vs, y0, seed, *, mode, drop_rate,
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((bt, Hp), jnp.float32)] * (1 + n_carry),
         interpret=_interpret(),
-        compiler_params=_compiler_params(_VMEM_LIMIT_WIDE),
+        compiler_params=_compiler_params(
+            _ann_scoped_limit(sb, mb, bt, tc, Hp)),
     )(*wxs_p, *aff_ops, *vs_p, y0_p, *seed_ops)
 
     y_logical = jnp.swapaxes(outs[0][:, :B, :H], 0, 1)
@@ -608,7 +630,8 @@ def _ann_backward(g, wxs, residuals, scales, vs, seed, *, mode, drop_rate,
         ),
         scratch_shapes=[pltpu.VMEM((bt, Hp), jnp.float32)],
         interpret=_interpret(),
-        compiler_params=_compiler_params(_VMEM_LIMIT_WIDE),
+        compiler_params=_compiler_params(
+            _ann_scoped_limit(sb, mb, bt, tc, Hp)),
     )(g_p, *seed_ops, y_seq, *gate_seqs, yb, *aff_ops, *vs_p)
 
     dwxs = [jnp.swapaxes(o[:, :B, :H], 0, 1) for o in outs[:n_wx]]

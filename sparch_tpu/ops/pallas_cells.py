@@ -151,6 +151,39 @@ _VMEM_LIMIT = 96 * 1024 * 1024
 _VMEM_LIMIT_WIDE = 120 * 1024 * 1024
 
 
+def _scoped_limit(Hp: int) -> int:
+    """Width-banded Mosaic scoped-vmem limit for the SNN kernels.
+
+    The limit is not just a capacity guard — Mosaic uses it as a
+    SCHEDULING input, and a tight limit is dramatically faster: the
+    round-5 on-chip sweep (tools/probe_vmem_limit.py,
+    docs/probe_vmem_limit_*.json) measured the north-star RadLIF
+    fwd+bwd at H=512 f32 running 0.127 ms under a 32 MiB limit vs
+    0.254 ms under the old fixed 96 MiB (2.0x), with the bf16 twin
+    showing the same shape. The bands are the smallest compiling
+    limit plus margin, measured on the real v5e:
+
+    - Hp <= 640: real demand < 24 MiB (24 compiled and ran); 32-48 all
+      fast, 40 splits the f32/bf16 optima.
+    - Hp <= 1024: f32 demand is in (48, 64] (48 FAILS to compile, 64
+      runs 0.793 vs 0.878 ms at 96); bf16 compiles at 48 (0.566 vs
+      0.651). 72 clears the f32 demand with margin for the
+      affine/dropout variants.
+    - wider: keep the round-3 96 MiB. bf16 H=2048 (wide path) measured
+      64: 1.235 / 96: 1.297 / 112: 1.326 — only ~5% on the table, the
+      wide configs are MXU-bound and the f32 wide demand below 96 is
+      unprobed; not worth the compile-failure risk.
+
+    The on-chip check_kernels matrix (42 cases: affine folds, dropout,
+    bf16 streams, wide 1536/2048, prime-T tails) is the compile+parity
+    gate for these bands."""
+    if Hp <= 640:
+        return 40 * 1024 * 1024
+    if Hp <= 1024:
+        return 72 * 1024 * 1024
+    return _VMEM_LIMIT
+
+
 def _compiler_params(limit: int = _VMEM_LIMIT):
     # shape_invariant_numerics=False restores Mosaic's permissive handling
     # of float add-reductions over offset layouts (the batch-dim sums of
@@ -571,7 +604,7 @@ def _forward_pallas(
             pltpu.VMEM((bt, Hp), jnp.float32),  # carried s @ V
         ],
         interpret=interp,
-        compiler_params=_compiler_params(),
+        compiler_params=_compiler_params(_scoped_limit(Hp)),
     )(Wx_p, scale_p, shift_p, alpha_p, beta_p, a_p, b_p, V_p,
       u0_p, w0_p, s0_p, *seed_ops)
 
@@ -968,7 +1001,7 @@ def _backward_pallas(
             pltpu.VMEM((bt, Hp), jnp.float32),  # carried A @ V^T
         ],
         interpret=interp,
-        compiler_params=_compiler_params(),
+        compiler_params=_compiler_params(_scoped_limit(Hp)),
     )(
         g_p, *wx_ops, *seed_ops, u_pd, ub, sb, wend,
         scale_p, alpha_p, beta_p, a_p, b_p, V_p,
@@ -1342,7 +1375,7 @@ def _readout_forward(Wx, alpha, u0, *, save_residuals):
         out_shape=out_shape,
         scratch_shapes=[pltpu.VMEM((bt, Hp), jnp.float32)],
         interpret=_interpret(),
-        compiler_params=_compiler_params(),
+        compiler_params=_compiler_params(_scoped_limit(Hp)),
     )(Wx_p, alpha_p, u0_p)
 
     if not save_residuals:
@@ -1386,7 +1419,7 @@ def _readout_backward(g, residuals, alpha, T):
         ),
         scratch_shapes=[pltpu.VMEM((bt, Hp), jnp.float32)],
         interpret=_interpret(),
-        compiler_params=_compiler_params(),
+        compiler_params=_compiler_params(_scoped_limit(Hp)),
     )(u_seq, ub, g_p, alpha_p)
 
     return jnp.swapaxes(dWx[:, :B, :H], 0, 1), dalpha[0, :H], du0[:B, :H]
