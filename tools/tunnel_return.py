@@ -7,7 +7,7 @@ Runs, in order, each with its own timeout and a PASS/FAIL/SKIP line:
 
 1. probe        — trivial on-chip op (fail-fast if the tunnel is down;
                   everything else is skipped in that case)
-2. check        — tools/check_kernels.py --json docs/check_kernels_r4.json
+2. check        — tools/check_kernels.py --json docs/check_kernels_r5.json
                   (the on-chip kernel==scan record; covers the bf16-V and
                   rec_dot scan-side changes)
 3. bench        — python bench.py (median-of-3 north star, one JSON line)
@@ -74,7 +74,7 @@ def main():
         return 3
 
     run("check", [sys.executable, "tools/check_kernels.py",
-                  "--json", "docs/check_kernels_r4.json"], 5400, results)
+                  "--json", "docs/check_kernels_r5.json"], 5400, results)
     if args.full:
         run("bench", [sys.executable, "bench.py"], 3600, results)
         run("fuzz", [sys.executable, "tools/fuzz_kernels.py",
