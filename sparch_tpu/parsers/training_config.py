@@ -274,7 +274,8 @@ def add_training_options(parser):
         help="Persistent XLA compilation-cache directory. Compiled "
         "programs are reused across processes/restarts — on remote TPU "
         "backends this turns 30-60 s per-shape compiles into sub-second "
-        "cache hits. (JAX also honours JAX_COMPILATION_CACHE_DIR.)",
+        "cache hits. 'true' enables the default per-user directory, "
+        "'false' disables. (JAX also honours JAX_COMPILATION_CACHE_DIR.)",
     )
     parser.add_argument(
         "--frontend",

@@ -95,8 +95,11 @@ class Experiment:
         self.input_dtype = getattr(args, "input_dtype", "float32")
         self.profile_dir = getattr(args, "profile_dir", None)
         self.prng_impl = getattr(args, "prng_impl", "rbg")
-        self.compile_cache = getattr(args, "compile_cache", None)
-        if self.compile_cache:
+        from sparch_tpu.utils.cache import resolve_cache_arg
+
+        self.compile_cache = resolve_cache_arg(
+            getattr(args, "compile_cache", None))
+        if self.compile_cache is not False:
             from sparch_tpu.utils.cache import enable_compile_cache
 
             enable_compile_cache(self.compile_cache)

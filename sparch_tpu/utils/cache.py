@@ -10,7 +10,29 @@ from __future__ import annotations
 import os
 import tempfile
 
-__all__ = ["enable_compile_cache"]
+__all__ = ["enable_compile_cache", "resolve_cache_arg"]
+
+_TRUEY = ("true", "1", "yes", "on")
+_FALSY = ("false", "0", "no", "off", "none", "")
+
+
+def resolve_cache_arg(value):
+    """Map a ``--compile_cache`` CLI value to an ``enable_compile_cache``
+    argument: every other flag in the reference schema is a true/false
+    string, so users inevitably type ``--compile_cache true`` — which,
+    taken literally as a path, silently creates a cache directory named
+    ``true/``. Boolean-ish strings mean "default directory" (returns
+    None) or "disabled" (returns False); anything else is a real path."""
+    if value is None or value is False:
+        return False
+    if isinstance(value, str):
+        if value.lower() in _FALSY:
+            return False
+        if value.lower() in _TRUEY:
+            return None
+    if value is True:
+        return None
+    return value
 
 
 def enable_compile_cache(cache_dir: str | None = None) -> str:

@@ -339,3 +339,28 @@ def test_streaming_from_experiment(shd_folder, tmp_path):
     np.testing.assert_allclose(
         probs_stream, np.asarray(probs_batch), atol=1e-5
     )
+
+
+def test_compile_cache_flag_booleanish(shd_folder, tmp_path, monkeypatch):
+    """--compile_cache 'true' must mean 'default cache dir', not a
+    directory literally named ./true (every reference-schema flag is a
+    true/false string, so that is what users type)."""
+    from sparch_tpu.utils.cache import resolve_cache_arg
+
+    assert resolve_cache_arg("true") is None
+    assert resolve_cache_arg("TRUE") is None
+    assert resolve_cache_arg("1") is None
+    assert resolve_cache_arg(True) is None
+    assert resolve_cache_arg("false") is False
+    assert resolve_cache_arg(None) is False
+    assert resolve_cache_arg("") is False
+    cache = str(tmp_path / "xla_cache")
+    assert resolve_cache_arg(cache) == cache
+
+    # e2e: 'true' creates no ./true directory and the run completes
+    monkeypatch.chdir(tmp_path)
+    exp = str(tmp_path / "exp_cc")
+    run_exp.main(
+        _base_args(shd_folder, exp, extra=("--compile_cache", "true"))
+    )
+    assert not (tmp_path / "true").exists()
